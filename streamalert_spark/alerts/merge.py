@@ -1,0 +1,187 @@
+"""Alert merging: greedy chronological grouping + merged-record synthesis.
+
+Reference semantics:
+- two alerts can merge iff they share identical values for every
+  merge_by_keys key (deep lookup), the same key set, and fall within the
+  OLDEST alert's merge window (shared/alert.py:246-269);
+- grouping is greedy and chronological with a hard cap of 50 alerts per
+  merged group (alert_merger/main.py:31-132, cap at main.py:34); a group
+  dispatches only once its oldest alert is older than the window;
+- the merged alert carries AlertCount, AlertTimeFirst, AlertTimeLast,
+  MergedBy (the merge key values), OtherCommonKeys (the greatest common
+  subset of all records minus merge keys), and per-alert ValueDiffs
+  (shared/alert.py:289-433).
+
+This module has the pure-Python synthesis functions (unit-testable, ported
+semantics not code) and the batch grouping operator as applyInPandas keyed
+by (rule_name, merge key values). The streaming variant with event-time
+timeouts lives in streamalert_spark.streaming.merge.
+
+Scale: state per key is bounded (<=50 alerts by the cap); the shuffle is on
+(rule_name, merge keys) which is exactly the reference's DynamoDB access
+pattern re-expressed as a partitioned groupBy.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_MERGE_GROUP_SIZE = 50        # alert_merger/main.py:34
+ALERT_TS_PY_FMT = "%Y-%m-%dT%H:%M:%S.%fZ"  # alert.py:35
+
+
+def _common_subset(records: list[Any]) -> Any:
+    """Greatest common subset of a list of nested dicts
+    (semantics of alert.py:289-336)."""
+    first = records[0]
+    if not isinstance(first, dict):
+        return first if all(r == first for r in records[1:]) else None
+    if not all(isinstance(r, dict) for r in records):
+        return None
+    out = {}
+    for key in first:
+        if not all(isinstance(r, dict) and key in r for r in records):
+            continue
+        sub = _common_subset([r[key] for r in records])
+        if sub is not None:
+            out[key] = sub
+    return out or None
+
+
+def merge_common_subset(records: list[dict]) -> dict:
+    common = _common_subset(records)
+    return common if isinstance(common, dict) else {}
+
+
+def _flatten(d: Any, prefix: str = "") -> dict[str, Any]:
+    if not isinstance(d, dict):
+        return {prefix: d}
+    out = {}
+    for k, v in d.items():
+        key = f"{prefix}.{k}" if prefix else str(k)
+        out.update(_flatten(v, key))
+    return out
+
+
+def merge_value_diffs(record: dict, common: dict) -> dict[str, Any]:
+    """Per-alert diff vs the common subset (alert.py:338-380): flattened
+    key -> value for everything not in common."""
+    flat_rec = _flatten(record)
+    flat_common = _flatten(common) if common else {}
+    return {k: v for k, v in flat_rec.items() if flat_common.get(k) != v}
+
+
+def synthesize_merged(
+    alerts: list[dict],
+    merge_keys: list[str],
+) -> dict:
+    """Build the merged-alert record (alert.py:382-433). ``alerts`` are
+    chronologically ordered dicts with 'created' (string) and 'record'
+    (parsed dict)."""
+    records = [a["record"] for a in alerts]
+    common = merge_common_subset(records)
+    merged_by = {k: _flatten(records[0]).get(k, records[0].get(k)) for k in merge_keys}
+    other_common = {k: v for k, v in _flatten(common).items() if k not in merge_keys}
+    return {
+        "AlertCount": len(alerts),
+        "AlertTimeFirst": alerts[0]["created"],
+        "AlertTimeLast": alerts[-1]["created"],
+        "MergedBy": {k: ("" if v is None else str(v)) for k, v in merged_by.items()},
+        "OtherCommonKeys": {k: ("" if v is None else str(v)) for k, v in other_common.items()},
+        "ValueDiffs": {
+            a["created"]: {k: ("" if v is None else str(v))
+                           for k, v in merge_value_diffs(a["record"], common).items()}
+            for a in alerts
+        },
+    }
+
+
+def greedy_groups(
+    created: list[datetime],
+    window: timedelta,
+    cap: int = MAX_MERGE_GROUP_SIZE,
+) -> list[list[int]]:
+    """Greedy chronological grouping (alert_merger/main.py:106-132): walk
+    alerts oldest-first; an alert joins the current group while it is within
+    the group's OLDEST alert's window and the group is under the cap."""
+    order = sorted(range(len(created)), key=lambda i: created[i])
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_start: datetime | None = None
+    for i in order:
+        if cur and (created[i] - cur_start <= window) and len(cur) < cap:
+            cur.append(i)
+        else:
+            if cur:
+                groups.append(cur)
+            cur = [i]
+            cur_start = created[i]
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+MERGED_SCHEMA = (
+    "rule_name string, merge_values string, alert_count bigint, "
+    "alert_time_first string, alert_time_last string, merged_record string"
+)
+
+
+def merge_alerts_batch(alerts: DataFrame) -> DataFrame:
+    """Batch merge over an alerts DataFrame (columns per ALERT_SCHEMA).
+
+    groupBy (rule_name, merge key values) -> applyInPandas running the
+    greedy grouping + synthesis. Alerts without merge config pass through
+    as singleton groups downstream (reference dispatches them immediately,
+    main.py:163-191) — callers should pre-filter on merge_window_mins > 0.
+    """
+    with_values = alerts.withColumn(
+        "merge_values",
+        F.to_json(
+            F.map_from_arrays(
+                F.col("merge_by_keys"),
+                F.transform(
+                    F.col("merge_by_keys"),
+                    lambda k: F.get_json_object(F.col("record"), F.concat(F.lit("$."), k)),
+                ),
+            )
+        ),
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        rule_name = pdf["rule_name"].iloc[0]
+        merge_values = pdf["merge_values"].iloc[0]
+        window = timedelta(minutes=int(pdf["merge_window_mins"].iloc[0] or 0))
+        merge_keys = list(pdf["merge_by_keys"].iloc[0] or [])
+        created = [datetime.strptime(c, ALERT_TS_PY_FMT) for c in pdf["created"]]
+        rows = []
+        for group in greedy_groups(created, window):
+            members = [
+                {"created": pdf["created"].iloc[i], "record": json.loads(pdf["record"].iloc[i] or "{}")}
+                for i in group
+            ]
+            members.sort(key=lambda a: a["created"])
+            merged = synthesize_merged(members, merge_keys)
+            rows.append(
+                {
+                    "rule_name": rule_name,
+                    "merge_values": merge_values,
+                    "alert_count": merged["AlertCount"],
+                    "alert_time_first": merged["AlertTimeFirst"],
+                    "alert_time_last": merged["AlertTimeLast"],
+                    "merged_record": json.dumps(merged, sort_keys=True),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return (
+        with_values.groupBy("rule_name", "merge_values")
+        .applyInPandas(merge_group, schema=MERGED_SCHEMA)
+    )

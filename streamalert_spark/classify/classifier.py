@@ -1,0 +1,210 @@
+"""Classifier: schema trial-matching + type coercion + pattern filters.
+
+Reference pipeline (streamalert/classifier/classifier.py:116-200,241-275):
+for each payload record, try every candidate log schema for its
+(service, resource) in declared config order; the first schema whose parser
+fully validates wins. Per record the parser does _parse -> _key_check ->
+_convert_type -> _matches_log_patterns (parsers.py:450-501). Records failing
+every schema are counted as invalid (classifier.py:202-215).
+
+Spark strategy — all expression-generated, no UDFs:
+- each candidate schema contributes a validity predicate; the chosen schema
+  index is the first true one (ordered CASE WHEN — the columnar analogue of
+  first-match-wins trial parsing);
+- a per-schema output DataFrame projects the typed struct (coercion table in
+  schema/types.py, reference parsers.py:294-369) with optional-key backfill
+  (parsers.py:157-171) and the log_patterns fnmatch filter translated to
+  SQL LIKE (parsers.py:173-221);
+- invalid records split into a quarantine DataFrame with the raw payload
+  preserved (classifier.py:202-215 invalid accounting).
+
+Scale: classification is a single projection pass over the scan — no
+shuffle, no Python. At 100 TB the cost is one from_json per candidate
+schema; routing (service, resource) -> 1-2 candidates keeps that constant.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from streamalert_spark.parsers.base import get_parser
+from streamalert_spark.schema.registry import LogSchema, SchemaRegistry
+from streamalert_spark.schema.types import coerce_boolean, type_default_expr
+
+
+def glob_to_like(pattern: str) -> str:
+    """fnmatch glob -> SQL LIKE pattern (parsers.py:173-221 semantics:
+    '*' any run, '?' single char). LIKE specials are escaped."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _coerce_field(col: Column, tok: Any) -> Column:
+    """Per-field coercion with reference semantics (parsers.py:294-369).
+
+    The input column holds the field's raw JSON/CSV text (or null).
+    Cast failures surface as nulls, which the validity check below turns
+    into record invalidation — matching the reference's 'parse failure
+    invalidates the record'.
+    """
+    if isinstance(tok, str):
+        if tok == "string":
+            return col
+        if tok == "integer":
+            # reference int() accepts '123'; reject floats like '1.5'
+            return col.cast("bigint")
+        if tok == "float":
+            return col.cast("double")
+        if tok == "boolean":
+            return coerce_boolean(col)
+        raise ValueError(f"unknown token {tok!r}")
+    if isinstance(tok, dict) and not tok:
+        return F.from_json(col, "map<string,string>")
+    if isinstance(tok, dict):
+        ddl = ", ".join(f"`{k}` string" for k in tok)
+        inner = F.from_json(col, ddl)
+        return F.struct(*[_coerce_field(inner[k], v).alias(k) for k, v in tok.items()])
+    if isinstance(tok, list):
+        return F.from_json(col, "array<string>")
+    raise ValueError(f"unknown token {tok!r}")
+
+
+def coerce_struct(parsed: Column, schema: LogSchema) -> Column:
+    """Typed struct with optional-key backfill (defaults per §1.2)."""
+    optional = set(schema.optional_top_level_keys)
+    fields = []
+    for name, tok in schema.schema.items():
+        coerced = _coerce_field(parsed[name], tok)
+        if name in optional:
+            coerced = F.coalesce(coerced, type_default_expr(tok))
+        fields.append(coerced.alias(name))
+    return F.struct(*fields)
+
+
+def coercion_valid(parsed: Column, typed: Column, schema: LogSchema) -> Column:
+    """A required field whose raw text was present but whose cast produced
+    null means a type failure -> record invalid (parsers.py:332-347).
+    Booleans never fail (lenient semantics); strings never fail."""
+    conds = []
+    for name, tok in schema.schema.items():
+        if tok in ("integer", "float") or isinstance(tok, (dict, list)):
+            raw_present = parsed[name].isNotNull() & (F.trim(parsed[name]) != "")
+            conds.append(~raw_present | typed[name].isNotNull())
+    if not conds:
+        return F.lit(True)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def log_patterns_filter(typed: Column, schema: LogSchema) -> Column:
+    """fnmatch log_patterns: ALL fields must match ANY of their globs
+    (parsers.py:173-221). Dotted field paths address nested structs."""
+    conds = []
+    for path, globs in schema.log_patterns.items():
+        field = typed
+        for part in path.split("."):
+            field = field[part]
+        any_of = None
+        for g in globs:
+            like = field.cast("string").like(glob_to_like(g))
+            any_of = like if any_of is None else (any_of | like)
+        if any_of is not None:
+            conds.append(any_of)
+    if not conds:
+        return F.lit(True)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+@dataclass
+class ClassifiedBatch:
+    """Result of classifying one source batch: per-log-type typed frames +
+    the quarantine frame of records that matched no schema."""
+
+    by_log_type: dict[str, DataFrame]
+    invalid: DataFrame
+
+    def counts(self) -> dict[str, int]:
+        out = {name: df.count() for name, df in self.by_log_type.items()}
+        out["_invalid"] = self.invalid.count()
+        return out
+
+
+class Classifier:
+    def __init__(self, registry: SchemaRegistry):
+        self.registry = registry
+
+    def classify(
+        self,
+        df: DataFrame,
+        raw_col: str = "value",
+        service: str = "",
+        resource: str = "",
+        keep_cols: list[str] | None = None,
+    ) -> ClassifiedBatch:
+        """Trial-parse ``df[raw_col]`` against the candidate schemas for
+        (service, resource), first full parse wins (classifier.py:116-149).
+        """
+        candidates = self.registry.candidates(service, resource)
+        keep_cols = keep_cols or []
+
+        # Row-expansion steps differ per schema (json_path/envelope), so each
+        # candidate gets its own exploded view; the chosen-schema predicate
+        # is evaluated on that view. Schemas sharing no explode step share
+        # the base scan (Catalyst caches the common subplan per branch).
+        prepared: list[tuple[LogSchema, DataFrame, str, Column, Column]] = []
+        for schema in candidates:
+            p = get_parser(schema.parser)
+            pdf, rcol = p.explode(df, raw_col, schema)
+            raw = F.col(rcol)
+            parsed = p.parse_expr(schema, raw)
+            valid = p.valid_expr(schema, raw, parsed)
+            prepared.append((schema, pdf, rcol, parsed, valid))
+
+        by_log_type: dict[str, DataFrame] = {}
+        # first-match-wins: schema i applies only where schemas 0..i-1 failed.
+        # For candidates sharing the same row-shape we AND in the negations;
+        # differing row shapes (json_path explode) are disjoint by source
+        # construction in the reference config, so negation is best-effort
+        # against candidates with the same explode signature.
+        for i, (schema, pdf, rcol, parsed, valid) in enumerate(prepared):
+            cond = valid
+            for j in range(i):
+                prev_schema, _, prev_rcol, prev_parsed, prev_valid = prepared[j]
+                if prev_rcol == rcol:
+                    cond = cond & ~prev_valid
+            typed = coerce_struct(parsed, schema)
+            cond = cond & coercion_valid(parsed, typed, schema) & log_patterns_filter(typed, schema)
+            cols = [typed.alias("record"), F.lit(schema.name).alias("log_schema_type")]
+            if "streamalert_envelope_keys" in pdf.columns:
+                cols.append(F.col("streamalert_envelope_keys"))
+            out = pdf.filter(cond).select(*keep_cols, *cols)
+            by_log_type[schema.name] = out
+
+        # invalid = base rows matching no candidate evaluated on the base shape
+        base_valid = None
+        for schema, pdf, rcol, parsed, valid in prepared:
+            if rcol != raw_col:
+                continue  # exploded schemas judged on their own shape
+            base_valid = valid if base_valid is None else (base_valid | valid)
+        if base_valid is None:
+            base_valid = F.lit(False)
+        invalid = df.filter(~base_valid).select(*keep_cols, F.col(raw_col).alias("raw"))
+        return ClassifiedBatch(by_log_type=by_log_type, invalid=invalid)

@@ -1,0 +1,74 @@
+"""Lookup tables: key->value enrichment.
+
+Reference behavior (streamalert/shared/lookup_tables/): rules call
+LookupTables.get(table, key, default) (core.py:43-66,141-152); storage is a
+whole JSON file in S3 with a TTL cache (driver_s3.py:36-79) or a DynamoDB
+table probed per key (driver_dynamodb.py:32-164).
+
+Spark mapping (SURVEY.md §2.3):
+- small S3-file-like tables -> a broadcast dict, refreshed per trigger —
+  usable inside Python rule bodies exactly like the reference API;
+- large Dynamo-like tables -> a DataFrame joined broadcast-hash on the key,
+  used engine-side as a join (enrich_join) rather than point lookups.
+
+At 100 TB the join form is the scale path: a broadcast join adds zero
+shuffle; only if the lookup side outgrew broadcast would it become a
+shuffled hash join on the key.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class LookupTables:
+    """Registry of named lookup tables (dict- or DataFrame-backed)."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._dicts: dict[str, Any] = {}          # broadcast handles
+        self._frames: dict[str, DataFrame] = {}
+
+    # -- S3-file-like: broadcast dict ----------------------------------------
+    def register_dict(self, name: str, data: dict) -> None:
+        self._dicts[name] = self._spark.sparkContext.broadcast(data)
+
+    def register_json_file(self, name: str, path: str) -> None:
+        """Whole-file JSON table (driver_s3.py semantics)."""
+        with open(path) as fh:
+            self.register_dict(name, json.load(fh))
+
+    def get(self, table: str, key: str, default=None):
+        """The rule-facing API (core.py:141-152). Valid on the driver and
+        inside executors (broadcast value)."""
+        b = self._dicts.get(table)
+        if b is None:
+            return default
+        return b.value.get(key, default)
+
+    def broadcast_handle(self, table: str):
+        """Pass this into rule closures; .value is the dict on executors."""
+        return self._dicts[table]
+
+    # -- Dynamo-like: DataFrame join ------------------------------------------
+    def register_frame(self, name: str, df: DataFrame, key_col: str = "key") -> None:
+        self._frames[name] = df.withColumnRenamed(key_col, "__lookup_key")
+
+    def enrich_join(
+        self,
+        df: DataFrame,
+        table: str,
+        key_col: str,
+        value_cols: list[str] | None = None,
+        how: str = "left",
+    ) -> DataFrame:
+        """Broadcast-hash join df against the lookup table on key_col."""
+        lk = self._frames[table]
+        if value_cols:
+            lk = lk.select("__lookup_key", *value_cols)
+        out = df.join(F.broadcast(lk), df[key_col] == lk["__lookup_key"], how)
+        return out.drop("__lookup_key")

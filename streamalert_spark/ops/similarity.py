@@ -1,0 +1,97 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k against a query vector. The dot
+  product is a native zip_with + aggregate over the array — JVM-side,
+  sequential accumulation (deterministic order). At 100 TB this is one scan
+  + a top-k (TakeOrdered) — no shuffle beyond the final k.
+- cosine_pairs: all-pairs near-duplicate detection above a threshold. The
+  pairwise form is the verifier; the scale path buckets vectors first
+  (random-hyperplane LSH — sign bits of projections) so the join is
+  per-bucket, not cross.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two array columns."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine to a constant query vector. Rounded score +
+    unique tie-break keeps the result deterministic across engines."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    score = F.round(cosine(F.col(vec_col), q), 6)
+    return (
+        df.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All-pairs cosine >= threshold (near-duplicate embeddings)."""
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    score = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", score.alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def lsh_bucketed_pairs(
+    df: DataFrame,
+    hyperplanes: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH — bucket = sign-bit string of the
+    projections; candidate pairs share a bucket; exact cosine verifies.
+    The join is on the bucket key, so the shuffle is O(n), and per-bucket
+    pair counts stay small when the planes split the space evenly."""
+    bucket_bits = [
+        F.when(dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in plane])) >= 0, "1").otherwise("0")
+        for plane in hyperplanes
+    ]
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), F.concat(*bucket_bits).alias("bucket")
+    )
+    a = bucketed.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
+    b = bucketed.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+    score = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", score.alias("score"))
+        .filter(F.col("score") >= threshold)
+        .distinct()
+    )

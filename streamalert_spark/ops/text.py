@@ -1,0 +1,80 @@
+"""Text analysis operators over a document corpus.
+
+All pure Column expressions (JVM-side, codegen'd): language-ID heuristic,
+quality scoring, token counting (whitespace and BPE-ish regex), document
+fingerprinting. Designed to run in the projection of a single scan pass —
+zero shuffle at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# a small English stopword set; the heuristic is ratio-of-stopwords
+EN_STOPWORDS = ["a", "the", "and", "of", "to", "in", "is", "it"]
+
+# BPE-ish tokenizer: letter runs, digit runs, single punctuation
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (single-space split to stay oracle-portable)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def stopword_count(text: Column) -> Column:
+    return F.size(F.filter(tokens(text), lambda w: w.isin(EN_STOPWORDS)))
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Quality-scoring signals: lengths, token stats, punctuation/stopword
+    ratios. Ratios are double divisions of integer counts — deterministic
+    across engines."""
+    n_tok = token_count(text)
+    n_chars = F.length(text)
+    n_nospace = F.length(F.regexp_replace(text, r"\s+", ""))
+    n_stop = F.size(F.filter(tokens(text), lambda w: w.isin(EN_STOPWORDS)))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    return {
+        "n_tokens": n_tok.cast("bigint"),
+        "n_chars": n_chars.cast("bigint"),
+        "avg_token_len": F.round(n_nospace.cast("double") / n_tok, 6),
+        "stopword_ratio": F.round(n_stop.cast("double") / n_tok, 6),
+        "punct_ratio": F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """N-gram/stopword language heuristic: enough English stopwords -> 'en'.
+    (A real model would be a broadcast n-gram table; the decision column
+    shape is what matters for the pipeline.)"""
+    n_tok = token_count(text)
+    n_stop = F.size(F.filter(tokens(text), lambda w: w.isin(EN_STOPWORDS)))
+    ratio = n_stop.cast("double") / F.greatest(n_tok, F.lit(1))
+    return F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    Portable (md5, not engine hash)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    text = F.col(text_col)
+    cols = quality_columns(text)
+    return df.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in cols.items()],
+        lang_id(text).alias("lang_pred"),
+        fingerprint(text).alias("fingerprint"),
+    )

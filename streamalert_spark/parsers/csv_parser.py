@@ -1,0 +1,82 @@
+"""CSV parser: from_csv with strict column-count semantics.
+
+Reference behavior (streamalert/classifier/parsers.py:625-745):
+- csv.reader with configurable delimiter/quotechar/escapechar
+  (parsers.py:630-645);
+- the row is invalid unless the value count equals the schema's field count
+  exactly (parsers.py:726-728);
+- a schema field may itself be a nested CSV (dict sub-schema) — the column's
+  text is re-parsed as CSV into the sub-fields (parsers.py:732-740);
+- CSV records can arrive embedded in JSON via json_path
+  (parsers.py:676-683).
+
+Spark strategy: ``from_csv`` into an all-string struct. Column-count
+strictness uses PERMISSIVE mode's corrupt-record column for over-width rows
+plus a last-field-null check for under-width rows; nested CSV columns chain
+a second from_csv. All JVM-native.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from streamalert_spark.parsers.base import ParserBase, parser
+from streamalert_spark.parsers.json_parser import all_string_struct_ddl
+from streamalert_spark.schema.registry import LogSchema
+
+_CORRUPT = "_sa_corrupt"
+
+
+def _options(schema: LogSchema) -> dict[str, str]:
+    conf = schema.configuration
+    return {
+        "sep": conf.get("delimiter", ","),
+        "quote": conf.get("quotechar", '"'),
+        "escape": conf.get("escapechar", "\\"),
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": _CORRUPT,
+    }
+
+
+@parser
+class CsvParser(ParserBase):
+    name = "csv"
+
+    def explode(self, df: DataFrame, raw_col: str, schema: LogSchema) -> tuple[DataFrame, str]:
+        # CSV embedded in JSON (parsers.py:676-683): json_path names the
+        # JSON field holding the CSV line.
+        path = schema.json_path
+        if path:
+            df = df.withColumn("_sa_raw", F.get_json_object(F.col(raw_col), "$." + path))
+            if schema.envelope_keys:
+                env_ddl = all_string_struct_ddl(sorted(schema.envelope_keys))
+                df = df.withColumn("streamalert_envelope_keys", F.from_json(F.col(raw_col), env_ddl))
+            return df, "_sa_raw"
+        return df, raw_col
+
+    def _ddl(self, schema: LogSchema) -> str:
+        cols = ", ".join(f"`{name}` string" for name in schema.schema)
+        return f"{cols}, `{_CORRUPT}` string"
+
+    def parse_expr(self, schema: LogSchema, raw: Column) -> Column:
+        parsed = F.from_csv(raw, self._ddl(schema), _options(schema))
+        fields = []
+        nested = schema.configuration.get("nested_csv", {})
+        for name in schema.schema:
+            col = parsed[name]
+            if name in nested:
+                sub_fields = list(nested[name])
+                sub_ddl = ", ".join(f"`{f_}` string" for f_ in sub_fields)
+                col = F.from_csv(col, sub_ddl, {"sep": schema.configuration.get("delimiter", ",")})
+            fields.append(col.alias(name))
+        return F.struct(*fields)
+
+    def valid_expr(self, schema: LogSchema, raw: Column, parsed: Column) -> Column:
+        names = list(schema.schema)
+        raw_parsed = F.from_csv(raw, self._ddl(schema), _options(schema))
+        # over-width rows land in the corrupt column; under-width rows leave
+        # the last declared field null (strict count: parsers.py:726-728)
+        not_over = raw_parsed[_CORRUPT].isNull()
+        not_under = raw_parsed[names[-1]].isNotNull()
+        return raw.isNotNull() & not_over & not_under

@@ -1,0 +1,92 @@
+"""JSON parser: single from_json pass + strict key-set semantics.
+
+Reference behavior (streamalert/classifier/parsers.py:516-622):
+- json.loads the payload;
+- optional ``json_path`` (JMESPath like 'logEvents[*].message') extracts a
+  list of inner records (parsers.py:429-448);
+- optional ``embedded_json`` re-parses each extracted string as JSON
+  (parsers.py:565-593);
+- optional ``envelope_keys`` projects outer fields onto every inner record
+  under 'streamalert:envelope_keys' (parsers.py:410-427);
+- strict key-set equality: record keys == schema keys modulo declared
+  optional_top_level_keys (parsers.py:244-272) — extra keys REJECT the
+  record, unlike from_json's permissive default.
+
+Spark expression strategy: ``from_json`` into an all-StringType struct reads
+every JSON value (number/bool/object/array) as its raw text in one parse;
+per-field coercion happens later with reference semantics. Key-set checking
+uses ``json_object_keys`` + array algebra — native, codegen-friendly, no UDF.
+
+json_path support covers the reference's shipped shapes: 'a[*]',
+'a[*].b', and dotted 'a.b' — implemented as from_json + explode, which is
+the idiomatic Spark equivalent of a JMESPath list projection.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from streamalert_spark.parsers.base import ParserBase, parser
+from streamalert_spark.schema.registry import LogSchema
+
+_JSON_PATH_RE = re.compile(r"^(?P<head>[A-Za-z0-9_.]+)\[\*\](?:\.(?P<tail>[A-Za-z0-9_.]+))?$")
+
+
+def all_string_struct_ddl(field_names: list[str]) -> str:
+    return ", ".join(f"`{name}` string" for name in field_names)
+
+
+def keyset_valid(raw: Column, required: set[str], optional: set[str]) -> Column:
+    """required ⊆ keys(raw) ⊆ required ∪ optional, as native array ops."""
+    keys = F.json_object_keys(raw)
+    req = F.array(*[F.lit(k) for k in sorted(required)])
+    allowed = F.array(*[F.lit(k) for k in sorted(required | optional)])
+    no_extra = F.size(F.array_except(keys, allowed)) == 0
+    none_missing = F.size(F.array_except(req, keys)) == 0
+    return keys.isNotNull() & no_extra & none_missing
+
+
+@parser
+class JsonParser(ParserBase):
+    name = "json"
+
+    def explode(self, df: DataFrame, raw_col: str, schema: LogSchema) -> tuple[DataFrame, str]:
+        path = schema.json_path
+        envelope = schema.envelope_keys
+        if envelope:
+            env_ddl = all_string_struct_ddl(sorted(envelope))
+            df = df.withColumn(
+                "streamalert_envelope_keys",
+                F.from_json(F.col(raw_col), env_ddl),
+            )
+        if not path:
+            return df, raw_col
+        m = _JSON_PATH_RE.match(path)
+        if m:
+            head, tail = m.group("head"), m.group("tail")
+            if tail:
+                # 'logEvents[*].message' — array of objects, take one string field
+                ddl = f"`{head}` array<struct<`{tail}`:string>>"
+                inner = F.from_json(F.col(raw_col), ddl)[head]
+                df = df.withColumn("_sa_inner", F.explode(inner))
+                df = df.withColumn("_sa_raw", F.col("_sa_inner")[tail]).drop("_sa_inner")
+            else:
+                ddl = f"`{head}` array<string>"
+                inner = F.from_json(F.col(raw_col), ddl)[head]
+                df = df.withColumn("_sa_raw", F.explode(inner))
+            return df, "_sa_raw"
+        # plain dotted path 'a.b' — single record extraction
+        df = df.withColumn("_sa_raw", F.get_json_object(F.col(raw_col), "$." + path))
+        return df, "_sa_raw"
+
+    def parse_expr(self, schema: LogSchema, raw: Column) -> Column:
+        ddl = all_string_struct_ddl(list(schema.schema))
+        return F.from_json(raw, ddl)
+
+    def valid_expr(self, schema: LogSchema, raw: Column, parsed: Column) -> Column:
+        required = schema.required_keys
+        optional = set(schema.optional_top_level_keys)
+        return parsed.isNotNull() & keyset_valid(raw, required, optional)

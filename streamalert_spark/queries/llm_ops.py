@@ -1,0 +1,285 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis —
+run through streamalert_spark.ops with DuckDB oracles.
+
+Portability rules that make these hash-checkable: md5-string hashing (both
+engines agree), single-space tokenization, rounded double ratios with
+integer-derived operands, explicit tie-breaks on every ORDER BY.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamalert_spark.ops import dedup, similarity, text
+from streamalert_spark.queries import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on md5(text).
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+ORDER BY content_hash
+"""
+
+
+@query("dedup_exact", oracle=_EXACT_ORACLE,
+       doc="Exact dedup: md5 hash-groupBy with canonical id election.")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("content_hash")
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs (quadratic verifier; LSH below is the scale
+# path producing candidates for it).
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5
+ORDER BY a, b
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE,
+       doc="3-gram shingle Jaccard similarity pairs >= 0.5.")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs. Hash family is lexicographic min
+# of md5(seed:shingle) — portable, uniform; bands of 4 over 16 hashes.
+# ---------------------------------------------------------------------------
+
+def _minhash_oracle(num_hashes: int = 16) -> str:
+    mh_cols = ",\n       ".join(
+        f"MIN(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+)
+SELECT doc_id,
+       {mh_cols}
+FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("minhash_signatures", oracle=_minhash_oracle(),
+       doc="16-permutation MinHash signatures from md5 hash family.")
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _lsh_oracle(num_hashes: int = 16, band_size: int = 4) -> str:
+    bands = []
+    for bi in range(num_hashes // band_size):
+        cols = " || '|' || ".join(f"mh_{bi * band_size + j}" for j in range(band_size))
+        bands.append(
+            f"SELECT doc_id, {bi} AS band_idx, md5({cols}) AS band_key FROM sig"
+        )
+    bands_sql = "\nUNION ALL\n".join(bands)
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+sig AS (
+  SELECT doc_id,
+         {",".join(f"MIN(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{bands_sql}
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+WHERE x.doc_id < y.doc_id
+ORDER BY a, b
+"""
+
+
+@query("minhash_lsh_candidates", oracle=_lsh_oracle(),
+       doc="LSH candidate pairs: band-bucket join over MinHash signatures.")
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir)).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 64-bit fingerprint as a bit string (portable md5-derived bits).
+# ---------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, w
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+),
+hashed AS (SELECT doc_id, md5(w) AS h FROM toks),
+votes AS (
+  SELECT doc_id, j,
+    SUM(CASE WHEN
+      (CAST(strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1 AS BIGINT)
+       // CAST(pow(2, 3 - j % 4) AS BIGINT)) % 2 = 1
+    THEN 1 ELSE -1 END) AS v
+  FROM hashed, UNNEST(range(0, 64)) AS t(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("simhash64", oracle=_SIMHASH_ORACLE,
+       doc="64-bit SimHash fingerprint per document (majority-vote bits).")
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_bits(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k vs the vec_id=0 query vector;
+# all-pairs near-dup above 0.95. Scores rounded to 6 decimals with vec_id
+# tie-breaks for cross-engine determinism.
+# ---------------------------------------------------------------------------
+
+_COSINE_EXPR = """
+ROUND(
+  list_sum(list_transform(range(1, len(e.embedding) + 1),
+           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+6)
+"""
+
+_TOPK_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {_COSINE_EXPR} AS score
+FROM embeddings e, q
+ORDER BY score DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@query("ann_cosine_topk", oracle=_TOPK_ORACLE,
+       doc="Brute-force cosine top-10 against a query vector.")
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(similarity.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), "vec_id").limit(10)
+
+
+_NEARDUP_ORACLE = """
+SELECT x.vec_id AS a, y.vec_id AS b,
+  ROUND(
+    list_sum(list_transform(range(1, len(x.embedding) + 1),
+             i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+       * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+  6) AS score
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE ROUND(
+    list_sum(list_transform(range(1, len(x.embedding) + 1),
+             i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+       * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+  6) >= 0.95
+ORDER BY a, b
+"""
+
+
+@query("embedding_cosine_neardup", oracle=_NEARDUP_ORACLE,
+       doc="All-pairs embedding cosine near-duplicates >= 0.95.")
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_pairs(_emb(spark, sf_dir), threshold=0.95).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counts, quality signals, language heuristic,
+# fingerprint — one projection pass.
+# ---------------------------------------------------------------------------
+
+_TEXT_ORACLE = r"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  ROUND(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        / len(string_split(text, ' ')), 6) AS avg_token_len,
+  ROUND(CAST(len(list_filter(string_split(text, ' '),
+        w -> list_contains(['a','the','and','of','to','in','is','it'], w))) AS DOUBLE)
+        / len(string_split(text, ' ')), 6) AS stopword_ratio,
+  ROUND(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+        / greatest(length(text), 1), 6) AS punct_ratio,
+  CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+        w -> list_contains(['a','the','and','of','to','in','is','it'], w))) AS DOUBLE)
+        / greatest(len(string_split(text, ' ')), 1) >= 0.05
+       THEN 'en' ELSE 'unknown' END AS lang_pred,
+  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("text_stats", oracle=_TEXT_ORACLE,
+       doc="Text quality/stats projection: tokens, ratios, lang-id, fingerprint.")
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_BPE_ORACLE = r"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("token_counts", oracle=_BPE_ORACLE,
+       doc="Whitespace and BPE-ish regex token counts.")
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
+        text.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")

@@ -1,0 +1,276 @@
+"""SQL surface — the scheduled-query / rule-promotion / historical-search
+feature floor of the reference (SURVEY.md §2.6).
+
+The reference generates Presto/Athena SQL strings and delegates execution
+(reference: streamalert/scheduled_queries/query_packs/configuration.py:19-61,
+streamalert/rule_promotion/statistic.py:23-63, sample query at
+scheduled_queries/sample/athena.py:18-48). Here Spark SQL *is* the engine;
+these queries exercise every SQL feature the reference's shipped queries use
+— projection, map/JSON access, equality/IN filters, string functions,
+GROUP BY + count, ORDER BY DESC, partition-pruning-style date predicates —
+plus the star-schema joins the historical store supports.
+
+Scale notes (100 TB): every query here is expressed declaratively so
+Catalyst pushes filters/projections into the parquet scan; dimension joins
+are broadcast (nation/region/part are tiny relative to fact tables); the
+only shuffles are the aggregation exchanges on the grouping keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamalert_spark.queries import query
+from streamalert_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from streamalert_spark.session import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary over lineitem.
+# Decimal-exact aggregation: double sums are order-dependent across engines,
+# decimal sums are exact, so both sides produce bit-identical values.
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(ROUND(AVG(CAST(l_quantity AS DECIMAL(18,2))), 6) AS DOUBLE) AS avg_qty,
+  CAST(ROUND(AVG(CAST(l_extendedprice AS DECIMAL(18,2))), 6) AS DOUBLE) AS avg_price,
+  CAST(ROUND(AVG(CAST(l_discount AS DECIMAL(18,2))), 6) AS DOUBLE) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", oracle=_Q1_ORACLE,
+       doc="TPC-H Q1 pricing summary; the flagship batch aggregate.")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_date(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("sum_disc_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) * (F.lit(1) + dec("l_tax"))).cast("double").alias("sum_charge"),
+            F.round(F.avg(dec("l_quantity")), 6).cast("double").alias("avg_qty"),
+            F.round(F.avg(dec("l_extendedprice")), 6).cast("double").alias("avg_price"),
+            F.round(F.avg(dec("l_discount")), 6).cast("double").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Star-schema join: revenue by nation (historical-search style query over the
+# store). Dimensions are broadcast; fact-side filter is pushed to the scan.
+# ---------------------------------------------------------------------------
+
+_REV_ORACLE = """
+SELECT
+  n.n_name AS nation,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+"""
+
+
+@query("revenue_by_nation", oracle=_REV_ORACLE,
+       doc="5-way star join with broadcast dimensions and decimal-exact revenue.")
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scheduled-query style: hourly counts with a date predicate (the reference's
+# packs always carry a dt partition filter — athena.py:36). date_trunc is the
+# portable stand-in for the dt=YYYY-MM-DD-HH partition column.
+# ---------------------------------------------------------------------------
+
+_HOURLY_ORACLE = """
+SELECT
+  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type IN ('error', 'click') AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("scheduled_hourly_counts", oracle=_HOURLY_ORACLE,
+       doc="Scheduled-query pack shape: time-bucketed counts with a time-range predicate.")
+def scheduled_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("error", "click")
+                  & (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp")))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rule-promotion count query: SELECT rule_name, count(*) ... GROUP BY ...
+# ORDER BY count DESC (reference: rule_promotion/statistic.py:23-31).
+# event_type stands in for rule_name over the events stream table.
+# ---------------------------------------------------------------------------
+
+_PROMO_ORACLE = """
+SELECT event_type AS rule_name, COUNT(*) AS alert_count
+FROM events
+GROUP BY event_type
+ORDER BY alert_count DESC, rule_name
+"""
+
+
+@query("rule_promotion_counts", oracle=_PROMO_ORACLE,
+       doc="Rule-promotion statistic query: per-rule alert counts, descending.")
+def rule_promotion_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type").alias("rule_name"))
+        .agg(F.count(F.lit(1)).alias("alert_count"))
+        .orderBy(F.col("alert_count").desc(), "rule_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON access: the reference's sample pack reads map subscripts and
+# json_extract (athena.py:25-48). events.props is a JSON string column.
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+WHERE event_type = 'error' AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+ORDER BY event_id
+"""
+
+
+@query("json_extract_props", oracle=_JSON_ORACLE,
+       doc="json_extract over a JSON string column with a derived-value filter.")
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    prop_k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .select("event_id", prop_k.alias("prop_k"))
+        .filter(F.col("prop_k") > 50)
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# String/filter surface: upper, substr, IN / NOT IN (athena.py:36-48).
+# ---------------------------------------------------------------------------
+
+_STR_ORACLE = """
+SELECT
+  o_orderkey,
+  UPPER(o_orderpriority) AS priority_uc,
+  SUBSTR(o_orderpriority, 1, 1) AS priority_code
+FROM orders
+WHERE o_orderstatus NOT IN ('P') AND SUBSTR(o_orderpriority, 1, 1) IN ('1', '2')
+ORDER BY o_orderkey
+"""
+
+
+@query("string_filter_surface", oracle=_STR_ORACLE,
+       doc="upper/substr/IN/NOT IN filter surface from the sample scheduled query.")
+def string_filter_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(~F.col("o_orderstatus").isin("P")
+                      & F.substring("o_orderpriority", 1, 1).isin("1", "2"))
+        .select(
+            "o_orderkey",
+            F.upper("o_orderpriority").alias("priority_uc"),
+            F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window/ranking: top-N per group. Not in the reference's shipped SQL but part
+# of the Spark SQL floor the historical store exposes; deterministic via
+# unique tie-break.
+# ---------------------------------------------------------------------------
+
+_TOPN_ORACLE = """
+SELECT user_id, event_id, value, rn FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+) t
+WHERE rn <= 3
+ORDER BY user_id, rn
+"""
+
+
+@query("topn_per_user", oracle=_TOPN_ORACLE,
+       doc="Window ranking: top-3 events per user by value.")
+def topn_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("user_id", "rn")
+    )
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    load_tables(spark, sf_dir)

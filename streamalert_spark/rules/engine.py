@@ -1,0 +1,177 @@
+"""Rules engine: metadata-driven plan construction.
+
+Reference loop (streamalert/rules_engine/rules_engine.py:458-512): for each
+record, find rules for its log type, pre-check req_subkeys, run matchers,
+run the rule body (exceptions -> False, rule.py:160-164), build an Alert.
+
+Spark plan per rule (the 'optimizer' of SURVEY.md §4 — Catalyst cannot push
+into opaque Python, so cheap predicates are emitted natively BEFORE any
+Python runs):
+
+  records(log_type)                       -- routing filter, free
+    .filter(req_subkeys native exprs)     -- rules_engine.py:135-170
+    .filter(matcher native exprs)         -- when the matcher has an expr twin
+    .filter(rule.expr)                    -- native rules: fully JVM-side
+    [.mapInPandas(python body)]           -- only Python-body rules pay this
+    .select(alert columns)
+
+The per-rule frames union into one alerts DataFrame. Union-of-filters over
+one cached scan is a single pass at execution time; rules sharing a log type
+share the scan subplan.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from streamalert_spark.alerts.model import alert_columns
+from streamalert_spark.rules.registry import Rule, RuleRegistry
+
+
+def _to_plain(value):
+    """Arrow/pandas struct-and-map values -> plain Python dict/list for rule
+    bodies (struct -> dict arrives natively; map -> list of 2-tuples)."""
+    if isinstance(value, dict):
+        return {k: _to_plain(v) for k, v in value.items()}
+    if isinstance(value, list):
+        if value and isinstance(value[0], tuple) and len(value[0]) == 2:
+            return {k: _to_plain(v) for k, v in value}
+        return [_to_plain(v) for v in value]
+    if isinstance(value, tuple):
+        return [_to_plain(v) for v in value]
+    return value
+
+
+class RulesEngine:
+    def __init__(self, registry: RuleRegistry):
+        self.registry = registry
+
+    # -- native pre-filters --------------------------------------------------
+    def _req_subkeys_filter(self, record: Column, r: Rule) -> Column | None:
+        """rules_engine.py:135-170: required nested keys present."""
+        conds = []
+        for parent, subkeys in (r.req_subkeys or {}).items():
+            for sk in subkeys:
+                conds.append(record[parent][sk].isNotNull())
+        if not conds:
+            return None
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    def _matcher_filter(self, record: Column, r: Rule) -> tuple[Column | None, list]:
+        """Native matcher expressions where available; Python matcher fns
+        otherwise (ALL must pass — rule.py:92-122)."""
+        native_conds, python_matchers = [], []
+        for name in r.matchers:
+            expr_builder = self.registry.matcher_expr(name)
+            if expr_builder is not None:
+                native_conds.append(expr_builder(record))
+            else:
+                fn = self.registry.matcher_fn(name)
+                if fn is not None:
+                    python_matchers.append(fn)
+        cond = None
+        for c in native_conds:
+            cond = c if cond is None else (cond & c)
+        return cond, python_matchers
+
+    # -- python body evaluation (vectorized) ----------------------------------
+    @staticmethod
+    def _python_eval(df: DataFrame, r: Rule, python_matchers: list, record_col: str) -> DataFrame:
+        """Evaluate matchers + rule body per batch via mapInPandas. Exceptions
+        map to False (rule.py:142-164); context is deep-copied per record
+        (rule.py:152-157)."""
+        process = r.process
+        base_context = r.context
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    yield pdf
+                    continue
+                keep = []
+                for rec in pdf[record_col]:
+                    record = _to_plain(rec)
+                    ok = True
+                    try:
+                        for m in python_matchers:
+                            if not m(record):
+                                ok = False
+                                break
+                        if ok and process is not None:
+                            if base_context is not None:
+                                ok = bool(process(record, copy.deepcopy(base_context)))
+                            else:
+                                ok = bool(process(record))
+                    except Exception:  # noqa: BLE001 — rule.py:160-164: never crash
+                        ok = False
+                    keep.append(ok)
+                yield pdf[pd.Series(keep, index=pdf.index)]
+
+        return df.mapInPandas(run, schema=df.schema)
+
+    # -- public API ------------------------------------------------------------
+    def run(
+        self,
+        df: DataFrame,
+        log_type: str,
+        record_col: str = "record",
+        event_time: Column | None = None,
+        cluster: str = "",
+        source_service: str = "",
+        source_entity: str = "",
+        alert_id: Column | None = None,
+    ) -> DataFrame | None:
+        """Classified records of one log type -> alerts DataFrame (or None
+        when no rule routes to this type)."""
+        rules = self.registry.rules_for_log_type(log_type)
+        record = F.col(record_col)
+        ts = event_time if event_time is not None else F.current_timestamp()
+
+        alert_frames: list[DataFrame] = []
+        for r in rules:
+            cur = df
+            pre = self._req_subkeys_filter(record, r)
+            if pre is not None:
+                cur = cur.filter(pre)
+            mcond, python_matchers = self._matcher_filter(record, r)
+            if mcond is not None:
+                cur = cur.filter(mcond)
+            if r.expr is not None:
+                cur = cur.filter(r.expr(record))
+            if r.process is not None or python_matchers:
+                cur = self._python_eval(cur, r, python_matchers, record_col)
+            alert_frames.append(
+                cur.select(
+                    *alert_columns(
+                        r,
+                        record_json=F.to_json(record),
+                        event_time=ts,
+                        cluster=cluster,
+                        source_service=source_service,
+                        source_entity=source_entity,
+                        log_type=log_type,
+                        alert_id=alert_id,
+                    )
+                )
+            )
+        if not alert_frames:
+            return None
+        out = alert_frames[0]
+        for f_ in alert_frames[1:]:
+            out = out.unionByName(f_)
+        return out
+
+
+def record_to_dict(record_json: str) -> dict:
+    """Inverse of the engine's to_json for delivery-side publishers."""
+    return json.loads(record_json)

@@ -1,0 +1,100 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on local[N]; the same config block is what we would ship
+for a multi-executor cluster (AQE on, adaptive coalesce/skew-join, Arrow for
+the Pandas-UDF slow path). Partition counts scale with cluster size via
+spark.sql.shuffle.partitions — at 100 TB on ~1000 executors this should be
+set to 2-3x total cores by the deployment, not hard-coded here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # AQE: runtime re-planning — coalesces small shuffle partitions, converts
+    # sort-merge to broadcast when a side turns out small, splits skewed
+    # partitions. Essential at 100 TB where static estimates are wrong.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any Pandas UDF / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamps across engines (the DuckDB oracle runs UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet scans: keep default 128MB split; explicit so it is documented.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "streamalert_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master``/``shuffle_partitions`` default from $SPARK_GRAFT_CPUS so the
+    bench driver controls parallelism without code changes.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+    )
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver parquet table, normalizing types.
+
+    The events table carries TIMESTAMP(NANOS) which Spark 4 rejects by
+    default; we read nanos as long (legacy conf, session-mutable) and
+    convert with exact integer division to micros — double division would
+    lose precision at ns-since-epoch magnitudes.
+    """
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
+    """Load the driver's parquet tables and register them as temp views.
+
+    Returns {name: DataFrame}. Views allow the SQL surface (scheduled
+    queries, §2.6) to run unchanged against any scale factor directory.
+    """
+    names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = read_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
