@@ -142,15 +142,15 @@ def merge_alerts_batch(alerts: DataFrame) -> DataFrame:
     as singleton groups downstream (reference dispatches them immediately,
     main.py:163-191) — callers should pre-filter on merge_window_mins > 0.
     """
+    # merge-key values come from a single from_json pass (get_json_object
+    # needs a foldable path, but merge keys live in a per-row array)
+    rec_map = F.from_json(F.col("record"), "map<string,string>")
     with_values = alerts.withColumn(
         "merge_values",
         F.to_json(
             F.map_from_arrays(
                 F.col("merge_by_keys"),
-                F.transform(
-                    F.col("merge_by_keys"),
-                    lambda k: F.get_json_object(F.col("record"), F.concat(F.lit("$."), k)),
-                ),
+                F.transform(F.col("merge_by_keys"), lambda k: rec_map[k]),
             )
         ),
     )

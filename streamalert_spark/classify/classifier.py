@@ -52,22 +52,27 @@ def glob_to_like(pattern: str) -> str:
     return "".join(out)
 
 
-def _coerce_field(col: Column, tok: Any) -> Column:
+def _coerce_field(col: Column, tok: Any, fmt: str = "json", csv_opts: dict | None = None) -> Column:
     """Per-field coercion with reference semantics (parsers.py:294-369).
 
     The input column holds the field's raw JSON/CSV text (or null).
-    Cast failures surface as nulls, which the validity check below turns
-    into record invalidation — matching the reference's 'parse failure
-    invalidates the record'.
+    try_cast (not ANSI cast) so failures surface as nulls, which the
+    validity check below turns into record invalidation — matching the
+    reference's 'parse failure invalidates the record' without ever
+    failing the task.
+
+    ``fmt`` is the enclosing parser: a nested dict token inside a CSV log
+    is a nested CSV column (parsers.py:732-740), inside JSON it re-parses
+    as JSON.
     """
     if isinstance(tok, str):
         if tok == "string":
             return col
         if tok == "integer":
             # reference int() accepts '123'; reject floats like '1.5'
-            return col.cast("bigint")
+            return col.try_cast("bigint")
         if tok == "float":
-            return col.cast("double")
+            return col.try_cast("double")
         if tok == "boolean":
             return coerce_boolean(col)
         raise ValueError(f"unknown token {tok!r}")
@@ -75,8 +80,11 @@ def _coerce_field(col: Column, tok: Any) -> Column:
         return F.from_json(col, "map<string,string>")
     if isinstance(tok, dict):
         ddl = ", ".join(f"`{k}` string" for k in tok)
-        inner = F.from_json(col, ddl)
-        return F.struct(*[_coerce_field(inner[k], v).alias(k) for k, v in tok.items()])
+        if fmt == "csv":
+            inner = F.from_csv(col, ddl, csv_opts or {})
+        else:
+            inner = F.from_json(col, ddl)
+        return F.struct(*[_coerce_field(inner[k], v, fmt, csv_opts).alias(k) for k, v in tok.items()])
     if isinstance(tok, list):
         return F.from_json(col, "array<string>")
     raise ValueError(f"unknown token {tok!r}")
@@ -85,9 +93,11 @@ def _coerce_field(col: Column, tok: Any) -> Column:
 def coerce_struct(parsed: Column, schema: LogSchema) -> Column:
     """Typed struct with optional-key backfill (defaults per §1.2)."""
     optional = set(schema.optional_top_level_keys)
+    fmt = "csv" if schema.parser == "csv" else "json"
+    csv_opts = {"sep": schema.configuration.get("delimiter", ",")}
     fields = []
     for name, tok in schema.schema.items():
-        coerced = _coerce_field(parsed[name], tok)
+        coerced = _coerce_field(parsed[name], tok, fmt, csv_opts)
         if name in optional:
             coerced = F.coalesce(coerced, type_default_expr(tok))
         fields.append(coerced.alias(name))
@@ -100,9 +110,11 @@ def coercion_valid(parsed: Column, typed: Column, schema: LogSchema) -> Column:
     Booleans never fail (lenient semantics); strings never fail."""
     conds = []
     for name, tok in schema.schema.items():
-        if tok in ("integer", "float") or isinstance(tok, (dict, list)):
+        if tok in ("integer", "float"):
             raw_present = parsed[name].isNotNull() & (F.trim(parsed[name]) != "")
             conds.append(~raw_present | typed[name].isNotNull())
+        elif isinstance(tok, (dict, list)) and tok:
+            conds.append(parsed[name].isNull() | typed[name].isNotNull())
     if not conds:
         return F.lit(True)
     out = conds[0]

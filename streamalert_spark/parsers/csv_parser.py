@@ -60,17 +60,11 @@ class CsvParser(ParserBase):
         return f"{cols}, `{_CORRUPT}` string"
 
     def parse_expr(self, schema: LogSchema, raw: Column) -> Column:
+        # all fields come out as raw strings; nested CSV columns
+        # (parsers.py:732-740 — a dict token in a csv schema) re-parse during
+        # coercion (classify._coerce_field with fmt='csv')
         parsed = F.from_csv(raw, self._ddl(schema), _options(schema))
-        fields = []
-        nested = schema.configuration.get("nested_csv", {})
-        for name in schema.schema:
-            col = parsed[name]
-            if name in nested:
-                sub_fields = list(nested[name])
-                sub_ddl = ", ".join(f"`{f_}` string" for f_ in sub_fields)
-                col = F.from_csv(col, sub_ddl, {"sep": schema.configuration.get("delimiter", ",")})
-            fields.append(col.alias(name))
-        return F.struct(*fields)
+        return F.struct(*[parsed[name].alias(name) for name in schema.schema])
 
     def valid_expr(self, schema: LogSchema, raw: Column, parsed: Column) -> Column:
         names = list(schema.schema)

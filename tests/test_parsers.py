@@ -1,0 +1,195 @@
+"""Parser-family unit tests, mirroring the reference's per-format tests
+(tests/unit/streamalert/classifier/test_parsers_*.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamalert_spark.classify.classifier import Classifier
+from streamalert_spark.schema.registry import LogSchema, SchemaRegistry
+
+
+def _classify_one(spark, schema: LogSchema, payloads: list[str]):
+    reg = SchemaRegistry()
+    reg.register(schema)
+    df = spark.createDataFrame([(p,) for p in payloads], "value string")
+    return Classifier(reg).classify(df, raw_col="value")
+
+
+# ---------------------------------------------------------------- JSON
+
+def test_json_strict_keyset_rejects_extra_keys(spark):
+    """parsers.py:256-272 — extra keys reject the record."""
+    schema = LogSchema(name="t:json", schema={"a": "string", "b": "integer"})
+    batch = _classify_one(spark, schema, [
+        '{"a": "x", "b": 1}',            # valid
+        '{"a": "x", "b": 1, "c": 2}',    # extra key -> invalid
+        '{"a": "x"}',                     # missing required -> invalid
+    ])
+    rows = batch.by_log_type["t:json"].collect()
+    assert len(rows) == 1
+    assert rows[0]["record"]["a"] == "x" and rows[0]["record"]["b"] == 1
+    assert batch.invalid.count() == 2
+
+
+def test_json_optional_keys_backfilled(spark):
+    """parsers.py:138-171 — optional keys get type defaults."""
+    schema = LogSchema(
+        name="t:opt",
+        schema={"a": "string", "n": "integer", "f": "float", "flag": "boolean", "lst": []},
+        configuration={"optional_top_level_keys": ["n", "f", "flag", "lst"]},
+    )
+    batch = _classify_one(spark, schema, ['{"a": "x"}'])
+    row = batch.by_log_type["t:opt"].collect()[0]["record"]
+    assert row["a"] == "x"
+    assert row["n"] == 0
+    assert row["f"] == 0.0
+    assert row["flag"] is False
+    assert row["lst"] == []
+
+
+def test_json_type_coercion_failure_invalidates(spark):
+    """parsers.py:332-339 — unparseable integer invalidates the record."""
+    schema = LogSchema(name="t:int", schema={"n": "integer"})
+    batch = _classify_one(spark, schema, ['{"n": 5}', '{"n": "5"}', '{"n": "abc"}'])
+    vals = sorted(r["record"]["n"] for r in batch.by_log_type["t:int"].collect())
+    assert vals == [5, 5]
+
+
+def test_json_boolean_lenient_semantics(spark):
+    """parsers.py:349-350 — str(value).lower() == 'true'."""
+    schema = LogSchema(name="t:bool", schema={"b": "boolean"})
+    batch = _classify_one(spark, schema, ['{"b": true}', '{"b": "True"}', '{"b": "yes"}', '{"b": 1}'])
+    got = [r["record"]["b"] for r in batch.by_log_type["t:bool"].collect()]
+    assert sorted(got) == [False, False, True, True]
+
+
+def test_json_path_explode_with_envelope(spark):
+    """parsers.py:410-448 — logEvents[*].message + envelope keys."""
+    schema = LogSchema(
+        name="t:cw",
+        schema={"msg": "string", "n": "integer"},
+        configuration={
+            "json_path": "logEvents[*].message",
+            "embedded_json": True,
+            "envelope_keys": {"logGroup": "string", "owner": "string"},
+        },
+    )
+    payload = (
+        '{"logGroup": "g1", "owner": "o1", "logEvents": ['
+        '{"message": "{\\"msg\\": \\"a\\", \\"n\\": 1}"},'
+        '{"message": "{\\"msg\\": \\"b\\", \\"n\\": 2}"}]}'
+    )
+    batch = _classify_one(spark, schema, [payload])
+    rows = batch.by_log_type["t:cw"].orderBy("record.n").collect()
+    assert len(rows) == 2
+    assert rows[0]["record"]["msg"] == "a"
+    assert rows[1]["record"]["n"] == 2
+    assert rows[0]["streamalert_envelope_keys"]["logGroup"] == "g1"
+    assert rows[1]["streamalert_envelope_keys"]["owner"] == "o1"
+
+
+def test_log_patterns_filter(spark):
+    """parsers.py:173-221 — fnmatch globs, ANY per field."""
+    schema = LogSchema(
+        name="t:pat",
+        schema={"path": "string"},
+        configuration={"log_patterns": {"path": ["/etc/*", "/usr/bin/*"]}},
+    )
+    batch = _classify_one(spark, schema, [
+        '{"path": "/etc/passwd"}', '{"path": "/usr/bin/curl"}', '{"path": "/tmp/x"}',
+    ])
+    got = sorted(r["record"]["path"] for r in batch.by_log_type["t:pat"].collect())
+    assert got == ["/etc/passwd", "/usr/bin/curl"]
+
+
+# ---------------------------------------------------------------- CSV
+
+def test_csv_strict_column_count(spark):
+    """parsers.py:726-728 — exact column count required."""
+    schema = LogSchema(name="t:csv", schema={"a": "string", "b": "integer", "c": "string"},
+                       parser="csv")
+    batch = _classify_one(spark, schema, ["x,1,y", "x,1", "x,1,y,z"])
+    rows = batch.by_log_type["t:csv"].collect()
+    assert len(rows) == 1
+    assert rows[0]["record"]["b"] == 1
+    assert batch.invalid.count() == 2
+
+
+def test_csv_nested_column(spark):
+    """parsers.py:732-740 — a column that is itself CSV."""
+    schema = LogSchema(
+        name="t:pan", schema={"outer": "string", "inner": {"x": "string", "y": "string"}},
+        parser="csv",
+        configuration={"nested_csv": {"inner": ["x", "y"]}},
+    )
+    batch = _classify_one(spark, schema, ['o,"1,2"'])
+    row = batch.by_log_type["t:pan"].collect()[0]["record"]
+    assert row["outer"] == "o"
+    assert row["inner"]["x"] == "1" and row["inner"]["y"] == "2"
+
+
+# ---------------------------------------------------------------- KV
+
+def test_kv_parser(spark):
+    """parsers.py:748-812 — delimiter/separator split, strict count."""
+    schema = LogSchema(
+        name="t:kv", schema={"type": "string", "msg": "string"},
+        parser="kv",
+        configuration={"delimiter": " ", "separator": "="},
+    )
+    batch = _classify_one(spark, schema, ["type=a msg=hello", "type=a", "noequals here"])
+    rows = batch.by_log_type["t:kv"].collect()
+    assert len(rows) == 1
+    assert rows[0]["record"]["type"] == "a" and rows[0]["record"]["msg"] == "hello"
+    assert batch.invalid.count() == 2
+
+
+# ---------------------------------------------------------------- Syslog
+
+def test_syslog_parser(spark):
+    """parsers.py:815-844 — fixed 4-group regex."""
+    schema = LogSchema(
+        name="t:sys",
+        schema={"timestamp": "string", "host": "string", "application": "string", "message": "string"},
+        parser="syslog",
+    )
+    batch = _classify_one(spark, schema, [
+        "Jan 10 19:35:33 vagrant-ubuntu-trusty-64 sudo: session opened for root",
+        "not a syslog line",
+    ])
+    rows = batch.by_log_type["t:sys"].collect()
+    assert len(rows) == 1
+    rec = rows[0]["record"]
+    assert rec["timestamp"] == "Jan 10 19:35:33"
+    assert rec["host"] == "vagrant-ubuntu-trusty-64"
+    assert rec["application"] == "sudo"
+    assert rec["message"] == "session opened for root"
+    assert batch.invalid.count() == 1
+
+
+# ---------------------------------------------------------------- trial matching
+
+def test_schema_trial_order_first_match_wins(spark):
+    """classifier.py:116-149 — candidate order decides ambiguous records."""
+    reg = SchemaRegistry()
+    reg.register(LogSchema(name="t:first", schema={"a": "string"}))
+    reg.register(LogSchema(name="t:second", schema={"a": "string"}))
+    df = spark.createDataFrame([('{"a": "x"}',)], "value string")
+    batch = Classifier(reg).classify(df, raw_col="value")
+    assert batch.by_log_type["t:first"].count() == 1
+    assert batch.by_log_type["t:second"].count() == 0
+
+
+def test_routing_limits_candidates(spark):
+    """classifier.py:82-114 — (service, resource) routing."""
+    reg = SchemaRegistry()
+    reg.register(LogSchema(name="t:a", schema={"a": "string"}))
+    reg.register(LogSchema(name="t:b", schema={"b": "string"}))
+    reg.route("kinesis", "stream1", ["t:b"])
+    df = spark.createDataFrame([('{"b": "x"}',), ('{"a": "y"}',)], "value string")
+    batch = Classifier(reg).classify(df, raw_col="value", service="kinesis", resource="stream1")
+    assert "t:a" not in batch.by_log_type
+    assert batch.by_log_type["t:b"].count() == 1
+    assert batch.invalid.count() == 1
