@@ -1,0 +1,218 @@
+"""Streaming pipeline + golden-event + delivery tests."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamalert_spark.normalize.normalizer import NormalizationSpec, Normalizer, PathSpec
+from streamalert_spark.rules.registry import Rule, RuleRegistry
+from streamalert_spark.schema.registry import LogSchema, SchemaRegistry
+from streamalert_spark.streaming.pipeline import StreamingPipeline
+from streamalert_spark.streaming.sinks import AlertDispatcher, HistoricalStore, file_output
+from streamalert_spark.testing import run_golden_event
+
+
+def _guardduty_pipeline() -> StreamingPipeline:
+    """The round-1 slice from SURVEY.md §7.1: guard_duty_all-shaped rule
+    (reference rules/community/guardduty/guard_duty_all.py:6-18, matcher at
+    matchers/default.py:19-24)."""
+    schemas = SchemaRegistry()
+    schemas.register(LogSchema(
+        name="cloudwatch:events",
+        schema={
+            "account": "string", "detail": {}, "detail-type": "string",
+            "id": "string", "region": "string", "resources": [],
+            "source": "string", "time": "string", "version": "string",
+        },
+    ))
+    rules = RuleRegistry()
+    rules.matcher(lambda r: r.get("detail-type") == "GuardDuty Finding",
+                  name="guard_duty",
+                  expr=lambda rec: rec["detail-type"] == "GuardDuty Finding")
+    rules.add(Rule(
+        name="guard_duty_all",
+        expr=lambda rec: F.lit(True),
+        matchers=["guard_duty"],
+        logs=["cloudwatch:events"],
+        outputs=["slack:alerts"],
+        description="GuardDuty finding",
+    ))
+    return StreamingPipeline(schemas=schemas, rules=rules, cluster="test")
+
+
+def _gd_event(detail_type="GuardDuty Finding"):
+    return {
+        "account": "123456789012", "detail": {"severity": "8"},
+        "detail-type": detail_type, "id": "abc-123", "region": "us-east-1",
+        "resources": [], "source": "aws.guardduty",
+        "time": "2024-01-01T00:00:00Z", "version": "0",
+    }
+
+
+def test_golden_event_triggers(spark):
+    event = {
+        "data": _gd_event(),
+        "description": "GuardDuty finding triggers guard_duty_all",
+        "log": "cloudwatch:events",
+        "service": "kinesis",
+        "source": "prefix_cluster1_streamalert",
+        "trigger_rules": ["guard_duty_all"],
+    }
+    result = run_golden_event(spark, _guardduty_pipeline(), event)
+    assert result.passed, result.failures
+
+
+def test_golden_event_no_unexpected_triggers(spark):
+    """results.py:280-285 — an unexpected trigger fails the test."""
+    event = {
+        "data": _gd_event(detail_type="Something Else"),
+        "description": "non-GuardDuty event must NOT trigger",
+        "log": "cloudwatch:events",
+        "service": "kinesis",
+        "source": "prefix_cluster1_streamalert",
+        "trigger_rules": [],
+    }
+    result = run_golden_event(spark, _guardduty_pipeline(), event)
+    assert result.passed, result.failures
+
+
+def test_golden_event_classification_mismatch_fails(spark):
+    event = {
+        "data": {"unrelated": "shape"},
+        "description": "wrong shape fails classification",
+        "log": "cloudwatch:events",
+        "service": "kinesis",
+        "source": "s",
+        "trigger_rules": [],
+    }
+    result = run_golden_event(spark, _guardduty_pipeline(), event)
+    assert not result.passed
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    """File source -> classify -> rule -> alerts parquet, availableNow."""
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    with open(src_dir / "batch1.jsonl", "w") as fh:
+        fh.write(json.dumps(_gd_event()) + "\n")
+        fh.write(json.dumps(_gd_event("Not A Finding")) + "\n")
+
+    pipeline = _guardduty_pipeline()
+    src = spark.readStream.format("text").load(str(src_dir))
+    alerts = pipeline.build_alerts(src, service="kinesis", resource="stream1")
+    q = (
+        alerts.writeStream.format("parquet")
+        .option("path", str(tmp_path / "alerts"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "alerts"))
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["rule_name"] == "guard_duty_all"
+    assert rows[0]["outputs"] == ["slack:alerts"]
+    assert rows[0]["cluster"] == "test"
+
+
+def test_streaming_merge_stateful(spark, tmp_path):
+    """applyInPandasWithState merge: grouped alerts emit on timeout."""
+    from streamalert_spark.streaming.merge import streaming_merge
+
+    src_dir = tmp_path / "alerts_in"
+    src_dir.mkdir()
+    alerts = []
+    for i in range(3):
+        alerts.append({
+            "id": f"id{i}", "rule_name": "r1",
+            "created": f"2024-01-01T00:0{i}:00.000000Z",
+            "record": json.dumps({"user": "bob", "n": i}),
+            "merge_by_keys": ["user"], "merge_window_mins": 1,
+        })
+    with open(src_dir / "a.jsonl", "w") as fh:
+        for a in alerts:
+            fh.write(json.dumps(a) + "\n")
+
+    schema = ("id string, rule_name string, created string, record string, "
+              "merge_by_keys array<string>, merge_window_mins bigint")
+    src = spark.readStream.schema(schema).json(str(src_dir))
+    merged = streaming_merge(src)
+    q = (
+        merged.writeStream.format("memory").queryName("merged_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        # first micro-batch buffers; timeout fires on a subsequent empty batch
+        deadline = time.time() + 180
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM merged_out").collect()
+            if rows:
+                break
+            time.sleep(5)
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    assert rows[0]["alert_count"] == 3
+    merged_rec = json.loads(rows[0]["merged_record"])
+    assert merged_rec["MergedBy"] == {"user": "bob"}
+    assert merged_rec["AlertTimeFirst"] == "2024-01-01T00:00:00.000000Z"
+    assert merged_rec["AlertTimeLast"] == "2024-01-01T00:02:00.000000Z"
+
+
+def test_historical_store_roundtrip(spark, tmp_path):
+    store = HistoricalStore(str(tmp_path / "store"))
+    df = spark.createDataFrame(
+        [("x", "2024-01-01-00"), ("y", "2024-01-01-01")],
+        ["detail-type", "dt"],  # unsanitized column on purpose
+    )
+    store.write_batch(df, "cloudwatch:events")
+    back = store.read(spark, "cloudwatch:events")
+    assert "detail_type" in back.columns  # firehose.py:131-166 sanitization
+    assert back.count() == 2
+    # partition pruning works on dt
+    assert back.filter(F.col("dt") == "2024-01-01-00").count() == 1
+
+
+def test_alert_dispatcher_retry_semantics(spark, tmp_path):
+    """alert_processor/main.py:76-115 — per-output success tracking."""
+    attempts = {"n": 0}
+
+    def flaky(publication, descriptor):
+        attempts["n"] += 1
+        return attempts["n"] > 1  # first call fails
+
+    disp = AlertDispatcher()
+    disp.register("flaky", flaky)
+    disp.register("file", file_output(str(tmp_path / "out")))
+
+    alert = {"id": "a1", "rule_name": "r", "outputs": ["flaky:x", "file:y"]}
+    sent = disp.dispatch_alert(alert, set())
+    assert sent == {"file:y"}          # flaky failed once
+    sent = disp.dispatch_alert(alert, sent)
+    assert sent == {"file:y", "flaky:x"}  # retry succeeds, file not re-sent
+    assert attempts["n"] == 2
+    with open(tmp_path / "out" / "y.jsonl") as fh:
+        assert len(fh.readlines()) == 1
+
+
+def test_publisher_composition():
+    from streamalert_spark.streaming.sinks import compose_publishers
+
+    def add_summary(alert, publication):
+        publication["summary"] = f"{alert['rule_name']}!"
+        return publication
+
+    def explodes(alert, publication):
+        raise RuntimeError("bad publisher")
+
+    out = compose_publishers([add_summary, explodes], {"rule_name": "r1"})
+    assert out["summary"] == "r1!"  # failing publisher skipped
