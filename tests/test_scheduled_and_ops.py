@@ -1,0 +1,156 @@
+"""Scheduled-query, rule-promotion, and multimodal-op tests."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamalert_spark.sql.scheduled import (
+    QueryPack,
+    QueryPackRepository,
+    ScheduledQueryRunner,
+    generate_time_parameters,
+)
+
+
+def test_time_macros():
+    """query_packs/parameters.py:31-76 — fixed macro table."""
+    now = datetime(2024, 3, 15, 12, 30, 45, tzinfo=timezone.utc)
+    p = generate_time_parameters(now)
+    assert p["utcdatehour"] == "2024-03-15-12"
+    assert p["utcdatehour_minus1hour"] == "2024-03-15-11"
+    assert p["utcdatehour_minus2hour"] == "2024-03-15-10"
+    assert p["utcdatehour_minus1day"] == "2024-03-14-12"
+    assert p["utcdatehour_minus7day"] == "2024-03-08-12"
+    assert p["utcisotime"] == "2024-03-15T12:30:45Z"
+    assert p["utctimestamp"] == str(int(now.timestamp()))
+
+
+def test_query_pack_param_substitution(spark):
+    """configuration.py:40-58 — str.format substitution + callable params."""
+    pack = QueryPack(
+        name="p1", description="d",
+        query="SELECT '{utcdatehour}' AS dt, '{custom}' AS c",
+        tags=["hourly"],
+        custom_params={"custom": lambda: "xyz"},
+    )
+    sql = pack.generate_query_string(generate_time_parameters(
+        datetime(2024, 1, 1, 5, tzinfo=timezone.utc)))
+    assert sql == "SELECT '2024-01-01-05' AS dt, 'xyz' AS c"
+
+
+def test_scheduled_runner_and_feedback(spark):
+    """One tick: tag-selected packs run, results feed back as
+    streamquery-shaped records the classifier can parse."""
+    spark.createDataFrame(
+        [("r1", 3), ("r2", 5)], "rule string, n int"
+    ).createOrReplaceTempView("counts_src")
+
+    repo = QueryPackRepository()
+    repo.register(QueryPack(
+        name="counts", description="alert counts",
+        query="SELECT rule, SUM(n) AS total FROM counts_src GROUP BY rule",
+        tags=["hourly"],
+    ))
+    repo.register(QueryPack(
+        name="ignored", description="off-tag",
+        query="SELECT 1 AS one", tags=["daily"],
+    ))
+
+    runner = ScheduledQueryRunner(spark, repo)
+    results = runner.run(tags=["hourly"])
+    assert set(results) == {"counts"}
+    df, execution = results["counts"]
+    assert {r["rule"] for r in df.collect()} == {"r1", "r2"}
+    assert execution["name"] == "counts"
+    assert execution["engine_execution_time_in_millis"] >= 0
+
+    feedback = runner.to_streamquery_records(results)
+    rec = json.loads(feedback.collect()[0]["value"])
+    assert rec["streamquery_schema_version"] == "1.0.0"
+    assert rec["data"]["count"] == 2
+    assert set(rec["data"]["headers"]) == {"rule", "total"}
+
+    # the feedback record classifies under a streamquery-shaped schema
+    from streamalert_spark.classify.classifier import Classifier
+    from streamalert_spark.schema.registry import LogSchema, SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.register(LogSchema(
+        name="streamquery:1.0.0",
+        schema={"streamquery_schema_version": "string",
+                "execution": {}, "data": {}},
+    ))
+    batch = Classifier(reg).classify(feedback, raw_col="value")
+    assert batch.by_log_type["streamquery:1.0.0"].count() == 1
+
+
+def test_duplicate_pack_rejected():
+    repo = QueryPackRepository()
+    repo.register(QueryPack(name="a", description="", query="SELECT 1"))
+    with pytest.raises(ValueError):
+        repo.register(QueryPack(name="a", description="", query="SELECT 2"))
+
+
+# ------------------------------------------------------------- promotion
+
+def test_rule_promotion(spark):
+    from streamalert_spark.sql.promotion import (
+        StagingInfo,
+        alert_counts_since,
+        digest,
+        promotable_rules,
+    )
+
+    alerts = spark.createDataFrame(
+        [("noisy", "2024-01-01-05"), ("noisy", "2024-01-01-06"),
+         ("noisy", "2024-01-01-03"),  # before staging -> excluded
+         ("other", "2024-01-01-05")],
+        "rule_name string, dt string",
+    )
+    staged = [StagingInfo("noisy", "2024-01-01-04"), StagingInfo("quiet", "2024-01-01-04")]
+    counts = alert_counts_since(spark, alerts, staged)
+    got = {r["rule_name"]: r["alert_count"] for r in counts.collect()}
+    assert got == {"noisy": 2, "quiet": 0}
+    assert promotable_rules(counts, threshold=0) == ["quiet"]
+    assert digest(counts).splitlines()[0] == "noisy: 2 alerts"
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_multimodal_metadata_and_features(spark):
+    from streamalert_spark.ops.multimodal import (
+        attach_binary_metadata,
+        extract_image_features,
+    )
+
+    df = spark.createDataFrame(
+        [("m1", "image", bytearray(b"payload-one"), "image/png"),
+         ("m2", "image", bytearray(b"payload-two-longer"), "image/jpeg")],
+        "media_id string, modality string, content binary, mime_type string",
+    )
+    meta = attach_binary_metadata(df)
+    rows = {r["media_id"]: r for r in meta.collect()}
+    assert rows["m1"]["n_bytes"] == 11
+    assert len(rows["m1"]["sha"]) == 64
+
+    feats = extract_image_features(df)
+    frows = {r["media_id"]: r for r in feats.collect()}
+    assert set(feats.columns) == {"media_id", "n_bytes", "sha", "width", "height", "mean_luma"}
+    assert 64 <= frows["m1"]["width"] <= 255
+    assert frows["m2"]["n_bytes"] == 18
+    # deterministic fake: same payload -> same features
+    feats2 = {r["media_id"]: r for r in extract_image_features(df).collect()}
+    assert feats2["m1"]["width"] == frows["m1"]["width"]
+
+
+def test_frame_sample_plan(spark):
+    from streamalert_spark.ops.multimodal import frame_sample_plan
+
+    df = spark.createDataFrame([("v1", 35)], "media_id string, duration_s int")
+    plan = frame_sample_plan(df, every_n_seconds=10)
+    ts = [r["frame_ts"] for r in plan.collect()]
+    assert ts == [0, 10, 20]
