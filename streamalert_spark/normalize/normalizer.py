@@ -75,23 +75,34 @@ class Normalizer:
     def normalization_col(self, record: Column) -> Column:
         """map<string, array<struct<values:array<string>, function:string,
         send_to_artifacts:boolean>>> — the Spark shape of
-        'streamalert_normalization'."""
+        'streamalert_normalization'.
+
+        Built from plain CASE/struct expressions — deliberately NO
+        higher-order array lambdas (array_compact/filter): those are
+        interpreted, and Catalyst's generate-pushdown can duplicate this
+        whole expression into a scan-side filter, doubling its cost.
+        Entries whose condition failed carry an empty values array;
+        downstream explodes drop them for free.
+        """
+        empty = F.array().cast("array<string>")
         keys, vals = [], []
         for type_name, paths in self.spec.types.items():
             entries = []
             for ps in paths:
                 value = _path_col(record, ps.path).cast("string")
-                gated = F.when(_condition_col(record, ps.condition), value)
+                gated = F.when(
+                    _condition_col(record, ps.condition) & value.isNotNull(),
+                    F.array(value),
+                ).otherwise(empty)
                 entries.append(
                     F.struct(
-                        F.array_compact(F.array(gated)).alias("values"),
+                        gated.alias("values"),
                         F.lit(ps.function).cast("string").alias("function"),
                         F.lit(ps.send_to_artifacts).alias("send_to_artifacts"),
                     )
                 )
-            arr = F.filter(F.array(*entries), lambda e: F.size(e["values"]) > 0)
             keys.append(F.lit(type_name))
-            vals.append(arr)
+            vals.append(F.array(*entries))
         return F.map_from_arrays(F.array(*keys), F.array(*vals))
 
     def apply(self, df: DataFrame, record_col: str = "record",

@@ -45,6 +45,35 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     )
 
 
+def _shingle_hash_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, sh bigint) — one row per distinct word n-gram, hashed to 63
+    bits of its md5. Join-key-internal only."""
+    import hashlib
+
+    import pandas as pd
+
+    id_dtype = dict(df.dtypes)[id_col]
+
+    def run(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                w = (text or "").split(" ")
+                grams = {" ".join(w[i:i + n]) for i in range(max(0, len(w) - n + 1))}
+                for s in grams:
+                    ids.append(doc_id)
+                    hashes.append(int(hashlib.md5(s.encode()).hexdigest()[:16], 16) >> 1)  # noqa: S324
+            yield pd.DataFrame({id_col: ids, "sh": hashes})
+
+    src = df.select(id_col, text_col).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return src.mapInPandas(run, schema=f"{id_col} {id_dtype}, sh bigint")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -54,12 +83,18 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold. Quadratic verifier — at scale,
     feed it only LSH candidates (minhash_lsh_candidates + join)."""
-    sh = shingles(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    # Distinct shingles as 64-bit hashes via an Arrow-batched kernel: same
+    # join/count semantics (collisions ~n^2/2^64), much smaller shuffle
+    # payload than 32-hex strings, and no interpreted array-lambda cost.
+    # Internal only — hashes never reach the output. Cached: the subtree
+    # feeds three consumers (sizes + both self-join sides) and would
+    # otherwise recompute per consumer.
+    hashed = _shingle_hash_rows(df, text_col, id_col, n).cache()
+    sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = hashed.select(F.col(id_col).alias("a"), "sh")
+    b = hashed.select(F.col(id_col).alias("b"), "sh")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -80,6 +115,20 @@ def _minhash_expr(i: int) -> Column:
     return F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
 
 
+def minhash_signatures_sql(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Pure-expression formulation (explode + groupBy + K min-aggregates).
+    Kept as the engine-portable reference; the default minhash_signatures
+    computes identical values via an Arrow-batched kernel with no shuffle."""
+    sh = shingles(df, text_col, id_col, n)
+    return sh.groupBy(id_col).agg(*[_minhash_expr(i) for i in range(num_hashes)])
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -87,9 +136,44 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
-    """(doc_id, mh_0..mh_{K-1}) — one aggregation pass over shingles."""
-    sh = shingles(df, text_col, id_col, n)
-    return sh.groupBy(id_col).agg(*[_minhash_expr(i) for i in range(num_hashes)])
+    """(doc_id, mh_0..mh_{K-1}) via mapInPandas.
+
+    Signatures are doc-local, so computing them inside the scan partition
+    needs NO shuffle at all (the SQL form pays an explode + groupBy
+    exchange over every shingle row, and Spark's higher-order array lambdas
+    are interpreted, not codegen'd). hashlib.md5 hexdigests are identical
+    to SQL md5(), so results are bit-equal to the oracle.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    id_dtype = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_dtype}, " + ", ".join(
+        f"mh_{i} string" for i in range(num_hashes)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                w = (text or "").split(" ")
+                grams = {" ".join(w[i:i + n]) for i in range(max(0, len(w) - n + 1))}
+                sig = []
+                for seed in range(num_hashes):
+                    prefix = f"{seed}:".encode()
+                    best = None
+                    for s in grams:
+                        h = hashlib.md5(prefix + s.encode()).hexdigest()  # noqa: S324
+                        if best is None or h < best:
+                            best = h
+                    sig.append(best)
+                rows.append([doc_id, *sig])
+            yield pd.DataFrame(rows, columns=[id_col] + [f"mh_{i}" for i in range(num_hashes)])
+
+    # small-file inputs arrive as one partition; spread the kernel work
+    src = df.select(id_col, text_col).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return src.mapInPandas(run, schema=out_schema)
 
 
 def minhash_lsh_candidates(
@@ -108,19 +192,18 @@ def minhash_lsh_candidates(
     """
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
     num_bands = num_hashes // band_size
-    bands = []
-    for bi in range(num_bands):
-        cols = [F.col(f"mh_{bi * band_size + j}") for j in range(band_size)]
-        bands.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(bi).alias("band_idx"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-            )
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+    # one posexplode over an array of band keys — a union of per-band
+    # selects would recompute the signature subtree once per band
+    band_keys = [
+        F.md5(F.concat_ws("|", *[
+            F.col(f"mh_{bi * band_size + j}") for j in range(band_size)
+        ]))
+        for bi in range(num_bands)
+    ]
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
+    )
     left = banded.select(F.col(id_col).alias("a"), "band_idx", "band_key")
     right = banded.select(F.col(id_col).alias("b"), "band_idx", "band_key")
     return (

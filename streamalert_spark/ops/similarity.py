@@ -55,10 +55,59 @@ def cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """All-pairs cosine >= threshold (near-duplicate embeddings)."""
-    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    score = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    """All-pairs cosine >= threshold (near-duplicate embeddings).
+
+    BLAS-backed: the (small) vector matrix broadcasts to every executor and
+    each partition computes its rows' scores against the whole matrix with
+    one float64 matmul — the all-pairs work distributes over the row axis.
+    This is the *verifier/moderate-n* form; when the matrix itself outgrows
+    a broadcast (100 TB regime), use lsh_bucketed_pairs to generate
+    candidates and verify only those.
+    """
+    import numpy as np
+    import pandas as pd
+
+    mat_rows = df.select(id_col, vec_col).toPandas()
+    ids = mat_rows[id_col].to_numpy()
+    M = np.array(mat_rows[vec_col].tolist(), dtype=np.float64)
+    norms = np.sqrt((M * M).sum(axis=1))
+    bc = df.sparkSession.sparkContext.broadcast((ids, M, norms))
+
+    def run(batches):
+        b_ids, b_M, b_norms = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            x_ids = pdf[id_col].to_numpy()
+            xn = np.sqrt((X * X).sum(axis=1))
+            S = np.round((X @ b_M.T) / np.outer(xn, b_norms), 6)
+            keep = (S >= threshold) & (x_ids[:, None] < b_ids[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame({
+                "a": x_ids[ai],
+                "b": b_ids[bj],
+                "score": S[ai, bj],
+            })
+
+    src = df.select(id_col, vec_col).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return src.mapInPandas(run, schema=f"a {dict(df.dtypes)[id_col]}, b {dict(df.dtypes)[id_col]}, score double")
+
+
+def cosine_pairs_exact(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Pure-expression all-pairs form (sequential double accumulation,
+    engine-portable to the last bit). Norms are computed once per vector —
+    bit-identical to per-pair recomputation, 3x less work."""
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                  norm(F.col(vec_col)).alias("na"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                  norm(F.col(vec_col)).alias("nb"))
+    score = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
