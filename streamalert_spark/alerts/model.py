@@ -48,9 +48,12 @@ def alert_columns(
     log_type: str = "",
     alert_id: Column | None = None,
     staged: bool = False,
+    outputs_override: Column | None = None,
 ) -> list[Column]:
     """Projection list building one alert row from a triggering record
-    (reference _rule_analysis -> Alert(...), rules_engine.py:183-217)."""
+    (reference _rule_analysis -> Alert(...), rules_engine.py:183-217).
+    outputs_override replaces the rule's static outputs (staging gate /
+    dynamic outputs)."""
     aid = alert_id if alert_id is not None else F.uuid()
     created = F.date_format(event_time, ALERT_TS_FMT)
     ctx = (
@@ -58,12 +61,17 @@ def alert_columns(
                        for x in (F.lit(k), F.lit(str(v)))])
         if rule.context else F.lit(None).cast("map<string,string>")
     )
+    outputs = (
+        outputs_override
+        if outputs_override is not None
+        else F.array(*[F.lit(o) for o in rule.outputs]).cast("array<string>")
+    )
     return [
         aid.cast("string").alias("id"),
         F.lit(rule.name).alias("rule_name"),
         F.lit(rule.description).alias("rule_description"),
         record_json.alias("record"),
-        F.array(*[F.lit(o) for o in rule.outputs]).cast("array<string>").alias("outputs"),
+        outputs.alias("outputs"),
         created.alias("created"),
         F.lit(cluster).alias("cluster"),
         ctx.alias("context"),

@@ -119,6 +119,43 @@ class RulesEngine:
 
         return df.mapInPandas(run, schema=df.schema)
 
+    # -- dynamic outputs -------------------------------------------------------
+    @staticmethod
+    def _dynamic_outputs_eval(df: DataFrame, r: Rule, record_col: str) -> DataFrame:
+        """Evaluate dynamic-output functions per record and attach a
+        '_dynamic_outputs' array column (rules_engine.py:245-308: each
+        function gets (record[, context]) and returns str | list | None;
+        failures contribute nothing)."""
+        fns = r.dynamic_outputs
+        base_context = r.context
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for rec in pdf[record_col]:
+                    record = _to_plain(rec)
+                    extra: list[str] = []
+                    for fn in fns:
+                        try:
+                            got = (fn(record, copy.deepcopy(base_context))
+                                   if base_context is not None else fn(record))
+                        except Exception:  # noqa: BLE001 — bad fn adds nothing
+                            continue
+                        if isinstance(got, str):
+                            extra.append(got)
+                        elif isinstance(got, (list, tuple)):
+                            extra.extend(str(g) for g in got if g)
+                    outs.append(extra)
+                yield pdf.assign(_dynamic_outputs=outs)
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField("_dynamic_outputs", T.ArrayType(T.StringType()))]
+        )
+        return df.mapInPandas(run, schema=schema)
+
     # -- public API ------------------------------------------------------------
     def run(
         self,
@@ -130,9 +167,16 @@ class RulesEngine:
         source_service: str = "",
         source_entity: str = "",
         alert_id: Column | None = None,
+        staged_rules: dict[str, bool] | None = None,
+        required_outputs: list[str] | None = None,
     ) -> DataFrame | None:
         """Classified records of one log type -> alerts DataFrame (or None
-        when no rule routes to this type)."""
+        when no rule routes to this type).
+
+        staged_rules/required_outputs implement the staging gate
+        (rules_engine.py:219-243): a staged rule's alerts carry
+        staged=true and are routed ONLY to the required outputs.
+        """
         rules = self.registry.rules_for_log_type(log_type)
         record = F.col(record_col)
         ts = event_time if event_time is not None else F.current_timestamp()
@@ -150,6 +194,25 @@ class RulesEngine:
                 cur = cur.filter(r.expr(record))
             if r.process is not None or python_matchers:
                 cur = self._python_eval(cur, r, python_matchers, record_col)
+            staged = bool((staged_rules or {}).get(r.name, False))
+            outputs_override = None
+            if staged:
+                # staging gate: only the required outputs receive staged
+                # alerts (rules_engine.py:219-243)
+                outputs_override = F.array(
+                    *[F.lit(o) for o in (required_outputs or [])]
+                ).cast("array<string>")
+            elif r.dynamic_outputs:
+                cur = self._dynamic_outputs_eval(cur, r, record_col)
+                # merge static + dynamic, keep only valid 'service:descriptor'
+                # outputs (rules_engine.py:310-338 format check)
+                outputs_override = F.array_distinct(F.concat(
+                    F.array(*[F.lit(o) for o in r.outputs]).cast("array<string>"),
+                    F.filter(
+                        F.coalesce(F.col("_dynamic_outputs"), F.array().cast("array<string>")),
+                        lambda o: o.rlike("^[a-zA-Z0-9_-]+:\\S+$"),
+                    ),
+                ))
             alert_frames.append(
                 cur.select(
                     *alert_columns(
@@ -161,6 +224,8 @@ class RulesEngine:
                         source_entity=source_entity,
                         log_type=log_type,
                         alert_id=alert_id,
+                        staged=staged,
+                        outputs_override=outputs_override,
                     )
                 )
             )

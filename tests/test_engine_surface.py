@@ -1,0 +1,89 @@
+"""Dynamic outputs, staging gate, output validation, metrics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamalert_spark.rules.engine import RulesEngine
+from streamalert_spark.rules.registry import Rule, RuleRegistry
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(("alice", 5),), (("bob", 9),)],
+        "record struct<name:string, n:bigint>",
+    ).withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+
+
+def test_dynamic_outputs_merged_and_validated(spark):
+    """rules_engine.py:245-308 + output format check at 310-338."""
+
+    def route_by_name(record):
+        if record["name"] == "bob":
+            return ["pagerduty:oncall", "not a valid output!", None]
+        return "slack:low"
+
+    def explodes(record):
+        raise RuntimeError("bad dynamic output fn")
+
+    reg = RuleRegistry()
+    reg.add(Rule(
+        name="dyn", expr=lambda r: F.lit(True), logs=["t:x"],
+        outputs=["s3:archive"],
+        dynamic_outputs=[route_by_name, explodes],
+    ))
+    alerts = RulesEngine(reg).run(_df(spark), log_type="t:x", event_time=F.col("ts"))
+    rows = {r["record"]: r["outputs"] for r in alerts.collect()}
+    by_name = {("alice" if "alice" in k else "bob"): v for k, v in rows.items()}
+    assert by_name["alice"] == ["s3:archive", "slack:low"]
+    # invalid-format and None entries dropped, valid dynamic kept
+    assert by_name["bob"] == ["s3:archive", "pagerduty:oncall"]
+
+
+def test_staging_gate(spark):
+    """rules_engine.py:219-243 — staged rules only reach required outputs."""
+    reg = RuleRegistry()
+    reg.add(Rule(name="st", expr=lambda r: F.lit(True), logs=["t:x"],
+                 outputs=["slack:prod", "pagerduty:oncall"]))
+    alerts = RulesEngine(reg).run(
+        _df(spark), log_type="t:x", event_time=F.col("ts"),
+        staged_rules={"st": True},
+        required_outputs=["firehose:alerts"],
+    )
+    rows = alerts.collect()
+    assert all(r["staged"] is True for r in rows)
+    assert all(r["outputs"] == ["firehose:alerts"] for r in rows)
+
+
+def test_unstaged_keeps_outputs(spark):
+    reg = RuleRegistry()
+    reg.add(Rule(name="st", expr=lambda r: F.lit(True), logs=["t:x"],
+                 outputs=["slack:prod"]))
+    alerts = RulesEngine(reg).run(
+        _df(spark), log_type="t:x", event_time=F.col("ts"),
+        staged_rules={"st": False}, required_outputs=["firehose:alerts"],
+    )
+    rows = alerts.collect()
+    assert all(r["staged"] is False for r in rows)
+    assert all(r["outputs"] == ["slack:prod"] for r in rows)
+
+
+def test_observe_metrics(spark):
+    from streamalert_spark import metrics as M
+
+    df = spark.createDataFrame([("abc",), ("defgh",)], "value string")
+    observed, obs = M.observe_records(df, size_col="value")
+    assert observed.count() == 2
+    got = obs.get
+    assert got[M.TOTAL_RECORDS] == 2
+    assert got[M.TOTAL_PROCESSED_SIZE] == 8
+
+    alerts = spark.createDataFrame(
+        [("r1",), ("r1",), ("r2",)], "rule_name string"
+    )
+    observed, obs = M.observe_alerts(alerts)
+    observed.count()
+    got = obs.get
+    assert got[M.TRIGGERED_ALERTS] == 3
+    assert got["distinct_rules"] == 2
