@@ -46,7 +46,9 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 def load_all() -> dict[str, RegisteredQuery]:
     """Import every query module (side-effect: registration) and return the registry."""
     from streamalert_spark.queries import (  # noqa: F401
+        analytics_ext,
         llm_ops,
+        parsers_surface,
         pipeline,
         sql_surface,
     )

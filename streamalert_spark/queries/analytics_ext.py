@@ -1,0 +1,193 @@
+"""Extended analytics queries: sessionization, rollup aggregates, the
+LSH-bucketed ANN scale path, and a composite corpus-quality filter.
+
+These go beyond the reference's literal surface (SURVEY.md §7.2 item 10 /
+BASELINE.json north star) but stay oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from streamalert_spark.ops import dedup, text
+from streamalert_spark.queries import query
+from streamalert_spark.session import read_table
+
+
+# ---------------------------------------------------------------- sessionization
+
+_SESSION_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts, es,
+         CASE WHEN es - LAG(es) OVER (PARTITION BY user_id ORDER BY es, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+numbered AS (
+  SELECT user_id, event_id, ts, es,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(es) AS session_start_s,
+       MAX(es) AS session_end_s,
+       MAX(es) - MIN(es) AS duration_s
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+@query("sessionize_events", oracle=_SESSION_ORACLE,
+       doc="Gap-based sessionization (30-min inactivity) via window functions.")
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("es")
+    )
+    w = W.partitionBy("user_id").orderBy("es", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.col("es") - F.lag("es").over(w) > 1800, 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("es").alias("session_start_s"),
+            F.max("es").alias("session_end_s"),
+            (F.max("es") - F.min("es")).alias("duration_s"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------- rollup
+
+_ROLLUP_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@query("rollup_pricing", oracle=_ROLLUP_ORACLE,
+       doc="ROLLUP grouping-sets aggregate with decimal-exact sums.")
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                 F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------- LSH ANN scale path
+
+def _hyperplanes(num_planes: int = 6, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 planes shared verbatim with the oracle SQL."""
+    return [
+        [1.0 if (i * (k + 3) + k) % 7 < 3 else -1.0 for i in range(dim)]
+        for k in range(num_planes)
+    ]
+
+
+def _lsh_ann_oracle(threshold: float = 0.9) -> str:
+    planes = _hyperplanes()
+    bit_exprs = []
+    for plane in planes:
+        lit = "[" + ", ".join(str(x) for x in plane) + "]"
+        bit_exprs.append(
+            "CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i])) >= 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    bucket = " || ".join(bit_exprs)
+    cos = """
+    ROUND(
+      list_sum(list_transform(range(1, 65),
+               i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+         * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+    6)"""
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+)
+SELECT x.vec_id AS a, y.vec_id AS b, {cos} AS score
+FROM bucketed x JOIN bucketed y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE {cos} >= {threshold}
+ORDER BY a, b
+"""
+
+
+@query("ann_lsh_bucketed", oracle=_lsh_ann_oracle(),
+       doc="Random-hyperplane LSH bucketing + exact cosine verify — the ANN "
+           "scale path (bucket join instead of cross join).")
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.similarity import lsh_bucketed_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_pairs(emb, _hyperplanes(), threshold=0.9).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------- corpus quality filter
+
+_CORPUS_ORACLE = """
+WITH canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+stats AS (
+  SELECT d.doc_id, d.lang,
+         len(string_split(d.text, ' ')) AS n_tokens,
+         CAST(len(list_filter(string_split(d.text, ' '),
+              w -> list_contains(['a','the','and','of','to','in','is','it'], w))) AS DOUBLE)
+           / len(string_split(d.text, ' ')) AS stop_ratio
+  FROM documents d JOIN canon c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM stats
+WHERE n_tokens >= 30 AND stop_ratio >= 0.01
+ORDER BY doc_id
+"""
+
+
+@query("corpus_quality_filter", oracle=_CORPUS_ORACLE,
+       doc="Composite training-data filter: exact-dedup canonical docs with "
+           "token-count and stopword-ratio gates.")
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    canon = dedup.exact_dedup(docs).select(F.col("canonical_doc_id").alias("doc_id"))
+    toks = text.tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda w: w.isin(text.EN_STOPWORDS))).cast("double") / n_tokens
+    )
+    return (
+        docs.join(canon, "doc_id", "left_semi")
+        .select("doc_id", "lang", n_tokens.cast("bigint").alias("n_tokens"),
+                stop_ratio.alias("stop_ratio"))
+        .filter((F.col("n_tokens") >= 30) & (F.col("stop_ratio") >= 0.01))
+        .drop("stop_ratio")
+        .orderBy("doc_id")
+    )
