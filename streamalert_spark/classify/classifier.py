@@ -179,43 +179,75 @@ class Classifier:
 
         # Row-expansion steps differ per schema (json_path/envelope), so each
         # candidate gets its own exploded view; the chosen-schema predicate
-        # is evaluated on that view. Schemas sharing no explode step share
-        # the base scan (Catalyst caches the common subplan per branch).
-        prepared: list[tuple[LogSchema, DataFrame, str, Column, Column]] = []
+        # is evaluated on that view.
+        prepared: list[tuple[LogSchema, Any, DataFrame, str]] = []
         for schema in candidates:
             p = get_parser(schema.parser)
             pdf, rcol = p.explode(df, raw_col, schema)
-            raw = F.col(rcol)
-            parsed = p.parse_expr(schema, raw)
-            valid = p.valid_expr(schema, raw, parsed)
-            prepared.append((schema, pdf, rcol, parsed, valid))
+            prepared.append((schema, p, pdf, rcol))
+
+        # Candidates sharing an exploded frame evaluate their parses together
+        # in ONE projection, materialized through explode(array(...)): the
+        # Generate barrier stops predicate pushdown from re-inlining the parse
+        # expression into each validity/coercion reference (which would run
+        # from_csv/from_json once per field — a ~20x regression measured at
+        # sf0.1). Each candidate's parse runs exactly once per row.
+        groups: dict[tuple[int, str], list[int]] = {}
+        for i, (_, _, pdf, rcol) in enumerate(prepared):
+            groups.setdefault((id(pdf), rcol), []).append(i)
+
+        barriers: dict[int, tuple[DataFrame, dict[int, Column], list[int]]] = {}
+        for (_, rcol), idxs in groups.items():
+            pdf = prepared[idxs[0]][2]
+            trials = F.struct(*[
+                prepared[i][1].parse_expr(prepared[i][0], F.col(rcol)).alias(f"t{i}")
+                for i in idxs
+            ])
+            extra = (["streamalert_envelope_keys"]
+                     if "streamalert_envelope_keys" in pdf.columns else [])
+            bdf = pdf.select(
+                *keep_cols, *extra,
+                F.col(rcol).alias("_sa_raw"),
+                F.explode(F.array(trials)).alias("_sa_t"),
+            )
+            valids = {
+                i: prepared[i][1].valid_expr(
+                    prepared[i][0], F.col("_sa_raw"), F.col(f"_sa_t.t{i}"))
+                for i in idxs
+            }
+            for i in idxs:
+                barriers[i] = (bdf, valids, idxs)
 
         by_log_type: dict[str, DataFrame] = {}
         # first-match-wins: schema i applies only where schemas 0..i-1 failed.
-        # For candidates sharing the same row-shape we AND in the negations;
-        # differing row shapes (json_path explode) are disjoint by source
-        # construction in the reference config, so negation is best-effort
-        # against candidates with the same explode signature.
-        for i, (schema, pdf, rcol, parsed, valid) in enumerate(prepared):
-            cond = valid
-            for j in range(i):
-                prev_schema, _, prev_rcol, prev_parsed, prev_valid = prepared[j]
-                if prev_rcol == rcol:
-                    cond = cond & ~prev_valid
+        # Negation applies within a shared row shape; differing row shapes
+        # (json_path explode) are disjoint by source construction in the
+        # reference config.
+        for i, (schema, p, pdf, rcol) in enumerate(prepared):
+            bdf, valids, idxs = barriers[i]
+            parsed = F.col(f"_sa_t.t{i}")
+            cond = valids[i]
+            for j in idxs:
+                if j < i:
+                    cond = cond & ~valids[j]
             typed = coerce_struct(parsed, schema)
             cond = cond & coercion_valid(parsed, typed, schema) & log_patterns_filter(typed, schema)
             cols = [typed.alias("record"), F.lit(schema.name).alias("log_schema_type")]
-            if "streamalert_envelope_keys" in pdf.columns:
+            if "streamalert_envelope_keys" in bdf.columns:
                 cols.append(F.col("streamalert_envelope_keys"))
-            out = pdf.filter(cond).select(*keep_cols, *cols)
+            out = bdf.filter(cond).select(*keep_cols, *cols)
             by_log_type[schema.name] = out
 
-        # invalid = base rows matching no candidate evaluated on the base shape
+        # invalid = base rows matching no base-shape candidate (exploded
+        # schemas are judged on their own shape). Diagnostics path — the
+        # re-derived parse here costs ~2 evaluations per row, not ~20.
         base_valid = None
-        for schema, pdf, rcol, parsed, valid in prepared:
+        for schema, p, pdf, rcol in prepared:
             if rcol != raw_col:
-                continue  # exploded schemas judged on their own shape
-            base_valid = valid if base_valid is None else (base_valid | valid)
+                continue
+            raw = F.col(raw_col)
+            v = p.valid_expr(schema, raw, p.parse_expr(schema, raw))
+            base_valid = v if base_valid is None else (base_valid | v)
         if base_valid is None:
             base_valid = F.lit(False)
         invalid = df.filter(~base_valid).select(*keep_cols, F.col(raw_col).alias("raw"))

@@ -53,5 +53,13 @@ class ParserBase:
         raise NotImplementedError
 
     def valid_expr(self, schema: LogSchema, raw: Column, parsed: Column) -> Column:
-        """Parser-specific validity (key-set / column-count / regex match)."""
+        """Parser-specific validity (key-set / column-count / regex match).
+
+        Must reference only ``raw`` and ``parsed`` as given — never re-derive
+        the parse from ``raw``. The classifier materializes ``parsed`` exactly
+        once behind a Generate barrier; re-deriving would multiply the parse
+        per field reference (a ~20x regression for from_csv). Parsers that
+        need parse-time signals embed helper fields (``_sa_corrupt``,
+        ``_sa_nfields``) in the parse struct instead.
+        """
         raise NotImplementedError

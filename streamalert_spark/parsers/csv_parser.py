@@ -62,15 +62,14 @@ class CsvParser(ParserBase):
     def parse_expr(self, schema: LogSchema, raw: Column) -> Column:
         # all fields come out as raw strings; nested CSV columns
         # (parsers.py:732-740 — a dict token in a csv schema) re-parse during
-        # coercion (classify._coerce_field with fmt='csv')
-        parsed = F.from_csv(raw, self._ddl(schema), _options(schema))
-        return F.struct(*[parsed[name].alias(name) for name in schema.schema])
+        # coercion (classify._coerce_field with fmt='csv'). The _sa_corrupt
+        # helper field stays in the struct so valid_expr never re-parses.
+        return F.from_csv(raw, self._ddl(schema), _options(schema))
 
     def valid_expr(self, schema: LogSchema, raw: Column, parsed: Column) -> Column:
         names = list(schema.schema)
-        raw_parsed = F.from_csv(raw, self._ddl(schema), _options(schema))
         # over-width rows land in the corrupt column; under-width rows leave
         # the last declared field null (strict count: parsers.py:726-728)
-        not_over = raw_parsed[_CORRUPT].isNull()
-        not_under = raw_parsed[names[-1]].isNotNull()
+        not_over = parsed[_CORRUPT].isNull()
+        not_under = parsed[names[-1]].isNotNull()
         return raw.isNotNull() & not_over & not_under

@@ -29,17 +29,21 @@ class KvParser(ParserBase):
     def parse_expr(self, schema: LogSchema, raw: Column) -> Column:
         delim, sep = _delims(schema)
         kv = F.str_to_map(raw, F.lit(delim), F.lit(sep))
-        return F.struct(*[kv[name].alias(name) for name in schema.schema])
+        # _sa_nfields / _sa_keys helper fields let valid_expr check the
+        # strict field count and key presence without a second str_to_map.
+        return F.struct(
+            *[kv[name].alias(name) for name in schema.schema],
+            F.size(F.split(raw, F.lit(delim).cast("string"), -1)).alias("_sa_nfields"),
+            F.map_keys(kv).alias("_sa_keys"),
+        )
 
     def valid_expr(self, schema: LogSchema, raw: Column, parsed: Column) -> Column:
-        delim, sep = _delims(schema)
-        kv = F.str_to_map(raw, F.lit(delim), F.lit(sep))
         # strict field count (parsers.py:785-790) + every declared key present
-        count_ok = F.size(F.split(raw, F.lit(delim).cast("string"), -1)) == len(schema.schema)
+        count_ok = parsed["_sa_nfields"] == len(schema.schema)
         keys_ok = F.size(
             F.array_except(
                 F.array(*[F.lit(k) for k in schema.schema]),
-                F.map_keys(kv),
+                parsed["_sa_keys"],
             )
         ) == 0
         return raw.isNotNull() & count_ok & keys_ok

@@ -26,6 +26,10 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     # Parquet scans: keep default 128MB split; explicit so it is documented.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Split small inputs across all cores: a sub-128MB file is otherwise ONE
+    # task, serializing the whole parse pipeline. At 100 TB every scan has
+    # far more splits than cores, so a minimum of defaultParallelism is free.
+    "spark.sql.files.minPartitionNum": str(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))),
     "spark.ui.enabled": "false",
 }
 
