@@ -20,6 +20,9 @@ from pyspark.sql import functions as F
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BAND_SIZE = 4
 
+# last cached shingle-hash frame (see ngram_jaccard_pairs) — bounded leak
+_JACCARD_CACHE = None
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: md5(text) -> canonical (min id) + count."""
@@ -51,8 +54,10 @@ def _shingle_hash_rows(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """(id, sh bigint) — one row per distinct word n-gram, hashed to 63
-    bits of its md5. Join-key-internal only."""
+    """(id, sh bigint, sz bigint) — one row per distinct word n-gram, hashed
+    to 63 bits of its md5, carrying the doc's distinct-shingle count so the
+    Jaccard denominator needs no second aggregation pass. Join-key-internal
+    only."""
     import hashlib
 
     import pandas as pd
@@ -61,17 +66,18 @@ def _shingle_hash_rows(
 
     def run(batches):
         for pdf in batches:
-            ids, hashes = [], []
+            ids, hashes, sizes = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 w = (text or "").split(" ")
                 grams = {" ".join(w[i:i + n]) for i in range(max(0, len(w) - n + 1))}
                 for s in grams:
                     ids.append(doc_id)
                     hashes.append(int(hashlib.md5(s.encode()).hexdigest()[:16], 16) >> 1)  # noqa: S324
-            yield pd.DataFrame({id_col: ids, "sh": hashes})
+                    sizes.append(len(grams))
+            yield pd.DataFrame({id_col: ids, "sh": hashes, "sz": sizes})
 
     src = df.select(id_col, text_col).repartition(df.sparkSession.sparkContext.defaultParallelism)
-    return src.mapInPandas(run, schema=f"{id_col} {id_dtype}, sh bigint")
+    return src.mapInPandas(run, schema=f"{id_col} {id_dtype}, sh bigint, sz bigint")
 
 
 def ngram_jaccard_pairs(
@@ -86,25 +92,40 @@ def ngram_jaccard_pairs(
     # Distinct shingles as 64-bit hashes via an Arrow-batched kernel: same
     # join/count semantics (collisions ~n^2/2^64), much smaller shuffle
     # payload than 32-hex strings, and no interpreted array-lambda cost.
-    # Internal only — hashes never reach the output. Cached: the subtree
-    # feeds three consumers (sizes + both self-join sides) and would
-    # otherwise recompute per consumer.
+    # Internal only — hashes never reach the output. The kernel emits each
+    # doc's shingle count inline, so the one self-join computes intersection
+    # AND both Jaccard denominators (no separate sizes aggregation).
+    # The subtree is cached so the kernel runs once for both join sides;
+    # the previous invocation's cache is dropped to keep the footprint at
+    # one copy per process. (A group-by-shingle + pair-expansion rewrite
+    # avoids the cache but ran ~20x slower: nested higher-order lambdas are
+    # interpreted per generated pair.)
+    global _JACCARD_CACHE
+    if _JACCARD_CACHE is not None:
+        try:
+            # must unpersist BEFORE caching the new frame: the cache manager
+            # keys on the analyzed plan, and repeat invocations produce an
+            # identical plan — unpersisting afterwards would drop both.
+            _JACCARD_CACHE.unpersist()
+        except Exception:  # noqa: BLE001 — a stopped session invalidates handles
+            pass
     hashed = _shingle_hash_rows(df, text_col, id_col, n).cache()
-    sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = hashed.select(F.col(id_col).alias("a"), "sh")
-    b = hashed.select(F.col(id_col).alias("b"), "sh")
+    _JACCARD_CACHE = hashed
+    a = hashed.select(F.col(id_col).alias("a"), "sh", F.col("sz").alias("sz_a"))
+    b = hashed.select(F.col(id_col).alias("b"), "sh", F.col("sz").alias("sz_b"))
     inter = (
         a.join(b, "sh")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
     )
-    sz_a = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
     jac = F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
-        inter.join(sz_a, "a").join(sz_b, "b")
-        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+        inter.select("a", "b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
