@@ -51,6 +51,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         parsers_surface,
         pipeline,
         sql_surface,
+        surface_ext,
     )
 
     return QUERIES
