@@ -20,8 +20,27 @@ from pyspark.sql import functions as F
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BAND_SIZE = 4
 
-# last cached shingle-hash frame (see ngram_jaccard_pairs) — bounded leak
-_JACCARD_CACHE = None
+# last cached frame per operator (see _swap_cache) — bounds the footprint
+# to one cached copy per op per process
+_OP_CACHE: dict[str, "DataFrame"] = {}
+
+
+def _swap_cache(key: str, df: DataFrame) -> DataFrame:
+    """Cache ``df``, dropping the op's previously cached frame first.
+
+    Unpersist must happen BEFORE caching: the cache manager keys on the
+    analyzed plan, and repeat invocations produce an identical plan —
+    unpersisting afterwards would drop both registrations.
+    """
+    prev = _OP_CACHE.get(key)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:  # noqa: BLE001 — a stopped session invalidates handles
+            pass
+    out = df.cache()
+    _OP_CACHE[key] = out
+    return out
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -100,17 +119,7 @@ def ngram_jaccard_pairs(
     # one copy per process. (A group-by-shingle + pair-expansion rewrite
     # avoids the cache but ran ~20x slower: nested higher-order lambdas are
     # interpreted per generated pair.)
-    global _JACCARD_CACHE
-    if _JACCARD_CACHE is not None:
-        try:
-            # must unpersist BEFORE caching the new frame: the cache manager
-            # keys on the analyzed plan, and repeat invocations produce an
-            # identical plan — unpersisting afterwards would drop both.
-            _JACCARD_CACHE.unpersist()
-        except Exception:  # noqa: BLE001 — a stopped session invalidates handles
-            pass
-    hashed = _shingle_hash_rows(df, text_col, id_col, n).cache()
-    _JACCARD_CACHE = hashed
+    hashed = _swap_cache("jaccard", _shingle_hash_rows(df, text_col, id_col, n))
     a = hashed.select(F.col(id_col).alias("a"), "sh", F.col("sz").alias("sz_a"))
     b = hashed.select(F.col(id_col).alias("b"), "sh", F.col("sz").alias("sz_b"))
     inter = (
@@ -278,4 +287,61 @@ def simhash_bits(
                 ),
             ).alias("simhash")
         )
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs with SimHash hamming distance <= max_hamming.
+
+    Scale path (the permuted-block technique of the published simhash
+    dedup literature): split the fingerprint into max_hamming+1 blocks —
+    by pigeonhole, any pair within distance k agrees exactly on at least
+    one block — join candidates on (block_idx, block_bits), then verify
+    the exact distance with two 32-bit XOR popcounts. The shuffle is
+    O(docs x blocks), never O(docs^2).
+    """
+    nblocks = max_hamming + 1
+    blk = bits // nblocks
+    sims = _swap_cache("simhash_pairs", simhash_bits(df, text_col, id_col, bits).select(
+        id_col,
+        # two 32-bit halves as bigints: conv() of the full 64-bit string can
+        # exceed the signed range and null out
+        F.conv(F.substring("simhash", 1, 32), 2, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring("simhash", 33, 32), 2, 10).cast("bigint").alias("lo"),
+        F.array(*[
+            F.substring(
+                "simhash",
+                i * blk + 1,
+                blk if i < nblocks - 1 else bits - (nblocks - 1) * blk,
+            )
+            for i in range(nblocks)
+        ]).alias("blocks"),
+    ))
+    banded = sims.select(
+        id_col, "hi", "lo",
+        F.posexplode("blocks").alias("block_idx", "block_bits"),
+    )
+    a = banded.select(F.col(id_col).alias("a"), F.col("hi").alias("hi_a"),
+                      F.col("lo").alias("lo_a"), "block_idx", "block_bits")
+    b = banded.select(F.col(id_col).alias("b"), F.col("hi").alias("hi_b"),
+                      F.col("lo").alias("lo_b"), "block_idx", "block_bits")
+    cand = (
+        a.join(b, ["block_idx", "block_bits"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    dist = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("bigint")
+    return (
+        cand.select("a", "b", dist.alias("dist"))
+        .filter(F.col("dist") <= max_hamming)
     )

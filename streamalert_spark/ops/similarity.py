@@ -116,6 +116,79 @@ def cosine_pairs_exact(
     )
 
 
+def _half_up6(x: float) -> float:
+    """Round half away from zero at 6 decimals — matches Spark F.round /
+    DuckDB ROUND so driver-side probe selection agrees with both engines."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
+def _pydot(u: list[float], v: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(u, v):
+        acc += x * y
+    return acc
+
+
+def _pynorm(u: list[float]) -> float:
+    import math
+
+    acc = 0.0
+    for x in u:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def ivf_topk(
+    df: DataFrame,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id: int = 0,
+) -> DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer + cell-pruned search.
+
+    Centroids are the n_cells lowest-id vectors (deterministic stand-in for
+    k-means — the plan shape is identical); every vector is assigned to its
+    max-cosine centroid in one projection pass; the query probes only the
+    n_probe nearest cells, so the scored fraction is ~n_probe/n_cells of the
+    corpus. Centroids + query are collected driver-side (metadata scale:
+    n_cells+1 rows) and inlined as literals — the scan itself never
+    collects. Python-side probe ranking reproduces engine arithmetic
+    exactly (sequential double accumulation + half-away-from-zero rounding).
+    """
+    seeds_rows = df.filter(F.col(id_col) < n_cells).select(id_col, vec_col).collect()
+    seeds = sorted((int(r[0]), [float(v) for v in r[1]]) for r in seeds_rows)
+    q = [float(v) for v in df.filter(F.col(id_col) == query_id).select(vec_col).head()[0]]
+    qn = _pynorm(q)
+    ranked = sorted((-_half_up6(_pydot(q, sv) / (qn * _pynorm(sv))), sid) for sid, sv in seeds)
+    probes = [sid for _, sid in ranked[:n_probe]]
+
+    vn = norm(F.col(vec_col))
+    cell_structs = F.array(*[
+        F.struct(
+            (-F.round(
+                dot(F.col(vec_col), F.array(*[F.lit(v) for v in sv]))
+                / (vn * F.lit(_pynorm(sv))), 6)).alias("ns"),
+            F.lit(sid).alias("seed"),
+        )
+        for sid, sv in seeds
+    ])
+    qlit = F.array(*[F.lit(v) for v in q])
+    score = F.round(dot(F.col(vec_col), qlit) / (vn * F.lit(qn)), 6)
+    return (
+        df.select(F.col(id_col), score.alias("score"),
+                  F.array_min(cell_structs)["seed"].alias("cell"))
+        .filter(F.col("cell").isin(probes))
+        .select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_bucketed_pairs(
     df: DataFrame,
     hyperplanes: list[list[float]],

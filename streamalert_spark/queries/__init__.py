@@ -48,8 +48,10 @@ def load_all() -> dict[str, RegisteredQuery]:
     from streamalert_spark.queries import (  # noqa: F401
         analytics_ext,
         llm_ops,
+        multimodal_surface,
         parsers_surface,
         pipeline,
+        scale_ext,
         sql_surface,
         surface_ext,
     )
