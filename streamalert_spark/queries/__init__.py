@@ -52,6 +52,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         parsers_surface,
         pipeline,
         scale_ext,
+        sources_surface,
         sql_surface,
         surface_ext,
     )
