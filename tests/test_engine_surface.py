@@ -87,3 +87,16 @@ def test_observe_metrics(spark):
     got = obs.get
     assert got[M.TRIGGERED_ALERTS] == 3
     assert got["distinct_rules"] == 2
+
+
+def test_sanitized_table_name():
+    """firehose.py:305-336 naming: sanitize + md5 suffix on truncation."""
+    from streamalert_spark.schema.sanitize import sanitized_table_name
+
+    assert sanitized_table_name("cloudwatch:cloudtrail") == "cloudwatch_cloudtrail"
+    long = "a" * 80
+    out = sanitized_table_name(long)
+    assert len(out) == 64
+    assert out.startswith("a" * 55 + "_")
+    # deterministic suffix
+    assert out == sanitized_table_name(long)
