@@ -112,7 +112,7 @@ def _hyperplanes(num_planes: int = 6, dim: int = 64) -> list[list[float]]:
     ]
 
 
-def _lsh_ann_oracle(threshold: float = 0.9) -> str:
+def _lsh_ann_oracle(threshold: float = 0.4) -> str:
     planes = _hyperplanes()
     bit_exprs = []
     for plane in planes:
@@ -141,14 +141,14 @@ ORDER BY a, b
 """
 
 
-@query("ann_lsh_bucketed", oracle=_lsh_ann_oracle(),
+@query("ann_lsh_bucketed", oracle=_lsh_ann_oracle(),  # 0.4: corpus max pair ~0.6
        doc="Random-hyperplane LSH bucketing + exact cosine verify — the ANN "
            "scale path (bucket join instead of cross join).")
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamalert_spark.ops.similarity import lsh_bucketed_pairs
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return lsh_bucketed_pairs(emb, _hyperplanes(), threshold=0.9).orderBy("a", "b")
+    return lsh_bucketed_pairs(emb, _hyperplanes(), threshold=0.4).orderBy("a", "b")
 
 
 # ---------------------------------------------------------------- corpus quality filter
