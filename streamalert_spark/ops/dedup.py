@@ -251,9 +251,51 @@ def simhash_bits(
     bits: int = 64,
 ) -> DataFrame:
     """SimHash over distinct tokens: per bit position j, majority vote of
-    md5(token)'s j-th bit (+1/-1). Output (doc_id, simhash) with the hash as
-    a 64-char bit string — portable across engines (no engine-native hash,
-    no bigint bit ops).
+    md5(token)'s j-th bit (+1/-1). Output (doc_id, simhash) as a bit string.
+
+    Arrow-batched kernel, zero shuffle: the fingerprint is doc-local, so it
+    computes inside the scan partition (the SQL form below pays a
+    tokens x 64 explode + two groupBy exchanges — ~64M intermediate rows at
+    sf0.1). np.unpackbits is big-endian per byte, exactly the reference bit
+    order hexdigit[j//4] >> (3 - j%4).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    if bits != 64:
+        raise ValueError("kernel computes 64-bit fingerprints")
+    id_dtype = dict(df.dtypes)[id_col]
+
+    def run(batches):
+        for pdf in batches:
+            ids, sims = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = {w for w in (text or "").split(" ") if w}
+                if not toks:
+                    ids.append(doc_id)
+                    sims.append("0" * 64)
+                    continue
+                buf = b"".join(hashlib.md5(w.encode()).digest()[:8] for w in toks)  # noqa: S324
+                bm = np.unpackbits(np.frombuffer(buf, dtype=np.uint8).reshape(-1, 8), axis=1)
+                votes = bm.sum(axis=0, dtype=np.int64) * 2 - len(toks)
+                ids.append(doc_id)
+                sims.append("".join("1" if v > 0 else "0" for v in votes))
+            yield pd.DataFrame({id_col: ids, "simhash": sims})
+
+    src = df.select(id_col, text_col).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return src.mapInPandas(run, schema=f"{id_col} {id_dtype}, simhash string")
+
+
+def simhash_bits_sql(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """Pure-expression SimHash (engine-portable reference formulation;
+    computes values bit-identical to the kernel above).
 
     Bit j of an md5 hex digest = (hexdigit[j/4] >> (3 - j%4)) & 1, computed
     arithmetically: floor(digit / 2^(3-j%4)) % 2.
