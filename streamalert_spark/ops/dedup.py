@@ -230,10 +230,12 @@ def minhash_lsh_candidates(
         ]))
         for bi in range(num_bands)
     ]
-    banded = sig.select(
+    # cached: the banded subtree feeds both self-join sides, and the
+    # signature kernel underneath is the expensive part
+    banded = _swap_cache("lsh_bands", sig.select(
         F.col(id_col),
         F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
-    )
+    ))
     left = banded.select(F.col(id_col).alias("a"), "band_idx", "band_key")
     right = banded.select(F.col(id_col).alias("b"), "band_idx", "band_key")
     return (
