@@ -1,0 +1,93 @@
+"""Physical-plan regression tests: the perf-critical plan shapes from
+SCALE.md, asserted on .explain output so they can't silently regress.
+
+These are the properties that make the 100 TB story true — a green bench
+at sf0.1 with a wrong plan shape (duplicated parse, shuffled broadcast
+side, unpruned scan) would still be a scale bug.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_classifier_parses_once(spark):
+    """The Generate barrier must keep exactly ONE from_csv in the plan;
+    predicate re-inlining was a measured 20x regression."""
+    from streamalert_spark.classify.classifier import Classifier
+    from streamalert_spark.schema.registry import LogSchema, SchemaRegistry
+
+    df = spark.createDataFrame([("1,x",), ("2,y",)], "payload string")
+    reg = SchemaRegistry()
+    reg.register(LogSchema(name="t:csv", schema={"a": "integer", "b": "string"}, parser="csv"))
+    out = Classifier(reg).classify(df, raw_col="payload").by_log_type["t:csv"]
+    plan = _plan(out.select(F.col("record.a")))
+    assert plan.count("from_csv") == 1, plan
+
+
+def test_threat_intel_is_broadcast_join(spark):
+    from streamalert_spark.queries import load_all
+
+    df = load_all()["threat_intel_hits"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_lookup_enrich_is_broadcast_join(spark):
+    from streamalert_spark.queries import load_all
+
+    df = load_all()["lookup_enrich"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column aggregate over lineitem must not read the whole table."""
+    from streamalert_spark.session import read_table
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    plan = _plan(df)
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "l_returnflag" in scan and "l_quantity" in scan
+    assert "l_extendedprice" not in scan, scan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from streamalert_spark.session import read_table
+
+    orders = read_table(spark, SF_DIR, "orders")
+    df = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    idx = plan.index("PushedFilters")
+    assert "o_orderstatus" in plan[idx:idx + 200], plan[idx:idx + 200]
+
+
+def test_text_stats_single_projection_no_shuffle(spark):
+    """Text analysis is one scan pass: no Exchange in the plan."""
+    from streamalert_spark.ops.text import text_stats
+    from streamalert_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(text_stats(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_simhash_kernel_no_shuffle(spark):
+    """Doc-local Arrow kernels: only the initial round-robin repartition,
+    no key-based Exchange (hashpartitioning) anywhere."""
+    from streamalert_spark.ops.dedup import simhash_bits
+    from streamalert_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(simhash_bits(docs))
+    assert "hashpartitioning" not in plan, plan
