@@ -3,17 +3,28 @@ ported as a format (the JSON files are engine-independent).
 
 Reference format (streamalert_cli/test/event.py:33-110): each event file
 declares {data | override_record, description, log, service, source} and
-optionally {trigger_rules, classify_only, test_fixtures{lookup_tables,
-threat_intel}}. The runner feeds the event through the REAL pipeline and
-asserts: the record classified as the declared log type, and the set of
-triggered rules equals trigger_rules EXACTLY — unexpected triggers fail too
+optionally {trigger_rules, classify_only, compress,
+test_fixtures{lookup_tables, threat_intel}}. The runner feeds the event
+through the REAL pipeline and asserts: the record classified as the
+declared log type, and the set of triggered rules equals trigger_rules
+EXACTLY — unexpected triggers fail too
 (streamalert_cli/test/results.py:187-204,280-285).
+
+Option support:
+- ``override_record``: deep-merged over a type-default record generated
+  from the declared log schema (event.py:78-96).
+- ``compress``: gzip the payload and run it through the real Kinesis
+  decode path before classification (event.py test option `compress`).
+- ``test_fixtures.lookup_tables``: {table: {key: value}} registered into
+  the passed LookupTables before the run (handler.py fixture loading);
+  threat_intel fixtures are not wired yet (tracked gap).
 """
 
 from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -29,15 +40,75 @@ class GoldenResult:
     failures: list[str] = field(default_factory=list)
 
 
+def _deep_merge(base: dict, override: dict) -> dict:
+    out = dict(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _default_record(schema_dict: dict) -> dict:
+    """Type-default record for override_record events (parsers.py:157-171
+    defaults, event.py:78-96 merge semantics)."""
+    from streamalert_spark.schema.types import type_default
+
+    out = {}
+    for key, tok in schema_dict.items():
+        out[key] = _default_record(tok) if isinstance(tok, dict) and tok else type_default(tok)
+    return out
+
+
+def load_golden_events(path: str | Path) -> list[dict]:
+    """Load every *.json golden-event file under ``path`` (each file holds
+    one event dict or a list of them) — the reference keeps these next to
+    each rule; any directory layout works here."""
+    events: list[dict] = []
+    for fp in sorted(Path(path).rglob("*.json")):
+        loaded = json.loads(fp.read_text())
+        items = loaded if isinstance(loaded, list) else [loaded]
+        for ev in items:
+            ev.setdefault("_file", str(fp))
+            events.append(ev)
+    return events
+
+
 def run_golden_event(
     spark: SparkSession,
     pipeline: StreamingPipeline,
     event: dict,
+    lookups=None,
 ) -> GoldenResult:
     """Feed one golden event through classification + rules and assert the
     declared outcomes."""
-    payload = json.dumps(event["data"]) if not isinstance(event["data"], str) else event["data"]
-    source = spark.createDataFrame([(payload,)], "value string")
+    fixtures = event.get("test_fixtures", {})
+    if fixtures.get("lookup_tables"):
+        if lookups is None:
+            raise ValueError("event declares lookup_tables fixtures; pass lookups=")
+        for tname, data in fixtures["lookup_tables"].items():
+            lookups.register_dict(tname, data)
+
+    if "data" in event:
+        data = event["data"]
+    else:
+        base = _default_record(pipeline.schemas.get(event["log"]).schema)
+        data = _deep_merge(base, event["override_record"])
+    payload = data if isinstance(data, str) else json.dumps(data)
+
+    if event.get("compress"):
+        import base64
+        import gzip
+
+        from streamalert_spark.sources.decode import kinesis_decode
+
+        wire = base64.b64encode(gzip.compress(payload.encode(), mtime=0)).decode("ascii")
+        source = kinesis_decode(
+            spark.createDataFrame([(wire,)], "data string")
+        ).select("value")
+    else:
+        source = spark.createDataFrame([(payload,)], "value string")
     service = event.get("service", "")
     resource = event.get("source", "")
 
