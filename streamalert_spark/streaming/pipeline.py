@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamalert_spark.classify.classifier import Classifier
+from streamalert_spark.enrich.threat_intel import ThreatIntel
 from streamalert_spark.normalize.normalizer import Normalizer
 from streamalert_spark.rules.engine import RulesEngine
 from streamalert_spark.rules.registry import RuleRegistry
@@ -36,6 +37,10 @@ class StreamingPipeline:
     schemas: SchemaRegistry
     rules: RuleRegistry
     normalizers: dict[str, Normalizer] | None = None   # per log type
+    # IOC detection between normalization and rules (rules_engine.py:480-481):
+    # normalized records gain a 'streamalert_ioc' map column that rule
+    # expressions can reference (F.col('streamalert_ioc'))
+    threat_intel: ThreatIntel | None = None
     cluster: str = ""
 
     def build_alerts(
@@ -61,6 +66,8 @@ class StreamingPipeline:
             normalizer = (self.normalizers or {}).get(log_type)
             if normalizer is not None:
                 cur = normalizer.apply(cur)
+                if self.threat_intel is not None:
+                    cur = self.threat_intel.annotate(cur)
             alerts = engine.run(
                 cur,
                 log_type=log_type,

@@ -16,8 +16,11 @@ Option support:
 - ``compress``: gzip the payload and run it through the real Kinesis
   decode path before classification (event.py test option `compress`).
 - ``test_fixtures.lookup_tables``: {table: {key: value}} registered into
-  the passed LookupTables before the run (handler.py fixture loading);
-  threat_intel fixtures are not wired yet (tracked gap).
+  the passed LookupTables before the run (handler.py fixture loading).
+- ``test_fixtures.threat_intel``: [{ioc_value, sub_type}] rows built into
+  a ThreatIntel table for the run; requires the pipeline to carry a
+  ThreatIntel (its ioc table is swapped for the fixture rows), mirroring
+  the reference's fixture-backed mock table.
 """
 
 from __future__ import annotations
@@ -89,6 +92,23 @@ def run_golden_event(
             raise ValueError("event declares lookup_tables fixtures; pass lookups=")
         for tname, data in fixtures["lookup_tables"].items():
             lookups.register_dict(tname, data)
+    if fixtures.get("threat_intel"):
+        import dataclasses
+
+        from streamalert_spark.enrich.threat_intel import ThreatIntel
+
+        if pipeline.threat_intel is None:
+            raise ValueError("event declares threat_intel fixtures; pipeline "
+                             "carries no ThreatIntel config")
+        ioc_df = spark.createDataFrame(
+            [(r["ioc_value"], r.get("sub_type", "")) for r in fixtures["threat_intel"]],
+            "ioc_value string, sub_type string",
+        )
+        pipeline = dataclasses.replace(pipeline, threat_intel=ThreatIntel(
+            ioc_df,
+            normalized_ioc_types=pipeline.threat_intel.normalized_ioc_types,
+            excluded_cidrs=pipeline.threat_intel.excluded_cidrs,
+        ))
 
     if "data" in event:
         data = event["data"]

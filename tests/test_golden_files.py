@@ -22,3 +22,69 @@ def test_fixture_files_found():
 def test_golden_file(spark, event):
     res = run_golden_event(spark, _guardduty_pipeline(), event)
     assert res.passed, res.failures
+
+
+def _ioc_pipeline():
+    """Pipeline with normalization + threat intel between classify and
+    rules (rules_engine.py:480-481); the rule fires on the ioc annotation."""
+    from pyspark.sql import functions as F
+
+    from streamalert_spark.enrich.threat_intel import ThreatIntel
+    from streamalert_spark.normalize.normalizer import (
+        NormalizationSpec, Normalizer, PathSpec,
+    )
+    from streamalert_spark.rules.registry import Rule, RuleRegistry
+    from streamalert_spark.schema.registry import LogSchema, SchemaRegistry
+    from streamalert_spark.streaming.pipeline import StreamingPipeline
+
+    schemas = SchemaRegistry()
+    schemas.register(LogSchema(
+        name="auth:login", schema={"username": "string", "src_ip": "string"}))
+    normalizer = Normalizer(NormalizationSpec(types={
+        "ip_address": [PathSpec(path="src_ip", function="source address")],
+    }))
+    rules = RuleRegistry()
+    rules.add(Rule(
+        name="ioc_login",
+        expr=lambda rec: F.col("streamalert_ioc").isNotNull(),
+        logs=["auth:login"],
+        outputs=["slack:sec"],
+        description="login from a known-bad address",
+    ))
+    import pyspark.sql.session as _s  # active session for the placeholder table
+
+    spark = _s.SparkSession.getActiveSession()
+    empty_ioc = spark.createDataFrame([], "ioc_value string, sub_type string")
+    ti = ThreatIntel(empty_ioc, normalized_ioc_types={"ip": ["ip_address"]})
+    return StreamingPipeline(
+        schemas=schemas, rules=rules,
+        normalizers={"auth:login": normalizer}, threat_intel=ti,
+    )
+
+
+def test_golden_threat_intel_fixture_hit(spark):
+    event = {
+        "data": {"username": "root", "src_ip": "203.0.113.7"},
+        "description": "ioc fixture matches src_ip",
+        "log": "auth:login",
+        "trigger_rules": ["ioc_login"],
+        "test_fixtures": {"threat_intel": [
+            {"ioc_value": "203.0.113.7", "sub_type": "c2_ip"},
+        ]},
+    }
+    res = run_golden_event(spark, _ioc_pipeline(), event)
+    assert res.passed, res.failures
+
+
+def test_golden_threat_intel_fixture_miss(spark):
+    event = {
+        "data": {"username": "root", "src_ip": "198.51.100.1"},
+        "description": "no ioc match, no trigger",
+        "log": "auth:login",
+        "trigger_rules": [],
+        "test_fixtures": {"threat_intel": [
+            {"ioc_value": "203.0.113.7", "sub_type": "c2_ip"},
+        ]},
+    }
+    res = run_golden_event(spark, _ioc_pipeline(), event)
+    assert res.passed, res.failures
