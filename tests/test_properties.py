@@ -1,0 +1,164 @@
+"""Property-based tests (hypothesis) for the pure-Python algorithmic cores:
+merge synthesis, greedy grouping, glob translation, key sanitization.
+
+These go beyond the reference's test suite (which has no property tests —
+SURVEY.md §5) and pin the ported *semantics*, not the ported code.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# -- strategies --------------------------------------------------------------
+
+_scalar = st.one_of(st.none(), st.booleans(), st.integers(-5, 5), st.text(max_size=4))
+_record = st.recursive(
+    _scalar,
+    lambda inner: st.dictionaries(
+        st.text(min_size=1, max_size=4, alphabet="abcdk"), inner, max_size=4),
+    max_leaves=12,
+)
+_records = st.lists(
+    st.dictionaries(st.text(min_size=1, max_size=4, alphabet="abcdk"), _record, max_size=4),
+    min_size=1, max_size=6,
+)
+
+
+def _flatten(d, prefix=""):
+    if not isinstance(d, dict):
+        return {prefix: d}
+    out = {}
+    for k, v in d.items():
+        key = f"{prefix}.{k}" if prefix else str(k)
+        out.update(_flatten(v, key))
+    return out
+
+
+# -- merge common subset / diffs ---------------------------------------------
+
+@given(_records)
+@settings(max_examples=200, deadline=None)
+def test_common_subset_is_contained_in_every_record(records):
+    from streamalert_spark.alerts.merge import merge_common_subset
+
+    common = merge_common_subset(records)
+    flat_common = _flatten(common) if common else {}
+    for rec in records:
+        flat = _flatten(rec)
+        for k, v in flat_common.items():
+            assert flat.get(k) == v, (k, v, rec)
+
+
+@given(_records)
+@settings(max_examples=200, deadline=None)
+def test_diffs_plus_common_reconstruct_record(records):
+    """Every flattened leaf of a record appears either in the common subset
+    or in that record's ValueDiffs (alert.py:338-380 invariant)."""
+    from streamalert_spark.alerts.merge import merge_common_subset, merge_value_diffs
+
+    common = merge_common_subset(records)
+    flat_common = _flatten(common) if common else {}
+    for rec in records:
+        diffs = merge_value_diffs(rec, common)
+        for k, v in _flatten(rec).items():
+            assert flat_common.get(k) == v or k in diffs
+
+
+@given(_records)
+@settings(max_examples=100, deadline=None)
+def test_identical_records_have_empty_diffs(records):
+    from streamalert_spark.alerts.merge import merge_common_subset, merge_value_diffs
+
+    clones = [records[0]] * 3
+    common = merge_common_subset(clones)
+    assert merge_value_diffs(records[0], common) == {}
+
+
+# -- greedy grouping ----------------------------------------------------------
+
+_times = st.lists(
+    st.integers(0, 10_000).map(lambda s: datetime(2024, 1, 1) + timedelta(seconds=s)),
+    min_size=1, max_size=120,
+)
+
+
+@given(_times, st.integers(1, 3600), st.integers(1, 60))
+@settings(max_examples=200, deadline=None)
+def test_greedy_groups_partition_cap_and_window(times, window_s, cap):
+    from streamalert_spark.alerts.merge import greedy_groups
+
+    window = timedelta(seconds=window_s)
+    groups = greedy_groups(times, window, cap=cap)
+    # exact partition of all indices
+    flat = [i for g in groups for i in g]
+    assert sorted(flat) == list(range(len(times)))
+    for g in groups:
+        assert 1 <= len(g) <= cap
+        ts = [times[i] for i in g]
+        # chronological within group, span bounded by the OLDEST alert's window
+        assert ts == sorted(ts)
+        assert ts[-1] - ts[0] <= window
+
+
+# -- glob -> LIKE translation -------------------------------------------------
+
+def _like_match(pattern: str, s: str) -> bool:
+    """Reference LIKE evaluator: % = any run, _ = one char, backslash
+    escapes — the exact semantics Spark applies to our translated globs."""
+    rx = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            rx.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            rx.append(".*")
+        elif ch == "_":
+            rx.append(".")
+        else:
+            rx.append(re.escape(ch))
+        i += 1
+    return re.fullmatch("".join(rx), s, flags=re.DOTALL) is not None
+
+
+@given(st.text(alphabet="ab*?%_\\", max_size=8), st.text(alphabet="ab%_c", max_size=8))
+@settings(max_examples=500, deadline=None)
+def test_glob_to_like_matches_fnmatch(pattern, s):
+    """glob_to_like must preserve fnmatchcase semantics for any pattern
+    made of literals, *, ?, and LIKE metacharacters needing escape."""
+    from streamalert_spark.classify.classifier import glob_to_like
+
+    # fnmatch treats [ ] specially; the reference's log_patterns docs use
+    # only * and ? — restrict the property to that supported surface.
+    assert _like_match(glob_to_like(pattern), s) == fnmatch.fnmatchcase(s, pattern)
+
+
+# -- key sanitization ---------------------------------------------------------
+
+@given(st.text(max_size=30))
+@settings(max_examples=300, deadline=None)
+def test_sanitize_key_is_hive_safe_and_idempotent(key):
+    from streamalert_spark.schema.sanitize import sanitize_key
+
+    out = sanitize_key(key)
+    assert re.fullmatch(r"\w*", out)
+    assert sanitize_key(out) == out
+    assert len(out) == len(key)  # firehose.py:42-44 replaces 1:1
+
+
+@given(st.text(min_size=1, max_size=120, alphabet="abc:-. $"))
+@settings(max_examples=200, deadline=None)
+def test_sanitized_table_name_bounded_and_stable(name):
+    from streamalert_spark.schema.sanitize import sanitized_table_name
+
+    out = sanitized_table_name(name)
+    assert len(out) <= 64
+    assert re.fullmatch(r"[A-Za-z0-9_]+", out)
+    assert out == sanitized_table_name(name)
