@@ -51,6 +51,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         multimodal_surface,
         parsers_surface,
         pipeline,
+        pipeline_ext,
         scale_ext,
         sources_surface,
         sql_surface,

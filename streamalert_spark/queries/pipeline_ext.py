@@ -1,0 +1,85 @@
+"""Pipeline-closing queries: the greedy stateful alert merge (rows-only —
+its iterative grouping is not SQL-expressible) and the scheduled-query →
+streamquery → classifier feedback loop of SURVEY.md §3.2, oracle-checked
+end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamalert_spark.alerts.merge import merge_alerts_batch
+from streamalert_spark.alerts.model import ALERT_TS_FMT
+from streamalert_spark.queries import query
+from streamalert_spark.session import read_table
+
+
+@query("alert_merge_greedy", oracle=None,
+       doc="Greedy chronological alert merge with the 50-cap and "
+           "oldest-alert window (alert_merger/main.py:106-132, "
+           "alert.py:289-433) — iterative semantics, rows-only check.")
+def alert_merge_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    alerts = ev.filter(F.col("event_type") == "error").select(
+        F.lit("error_burst").alias("rule_name"),
+        F.date_format("ts", ALERT_TS_FMT).alias("created"),
+        F.to_json(F.struct(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.col("event_type"),
+        )).alias("record"),
+        F.array(F.lit("user_id")).alias("merge_by_keys"),
+        F.lit(15).alias("merge_window_mins"),
+    )
+    return merge_alerts_batch(alerts).orderBy(
+        "rule_name", "merge_values", "alert_time_first")
+
+
+_FEEDBACK_ORACLE = """
+SELECT event_type, COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("streamquery_feedback", oracle=_FEEDBACK_ORACLE,
+       doc="Scheduled pack -> streamquery records -> classifier -> typed "
+           "rows: the §3.2 feedback loop round-trips the aggregate exactly.")
+def streamquery_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.classify.classifier import Classifier
+    from streamalert_spark.schema.registry import LogSchema, SchemaRegistry
+    from streamalert_spark.sql.scheduled import (
+        QueryPack, QueryPackRepository, ScheduledQueryRunner,
+    )
+
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    repo = QueryPackRepository()
+    repo.register(QueryPack(
+        name="event_type_counts",
+        description="hourly event type counts",
+        query="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+        tags=["hourly"],
+    ))
+    runner = ScheduledQueryRunner(spark, repo)
+    feedback = runner.to_streamquery_records(runner.run(tags=["hourly"]))
+
+    # re-enter the classifier as the streamquery log type
+    # (conf/schemas/streamquery.json shape)
+    reg = SchemaRegistry()
+    reg.register(LogSchema(
+        name="streamquery:1.0.0",
+        schema={"streamquery_schema_version": "string",
+                "execution": {}, "data": {}},
+    ))
+    batch = Classifier(reg).classify(feedback, raw_col="value")
+    rec = batch.by_log_type["streamquery:1.0.0"]
+    rows = F.from_json(F.col("record.data")["rows"], "array<map<string,string>>")
+    return (
+        rec.select(F.explode(rows).alias("r"))
+        .select(
+            F.col("r")["event_type"].alias("event_type"),
+            F.col("r")["n"].cast("bigint").alias("n"),
+        )
+        .orderBy("event_type")
+    )
