@@ -183,21 +183,22 @@ def minhash_signatures(
         f"mh_{i} string" for i in range(num_hashes)
     )
 
+    prefixes = [f"{seed}:".encode() for seed in range(num_hashes)]
+
     def run(batches):
+        md5 = hashlib.md5
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 w = (text or "").split(" ")
                 grams = {" ".join(w[i:i + n]) for i in range(max(0, len(w) - n + 1))}
-                sig = []
-                for seed in range(num_hashes):
-                    prefix = f"{seed}:".encode()
-                    best = None
-                    for s in grams:
-                        h = hashlib.md5(prefix + s.encode()).hexdigest()  # noqa: S324
-                        if best is None or h < best:
-                            best = h
-                    sig.append(best)
+                enc = [s.encode() for s in grams]
+                # min over raw digests == min over hexdigests (hex encoding
+                # is monotone), so hex-convert only the 16 winners
+                sig = [
+                    (min(md5(p + e).digest() for e in enc).hex() if enc else None)  # noqa: S324
+                    for p in prefixes
+                ]
                 rows.append([doc_id, *sig])
             yield pd.DataFrame(rows, columns=[id_col] + [f"mh_{i}" for i in range(num_hashes)])
 
