@@ -35,6 +35,57 @@ def alert_merge_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule_name", "merge_values", "alert_time_first")
 
 
+_DATATYPE_ORACLE = """
+SELECT md5(CAST(event_id AS VARCHAR)) AS id,
+       'metric_watch' AS rule_name,
+       event_id
+FROM events
+WHERE json_extract_string(props, '$.k') LIKE '%3%'
+ORDER BY event_id
+"""
+
+
+@query("rule_datatype_routing", oracle=_DATATYPE_ORACLE,
+       doc="Rule subscribed to a normalized datatype instead of a log type "
+           "(rule.py:227-229): fires only where normalization extracted "
+           "values (the extraction is condition-gated so routing selects).")
+def rule_datatype_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.normalize.normalizer import (
+        NormalizationSpec, Normalizer, PathSpec,
+    )
+    from streamalert_spark.rules.engine import RulesEngine
+    from streamalert_spark.rules.registry import Rule, RuleRegistry
+
+    ev = read_table(spark, sf_dir, "events")
+    records = ev.select(
+        F.col("ts"),
+        F.struct(
+            F.col("event_id").cast("string").alias("event_id"),
+            F.get_json_object("props", "$.k").alias("k"),
+        ).alias("record"),
+    )
+    normalizer = Normalizer(NormalizationSpec(types={
+        "metric": [PathSpec(path="k", function="metric value",
+                            condition={"path": "k", "contains": "3"})],
+    }))
+    normed = normalizer.apply(
+        records, record_id=F.md5(F.col("record.event_id")))
+    reg = RuleRegistry()
+    reg.add(Rule(name="metric_watch", expr=lambda r: F.lit(True),
+                 datatypes=["metric"], outputs=["slack:metrics"]))
+    alerts = RulesEngine(reg).run(
+        normed, log_type="events:props", event_time=F.col("ts"),
+        alert_id=F.md5(F.col("record.event_id")),
+    )
+    return (
+        alerts.select(
+            "id", "rule_name",
+            F.get_json_object("record", "$.event_id").cast("bigint").alias("event_id"),
+        )
+        .orderBy("event_id")
+    )
+
+
 _FEEDBACK_ORACLE = """
 SELECT event_type, COUNT(*) AS n
 FROM events

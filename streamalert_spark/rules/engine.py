@@ -184,6 +184,24 @@ class RulesEngine:
         alert_frames: list[DataFrame] = []
         for r in rules:
             cur = df
+            if r.datatypes:
+                # datatype routing (rule.py:227-229, docs/rules.rst:174-179):
+                # the record's normalization must contain at least one
+                # subscribed normalized type. Without a normalization column
+                # a datatype-routed rule can never match.
+                if "streamalert_normalization" not in df.columns:
+                    continue
+                norm = F.col("streamalert_normalization")
+                cond = None
+                for dt_name in r.datatypes:
+                    # the map carries every CONFIGURED type (empty values
+                    # when its condition failed) — presence means actual
+                    # extracted values, not just the key
+                    c = F.size(F.flatten(
+                        F.transform(norm[dt_name], lambda e: e["values"])
+                    )) > 0
+                    cond = c if cond is None else (cond | c)
+                cur = cur.filter(cond)
             pre = self._req_subkeys_filter(record, r)
             if pre is not None:
                 cur = cur.filter(pre)

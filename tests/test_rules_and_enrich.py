@@ -186,3 +186,31 @@ def test_rule_checksum_ignores_docstring():
     c3 = Rule(name="r", process=scope_c(), logs=["x"]).checksum()
     assert c1 == c2
     assert c1 != c3
+
+
+def test_datatype_routing(spark):
+    """rule.py:227-229 — datatype-routed rules fire only for records whose
+    normalization carries actual values for a subscribed type."""
+    from streamalert_spark.normalize.normalizer import (
+        NormalizationSpec, Normalizer, PathSpec,
+    )
+
+    df = spark.createDataFrame(
+        [(("alice", "10.0.0.1"),), (("bob", None),)],
+        "record struct<name:string, src_ip:string>",
+    ).withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    normalizer = Normalizer(NormalizationSpec(types={
+        "ip_address": [PathSpec(path="src_ip", function="src")],
+    }))
+    normed = normalizer.apply(df)
+
+    reg = RuleRegistry()
+    reg.add(Rule(name="by_datatype", expr=lambda r: F.lit(True),
+                 datatypes=["ip_address"]))
+    alerts = RulesEngine(reg).run(normed, log_type="t:x", event_time=F.col("ts"))
+    recs = [r["record"] for r in alerts.collect()]
+    assert len(recs) == 1 and "alice" in recs[0]
+
+    # without a normalization column the rule can never match
+    alerts2 = RulesEngine(reg).run(df, log_type="t:x", event_time=F.col("ts"))
+    assert alerts2 is None or alerts2.count() == 0
