@@ -1,0 +1,57 @@
+"""Example rules — the reference's @rule API on the Spark engine.
+
+A reference deployment's rule modules port by swapping the import: the
+decorator options (logs, datatypes, matchers, outputs, merge_by_keys,
+merge_window_mins, req_subkeys, context, dynamic_outputs) keep their
+semantics (shared/rule.py:32-80). Native-expression rules (expr=...) run
+fully JVM-side; Python-bodied rules run as Arrow-batched predicates after
+the engine's native pre-filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamalert_spark.rules.registry import Rule, RuleRegistry
+
+
+def build_rules() -> RuleRegistry:
+    rules = RuleRegistry()
+
+    rules.matcher(
+        lambda rec: rec.get("detail-type") == "GuardDuty Finding",
+        name="guard_duty",
+        expr=lambda rec: rec["detail-type"] == "GuardDuty Finding",
+    )
+
+    # native-expression rule: stays in whole-stage codegen
+    rules.add(Rule(
+        name="guard_duty_all",
+        expr=lambda rec: F.lit(True),
+        matchers=["guard_duty"],
+        logs=["cloudwatch:events"],
+        outputs=["slack:security"],
+        merge_by_keys=["account"],
+        merge_window_mins=10,
+        description="Any GuardDuty finding (rules/community/guardduty).",
+    ))
+
+    # Python-bodied rule with req_subkeys pre-check (runs only on rows that
+    # pass the native isNotNull gate)
+    @rules.rule(logs=["osquery:differential"],
+                req_subkeys={"columns": ["path"]},
+                outputs=["pagerduty:oncall"])
+    def osquery_sensitive_path(record):
+        """osquery file event under /etc or /root."""
+        path = record["columns"].get("path") or ""
+        return path.startswith(("/etc/", "/root/"))
+
+    # denied flow to a sensitive port
+    rules.add(Rule(
+        name="flow_denied_ssh",
+        expr=lambda rec: (rec["action"] == "REJECT") & (rec["dstport"] == 22),
+        logs=["cloudwatch:flow_logs"],
+        outputs=["slack:network"],
+        description="Rejected inbound SSH flow.",
+    ))
+    return rules
