@@ -80,6 +80,25 @@ def sns_extract(df: DataFrame, record_col: str = "value", out_col: str = "messag
     return df.withColumn(out_col, F.get_json_object(F.col(record_col), "$.Sns.Message"))
 
 
+def s3_event_objects(df: DataFrame, message_col: str = "message") -> DataFrame:
+    """S3-via-SNS unwrap (payload_base.py:264-273): an SNS message that is
+    an S3 event notification re-routes to the S3 source. Extracts one
+    (bucket, key) row per notification record; rows without the S3 shape
+    drop out. Feed the keys to a file source / readStream listing."""
+    recs = F.from_json(
+        F.col(message_col),
+        "Records array<struct<s3:struct<bucket:struct<name:string>,`object`:struct<`key`:string>>>>",
+    )["Records"]
+    return (
+        df.withColumn("_sa_rec", F.explode(F.coalesce(recs, F.array())))
+        .select(
+            F.col("_sa_rec.s3.bucket.name").alias("bucket"),
+            F.col("_sa_rec.s3.object.key").alias("key"),
+        )
+        .filter(F.col("bucket").isNotNull() & F.col("key").isNotNull())
+    )
+
+
 def s3_records(df: DataFrame, content_col: str = "content", out_col: str = "value") -> DataFrame:
     """Split one S3 object's text into raw record strings (s3.py:139-174).
 

@@ -39,3 +39,23 @@ def test_s3_records_shapes(spark):
     )
     vals = sorted(r["value"] for r in s3_records(df).collect())
     assert vals == ["x", "y", '{"a":1}', '{"a":1}', '{"a":2}']
+
+
+def test_s3_via_sns_unwrap(spark):
+    """payload_base.py:264-273: SNS message carrying an S3 event routes to
+    the S3 source — sns_extract composed with s3_event_objects."""
+    import json
+
+    from streamalert_spark.sources.decode import s3_event_objects, sns_extract
+
+    notif = {"Sns": {"Message": json.dumps({
+        "Records": [
+            {"s3": {"bucket": {"name": "logs"}, "object": {"key": "a/b.json.gz"}}},
+            {"s3": {"bucket": {"name": "logs"}, "object": {"key": "c.json"}}},
+        ]})}}
+    plain = {"Sns": {"Message": "just text"}}
+    df = spark.createDataFrame(
+        [(json.dumps(notif),), (json.dumps(plain),)], "value string")
+    out = s3_event_objects(sns_extract(df))
+    rows = sorted((r["bucket"], r["key"]) for r in out.collect())
+    assert rows == [("logs", "a/b.json.gz"), ("logs", "c.json")]
