@@ -34,6 +34,11 @@ from streamalert_spark.schema.registry import LogSchema
 
 _JSON_PATH_RE = re.compile(r"^(?P<head>[A-Za-z0-9_.]+)\[\*\](?:\.(?P<tail>[A-Za-z0-9_.]+))?$")
 
+# Reference JSONParser._regex (parsers.py:520): greedy JSON-blob grab from a
+# free-text field. Java regex needs the braces escaped; semantics (greedy .+,
+# first match via search) are identical.
+_JSON_BLOB_PATTERN = r"(\{.+[:,].+\}|\[.+[,:].+\])"
+
 
 def all_string_struct_ddl(field_names: list[str]) -> str:
     return ", ".join(f"`{name}` string" for name in field_names)
@@ -63,6 +68,19 @@ class JsonParser(ParserBase):
                 F.from_json(F.col(raw_col), env_ddl),
             )
         if not path:
+            rkey = schema.json_regex_key
+            if rkey:
+                # json_regex_key (parsers.py:565-593): regex-extract a JSON
+                # blob from a free-text field; no match -> null raw -> record
+                # invalid, matching the reference's [(data, False)] return.
+                # A blob that parses to a non-dict also invalidates, because
+                # json_object_keys(raw) is null for arrays/scalars.
+                blob = F.regexp_extract(
+                    F.get_json_object(F.col(raw_col), "$." + rkey),
+                    _JSON_BLOB_PATTERN, 1,
+                )
+                df = df.withColumn("_sa_raw", F.nullif(blob, F.lit("")))
+                return df, "_sa_raw"
             return df, raw_col
         m = _JSON_PATH_RE.match(path)
         if m:

@@ -162,6 +162,48 @@ ORDER BY src_key, event_id
 """
 
 
+# ------------------------------------------------------- json_regex_key
+
+_REGEX_KEY_ORACLE = """
+SELECT
+  event_id AS src_key,
+  CAST(event_id AS BIGINT) AS event_id,
+  event_type
+FROM events
+ORDER BY src_key
+"""
+
+
+@query("json_regex_key_extract", oracle=_REGEX_KEY_ORACLE,
+       doc="json_regex_key: regex-extract a JSON blob embedded in a free-text "
+           "field, then strict-parse it (parsers.py:520,565-593).")
+def json_regex_key_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    inner = F.to_json(F.struct(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.col("event_type"),
+    ))
+    payload = F.to_json(F.struct(
+        F.concat(
+            F.lit("user activity for host "), F.col("user_id").cast("string"),
+            F.lit(" detected: "), inner, F.lit(" end of line"),
+        ).alias("message"),
+        F.lit("INFO").alias("level"),
+    ))
+    df = ev.select(F.col("event_id").alias("src_key"), payload.alias("payload"))
+    schema = LogSchema(
+        name="app:embedded",
+        schema={"event_id": "integer", "event_type": "string"},
+        configuration={"json_regex_key": "message"},
+    )
+    batch = _classify(df, schema, keep=["src_key"])
+    return batch.by_log_type["app:embedded"].select(
+        "src_key",
+        F.col("record.event_id").alias("event_id"),
+        F.col("record.event_type").alias("event_type"),
+    ).orderBy("src_key")
+
+
 @query("parse_json_envelope_explode", oracle=_ENVELOPE_ORACLE,
        doc="CloudWatch-style envelope: json_path logEvents[*].message explode "
            "+ embedded JSON + envelope keys (parsers.py:410-448,565-593).")

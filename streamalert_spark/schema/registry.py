@@ -52,6 +52,10 @@ class LogSchema:
         return self.configuration.get("json_path")
 
     @property
+    def json_regex_key(self) -> str | None:
+        return self.configuration.get("json_regex_key")
+
+    @property
     def log_patterns(self) -> dict[str, list[str]]:
         return dict(self.configuration.get("log_patterns", {}))
 

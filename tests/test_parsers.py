@@ -90,6 +90,25 @@ def test_json_path_explode_with_envelope(spark):
     assert rows[1]["streamalert_envelope_keys"]["owner"] == "o1"
 
 
+def test_json_regex_key_extracts_blob(spark):
+    """parsers.py:520,565-593 — regex JSON-blob extraction from a text field;
+    no match or non-dict blob invalidates the record."""
+    schema = LogSchema(
+        name="t:regex",
+        schema={"msg": "string", "n": "integer"},
+        configuration={"json_regex_key": "message"},
+    )
+    batch = _classify_one(spark, schema, [
+        '{"message": "prefix {\\"msg\\": \\"a\\", \\"n\\": 7} suffix"}',  # valid
+        '{"message": "no json blob here"}',                                # no match
+        '{"message": "array [1, 2, 3] only"}',                             # non-dict blob
+        '{"other": "missing the key"}',                                    # key absent
+    ])
+    rows = batch.by_log_type["t:regex"].collect()
+    assert len(rows) == 1
+    assert rows[0]["record"]["msg"] == "a" and rows[0]["record"]["n"] == 7
+
+
 def test_log_patterns_filter(spark):
     """parsers.py:173-221 — fnmatch globs, ANY per field."""
     schema = LogSchema(
