@@ -165,6 +165,39 @@ def test_kv_parser(spark):
     assert batch.invalid.count() == 2
 
 
+def test_kv_duplicate_keys_positional_fallback(spark):
+    """parsers.py:800-806 — duplicate key assigns to the schema key at that
+    field's position (reference test_extract_record_duplicate_fields)."""
+    schema = LogSchema(
+        name="t:kvdup",
+        schema={"name": "string", "result": "string", "test": "string"},
+        parser="kv",
+    )
+    batch = _classify_one(spark, schema, ["name=foo result=bar name=baz"])
+    rows = batch.by_log_type["t:kvdup"].collect()
+    assert len(rows) == 1
+    rec = rows[0]["record"]
+    assert rec["name"] == "foo" and rec["result"] == "bar" and rec["test"] == "baz"
+
+
+def test_kv_blank_fields_and_first_separator_split(spark):
+    """parsers.py:787,798 — blank fields dropped before the count check;
+    value keeps everything after the FIRST separator."""
+    schema = LogSchema(
+        name="t:kvb",
+        schema={"name": "string", "result": "string"},
+        parser="kv",
+        configuration={"separator": ":", "delimiter": ","},
+    )
+    batch = _classify_one(spark, schema, [
+        "name:joe bob,result:success",     # reference test_parse
+        ",,name:x,result:a:b:c,",          # blanks dropped; value 'a:b:c'
+    ])
+    rows = {r["record"]["name"]: r["record"] for r in batch.by_log_type["t:kvb"].collect()}
+    assert rows["joe bob"]["result"] == "success"
+    assert rows["x"]["result"] == "a:b:c"
+
+
 # ---------------------------------------------------------------- Syslog
 
 def test_syslog_parser(spark):
