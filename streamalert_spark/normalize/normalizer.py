@@ -41,6 +41,45 @@ class NormalizationSpec:
 
     types: dict[str, list[PathSpec]] = field(default_factory=dict)
 
+    @classmethod
+    def from_config(cls, normalization: dict) -> "NormalizationSpec":
+        """Parse the reference's raw conf format (normalize.py:130-173):
+        {type: params} where params is either a single path as a list of
+        strings (['detail', 'eventName']) or a list of dicts with keys
+        ⊆ {path, function, condition, send_to_artifacts}; condition paths
+        are lists too (normalize.py:287-291).
+        """
+        types: dict[str, list[PathSpec]] = {}
+        for type_name, params in normalization.items():
+            if not isinstance(params, list):
+                raise ValueError(f"normalization params must be a list: {params!r}")
+            if all(isinstance(p, str) for p in params):
+                types[type_name] = [PathSpec(path=".".join(params))]
+                continue
+            valid_keys = {"path", "function", "condition", "send_to_artifacts"}
+            if not all(isinstance(p, dict) and set(p) <= valid_keys for p in params):
+                raise ValueError(
+                    f"unsupported normalization params for {type_name}: {params!r}"
+                )
+            specs = []
+            for p in params:
+                cond = p.get("condition")
+                if cond and isinstance(cond.get("path"), list):
+                    cond = {**cond, "path": ".".join(cond["path"])}
+                specs.append(PathSpec(
+                    path=".".join(p["path"]),
+                    function=p.get("function"),
+                    condition=cond,
+                    send_to_artifacts=p.get("send_to_artifacts", True),
+                ))
+            types[type_name] = specs
+        return cls(types=types)
+
+    @classmethod
+    def for_log_schema(cls, schema) -> "NormalizationSpec":
+        """Spec from a LogSchema's configuration.normalization block."""
+        return cls.from_config(schema.normalization)
+
 
 def _path_col(record: Column, path: str) -> Column:
     col = record

@@ -75,11 +75,15 @@ class JsonParser(ParserBase):
                 # invalid, matching the reference's [(data, False)] return.
                 # A blob that parses to a non-dict also invalidates, because
                 # json_object_keys(raw) is null for arrays/scalars.
+                # explode(array(...)) materializes the extraction once: the
+                # downstream from_json + raw passthrough are CodegenFallback
+                # (no CSE), so an unbarriered column would re-run the regex
+                # chain per consumer (measured 2x at sf0.1).
                 blob = F.regexp_extract(
                     F.get_json_object(F.col(raw_col), "$." + rkey),
                     _JSON_BLOB_PATTERN, 1,
                 )
-                df = df.withColumn("_sa_raw", F.nullif(blob, F.lit("")))
+                df = df.withColumn("_sa_raw", F.explode(F.array(F.nullif(blob, F.lit("")))))
                 return df, "_sa_raw"
             return df, raw_col
         m = _JSON_PATH_RE.match(path)
