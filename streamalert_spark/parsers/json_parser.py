@@ -45,13 +45,19 @@ def all_string_struct_ddl(field_names: list[str]) -> str:
 
 
 def keyset_valid(raw: Column, required: set[str], optional: set[str]) -> Column:
-    """required ⊆ keys(raw) ⊆ required ∪ optional, as native array ops."""
+    """required ⊆ keys(raw) ⊆ required ∪ optional, as native array ops.
+
+    Folded to ONE equality — sort(keys ∪ optional) == sorted(required ∪
+    optional) — which holds iff both subset conditions do (array_union
+    dedups). A single json_object_keys evaluation per candidate instead of
+    three: the JSON re-parse per reference dominates strict-validation cost
+    and Filter codegen does not reliably CSE it. coalesce(.., false) keeps
+    the tri-state false (not null) so first-match-wins negation holds.
+    """
     keys = F.json_object_keys(raw)
-    req = F.array(*[F.lit(k) for k in sorted(required)])
+    opt = F.array(*[F.lit(k) for k in sorted(optional)])
     allowed = F.array(*[F.lit(k) for k in sorted(required | optional)])
-    no_extra = F.size(F.array_except(keys, allowed)) == 0
-    none_missing = F.size(F.array_except(req, keys)) == 0
-    return keys.isNotNull() & no_extra & none_missing
+    return F.coalesce(F.array_sort(F.array_union(keys, opt)) == allowed, F.lit(False))
 
 
 @parser
