@@ -69,7 +69,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("es").alias("session_end_s"),
             (F.max("es") - F.min("es")).alias("duration_s"),
         )
-        .orderBy("user_id", "session_id")
+        .repartition(1).sortWithinPartitions("user_id", "session_id")
     )
 
 
@@ -97,7 +97,7 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy(F.col("l_returnflag").asc_nulls_first(),
+        .repartition(1).sortWithinPartitions(F.col("l_returnflag").asc_nulls_first(),
                  F.col("l_linestatus").asc_nulls_first())
     )
 
@@ -148,7 +148,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamalert_spark.ops.similarity import lsh_bucketed_pairs
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return lsh_bucketed_pairs(emb, _hyperplanes(), threshold=0.4).orderBy("a", "b")
+    return lsh_bucketed_pairs(emb, _hyperplanes(), threshold=0.4).repartition(1).sortWithinPartitions("a", "b")
 
 
 # ---------------------------------------------------------------- corpus quality filter
@@ -189,5 +189,5 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 stop_ratio.alias("stop_ratio"))
         .filter((F.col("n_tokens") >= 30) & (F.col("stop_ratio") >= 0.01))
         .drop("stop_ratio")
-        .orderBy("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
     )

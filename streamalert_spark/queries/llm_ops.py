@@ -42,7 +42,7 @@ ORDER BY content_hash
 @query("dedup_exact", oracle=_EXACT_ORACLE,
        doc="Exact dedup: md5 hash-groupBy with canonical id election.")
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("content_hash")
+    return dedup.exact_dedup(_docs(spark, sf_dir)).repartition(1).sortWithinPartitions("content_hash")
 
 
 # ---------------------------------------------------------------------------
@@ -75,7 +75,7 @@ ORDER BY a, b
 @query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE,
        doc="3-gram shingle Jaccard similarity pairs >= 0.5.")
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5).orderBy("a", "b")
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5).repartition(1).sortWithinPartitions("a", "b")
 
 
 # ---------------------------------------------------------------------------
@@ -102,7 +102,7 @@ FROM sh GROUP BY doc_id ORDER BY doc_id
 @query("minhash_signatures", oracle=_minhash_oracle(),
        doc="16-permutation MinHash signatures from md5 hash family.")
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_signatures(_docs(spark, sf_dir)).orderBy("doc_id")
+    return dedup.minhash_signatures(_docs(spark, sf_dir)).repartition(1).sortWithinPartitions("doc_id")
 
 
 def _lsh_oracle(num_hashes: int = 16, band_size: int = 4) -> str:
@@ -137,7 +137,7 @@ ORDER BY a, b
 @query("minhash_lsh_candidates", oracle=_lsh_oracle(),
        doc="LSH candidate pairs: band-bucket join over MinHash signatures.")
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir)).orderBy("a", "b")
+    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir)).repartition(1).sortWithinPartitions("a", "b")
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +169,7 @@ FROM votes GROUP BY doc_id ORDER BY doc_id
 @query("simhash64", oracle=_SIMHASH_ORACLE,
        doc="64-bit SimHash fingerprint per document (majority-vote bits).")
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_bits(_docs(spark, sf_dir)).orderBy("doc_id")
+    return dedup.simhash_bits(_docs(spark, sf_dir)).repartition(1).sortWithinPartitions("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -205,7 +205,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(similarity.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
     )
-    return scored.orderBy(F.col("score").desc(), "vec_id").limit(10)
+    return scored.repartition(1).sortWithinPartitions(F.col("score").desc(), "vec_id").limit(10)
 
 
 _NEARDUP_ORACLE = """
@@ -231,7 +231,7 @@ ORDER BY a, b
        doc="All-pairs embedding cosine near-duplicates >= 0.4 (threshold "
            "exercises the verify path on this corpus, max pair ~0.6).")
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.cosine_pairs(_emb(spark, sf_dir), threshold=0.4).orderBy("a", "b")
+    return similarity.cosine_pairs(_emb(spark, sf_dir), threshold=0.4).repartition(1).sortWithinPartitions("a", "b")
 
 
 # ---------------------------------------------------------------------------
@@ -263,7 +263,7 @@ ORDER BY doc_id
 @query("text_stats", oracle=_TEXT_ORACLE,
        doc="Text quality/stats projection: tokens, ratios, lang-id, fingerprint.")
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+    return text.text_stats(_docs(spark, sf_dir)).repartition(1).sortWithinPartitions("doc_id")
 
 
 _BPE_ORACLE = r"""
@@ -283,4 +283,4 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         text.token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
         text.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
+    ).repartition(1).sortWithinPartitions("doc_id")

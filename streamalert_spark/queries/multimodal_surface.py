@@ -47,7 +47,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("modality"),
         F.encode(F.col("text"), "utf-8").alias("content"),
     )
-    return extract_image_features(media).orderBy("media_id")
+    return extract_image_features(media).repartition(1).sortWithinPartitions("media_id")
 
 
 _FRAMES_ORACLE = """
@@ -70,5 +70,5 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         frame_sample_plan(vids, every_n_seconds=10)
         .select("o_orderkey", F.col("frame_ts").cast("bigint").alias("frame_ts"))
-        .orderBy("o_orderkey", "frame_ts")
+        .repartition(1).sortWithinPartitions("o_orderkey", "frame_ts")
     )

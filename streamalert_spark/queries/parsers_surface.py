@@ -65,7 +65,7 @@ def parse_csv_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("record.quantity").alias("quantity"),
         F.col("record.returnflag").alias("returnflag"),
         F.col("record.linenumber").alias("linenumber"),
-    ).orderBy("src_key", "linenumber")
+    ).repartition(1).sortWithinPartitions("src_key", "linenumber")
 
 
 # ---------------------------------------------------------------- KV
@@ -104,7 +104,7 @@ def parse_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("record.orderkey").alias("orderkey"),
         F.col("record.status").alias("status"),
         F.col("record.price").alias("price"),
-    ).orderBy("src_key")
+    ).repartition(1).sortWithinPartitions("src_key")
 
 
 # ---------------------------------------------------------------- syslog
@@ -143,7 +143,7 @@ def parse_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("record.host").alias("host"),
         F.col("record.application").alias("application"),
         F.col("record.message").alias("message"),
-    ).orderBy("src_key")
+    ).repartition(1).sortWithinPartitions("src_key")
 
 
 # ---------------------------------------------------------------- JSON envelope + json_path explode
@@ -201,7 +201,7 @@ def json_regex_key_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_key",
         F.col("record.event_id").alias("event_id"),
         F.col("record.event_type").alias("event_type"),
-    ).orderBy("src_key")
+    ).repartition(1).sortWithinPartitions("src_key")
 
 
 @query("parse_json_envelope_explode", oracle=_ENVELOPE_ORACLE,
@@ -240,4 +240,4 @@ def parse_json_envelope_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("record.event_id").alias("event_id"),
         F.col("record.event_type").alias("event_type"),
         F.col("streamalert_envelope_keys.logGroup").alias("log_group"),
-    ).orderBy("src_key", "event_id")
+    ).repartition(1).sortWithinPartitions("src_key", "event_id")

@@ -66,7 +66,7 @@ def classify_strict_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = batch.by_log_type["events:props"]
     return (
         out.select("event_id", F.col("record.k").alias("k"), "log_schema_type")
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     )
 
 
@@ -126,7 +126,7 @@ def rule_alerts_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("record", "$.event_id").cast("bigint").alias("event_id"),
             F.get_json_object("record", "$.user_id").cast("bigint").alias("user_id"),
         )
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     )
 
 
@@ -184,7 +184,7 @@ def normalized_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     normalizer = Normalizer(_norm_spec())
     normed = normalizer.apply(records, record_id=F.md5(F.col("event_id").cast("string")))
-    return extract_artifacts(normed).orderBy("streamalert_record_id", "type", "value")
+    return extract_artifacts(normed).repartition(1).sortWithinPartitions("streamalert_record_id", "type", "value")
 
 
 # ---------------------------------------------------------------------------
@@ -222,7 +222,7 @@ def threat_intel_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ioc_value string, sub_type string",
     )
     ti = ThreatIntel(ioc_df, normalized_ioc_types={"user": ["userName"]})
-    return ti.hits(normed).orderBy("streamalert_record_id")
+    return ti.hits(normed).repartition(1).sortWithinPartitions("streamalert_record_id")
 
 
 # ---------------------------------------------------------------------------
@@ -255,7 +255,7 @@ def lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = lookups.enrich_join(ev, "tiers", key_col="user_bucket", value_cols=["tier"])
-    return out.select("event_id", "user_bucket", "tier").orderBy("event_id")
+    return out.select("event_id", "user_bucket", "tier").repartition(1).sortWithinPartitions("event_id")
 
 
 # ---------------------------------------------------------------------------
@@ -298,5 +298,5 @@ def alert_merge_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.min("ts"), ALERT_TS_FMT).alias("alert_time_first"),
             F.date_format(F.max("ts"), ALERT_TS_FMT).alias("alert_time_last"),
         )
-        .orderBy("rule_name", "merge_value", "window_start")
+        .repartition(1).sortWithinPartitions("rule_name", "merge_value", "window_start")
     )

@@ -31,7 +31,7 @@ def alert_merge_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit("user_id")).alias("merge_by_keys"),
         F.lit(15).alias("merge_window_mins"),
     )
-    return merge_alerts_batch(alerts).orderBy(
+    return merge_alerts_batch(alerts).repartition(1).sortWithinPartitions(
         "rule_name", "merge_values", "alert_time_first")
 
 
@@ -82,7 +82,7 @@ def rule_datatype_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id", "rule_name",
             F.get_json_object("record", "$.event_id").cast("bigint").alias("event_id"),
         )
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     )
 
 
@@ -132,5 +132,5 @@ def streamquery_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r")["event_type"].alias("event_type"),
             F.col("r")["n"].cast("bigint").alias("n"),
         )
-        .orderBy("event_type")
+        .repartition(1).sortWithinPartitions("event_type")
     )

@@ -55,7 +55,7 @@ ORDER BY a, b
            "XOR popcount verify — the O(n x blocks) scale path.")
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return dedup.simhash_neardup_pairs(docs, max_hamming=3).orderBy("a", "b")
+    return dedup.simhash_neardup_pairs(docs, max_hamming=3).repartition(1).sortWithinPartitions("a", "b")
 
 
 # ------------------------------------------------------------------- IVF ANN

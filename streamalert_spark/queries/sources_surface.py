@@ -54,7 +54,7 @@ def source_kinesis_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec["event_id"].cast("bigint").alias("event_id"),
         rec["event_type"].alias("event_type"),
         "was_compressed",
-    ).orderBy("event_id")
+    ).repartition(1).sortWithinPartitions("event_id")
 
 
 # ---------------------------------------------------------------- SNS
@@ -82,7 +82,7 @@ def source_sns_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         rec["event_id"].cast("bigint").alias("event_id"),
         rec["event_type"].alias("event_type"),
-    ).orderBy("event_id")
+    ).repartition(1).sortWithinPartitions("event_id")
 
 
 # ---------------------------------------------------------------- S3 objects
@@ -120,4 +120,4 @@ def source_s3_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recs.select(
         rec["k"].cast("bigint").alias("c_custkey"),
         rec["name"].alias("c_name"),
-    ).orderBy("c_custkey")
+    ).repartition(1).sortWithinPartitions("c_custkey")

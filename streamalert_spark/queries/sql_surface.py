@@ -74,7 +74,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(dec("l_discount")), 6).cast("double").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .repartition(1).sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 
@@ -118,7 +118,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("line_count"),
         )
-        .orderBy(F.col("revenue").desc(), "nation")
+        .repartition(1).sortWithinPartitions(F.col("revenue").desc(), "nation")
     )
 
 
@@ -153,7 +153,7 @@ def scheduled_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
-        .orderBy("hour", "event_type")
+        .repartition(1).sortWithinPartitions("hour", "event_type")
     )
 
 
@@ -178,7 +178,7 @@ def rule_promotion_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.col("event_type").alias("rule_name"))
         .agg(F.count(F.lit(1)).alias("alert_count"))
-        .orderBy(F.col("alert_count").desc(), "rule_name")
+        .repartition(1).sortWithinPartitions(F.col("alert_count").desc(), "rule_name")
     )
 
 
@@ -206,7 +206,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "error")
         .select("event_id", prop_k.alias("prop_k"))
         .filter(F.col("prop_k") > 50)
-        .orderBy("event_id")
+        .repartition(1).sortWithinPartitions("event_id")
     )
 
 
@@ -237,7 +237,7 @@ def string_filter_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper("o_orderpriority").alias("priority_uc"),
             F.substring("o_orderpriority", 1, 1).alias("priority_code"),
         )
-        .orderBy("o_orderkey")
+        .repartition(1).sortWithinPartitions("o_orderkey")
     )
 
 
@@ -268,7 +268,7 @@ def topn_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select("user_id", "event_id", "value", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
-        .orderBy("user_id", "rn")
+        .repartition(1).sortWithinPartitions("user_id", "rn")
     )
 
 

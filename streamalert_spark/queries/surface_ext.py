@@ -53,7 +53,7 @@ def cidr_exclusion_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         df.select("c_custkey", "ip", ip_long.alias("ip_long"))
         .filter(~in_any_cidr(F.col("ip_long"), ["10.5.0.0/16", "10.17.0.0/16"]))
-        .orderBy("c_custkey")
+        .repartition(1).sortWithinPartitions("c_custkey")
     )
 
 
@@ -84,7 +84,7 @@ def log_patterns_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src_key").alias("p_partkey"),
         F.col("record.name").alias("name"),
         F.col("record.type").alias("type"),
-    ).orderBy("p_partkey")
+    ).repartition(1).sortWithinPartitions("p_partkey")
 
 
 # ------------------------------------------- optional backfill + boolean coercion
@@ -121,7 +121,7 @@ def optional_backfill_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("record.k").alias("k"),
         F.col("record.active").alias("active"),
         F.col("record.note").alias("note"),
-    ).orderBy("src_key")
+    ).repartition(1).sortWithinPartitions("src_key")
 
 
 # ---------------------------------------------------------------- nested CSV
@@ -160,4 +160,4 @@ def nested_csv_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("record.lnum").alias("lnum"),
         F.col("record.sub.flag").alias("flag"),
         F.col("record.sub.qty").alias("qty"),
-    ).orderBy("okey", "lnum")
+    ).repartition(1).sortWithinPartitions("okey", "lnum")

@@ -31,6 +31,12 @@ _DEFAULTS = {
     # far more splits than cores, so a minimum of defaultParallelism is free.
     "spark.sql.files.minPartitionNum": str(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))),
     "spark.ui.enabled": "false",
+    # Long-lived sessions compile one codegen class per plan fragment; the
+    # JVM's default 240MB code cache fills after ~100 distinct plans, JIT
+    # compilation silently stops, and compute-heavy stages degrade 10-20x.
+    # Reserve headroom and let the sweeper evict cold compiled code.
+    "spark.driver.extraJavaOptions":
+        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
 }
 
 
