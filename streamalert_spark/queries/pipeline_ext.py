@@ -35,6 +35,64 @@ def alert_merge_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule_name", "merge_values", "alert_time_first")
 
 
+# Greedy chronological grouping IS SQL-expressible as a sequential
+# recursion: walk each keyed partition in time order carrying the current
+# group's start and size (a recursive CTE), exactly the reference loop at
+# alert_merger/main.py:106-132. Only the merged-record SYNTHESIS
+# (common-subset/diffs, alert.py:289-433) stays rows-only above.
+_GREEDY_GROUPS_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT CAST(user_id AS VARCHAR) AS uid, CAST(ts AS TIMESTAMP) AS created
+  FROM events WHERE event_type = 'error'
+), ordered AS (
+  SELECT uid, created,
+         row_number() OVER (PARTITION BY uid ORDER BY created) AS rn
+  FROM base
+), walk AS (
+  SELECT uid, rn, created, created AS grp_start, 1 AS cnt
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.uid, o.rn, o.created,
+         CASE WHEN o.created <= w.grp_start + INTERVAL 15 MINUTE AND w.cnt < 50
+              THEN w.grp_start ELSE o.created END,
+         CASE WHEN o.created <= w.grp_start + INTERVAL 15 MINUTE AND w.cnt < 50
+              THEN w.cnt + 1 ELSE 1 END
+  FROM ordered o JOIN walk w ON o.uid = w.uid AND o.rn = w.rn + 1
+)
+SELECT 'error_burst' AS rule_name,
+       '{"user_id":"' || uid || '"}' AS merge_values,
+       COUNT(*) AS alert_count,
+       strftime(MIN(created), '%Y-%m-%dT%H:%M:%S.%fZ') AS alert_time_first,
+       strftime(MAX(created), '%Y-%m-%dT%H:%M:%S.%fZ') AS alert_time_last
+FROM walk
+GROUP BY uid, grp_start
+ORDER BY rule_name, merge_values, alert_time_first
+"""
+
+
+@query("alert_merge_greedy_groups", oracle=_GREEDY_GROUPS_ORACLE,
+       doc="Greedy chronological merge GROUPING (oldest-alert window + "
+           "50-cap, alert_merger/main.py:106-132) hash-checked against a "
+           "recursive-CTE oracle walking each partition in time order.")
+def alert_merge_greedy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    alerts = ev.filter(F.col("event_type") == "error").select(
+        F.lit("error_burst").alias("rule_name"),
+        F.date_format("ts", ALERT_TS_FMT).alias("created"),
+        F.to_json(F.struct(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.col("event_type"),
+        )).alias("record"),
+        F.array(F.lit("user_id")).alias("merge_by_keys"),
+        F.lit(15).alias("merge_window_mins"),
+    )
+    return merge_alerts_batch(alerts).select(
+        "rule_name", "merge_values", "alert_count",
+        "alert_time_first", "alert_time_last",
+    ).repartition(1).sortWithinPartitions(
+        "rule_name", "merge_values", "alert_time_first")
+
+
 _DATATYPE_ORACLE = """
 SELECT md5(CAST(event_id AS VARCHAR)) AS id,
        'metric_watch' AS rule_name,
