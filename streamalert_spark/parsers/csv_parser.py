@@ -33,7 +33,9 @@ def _options(schema: LogSchema) -> dict[str, str]:
     return {
         "sep": conf.get("delimiter", ","),
         "quote": conf.get("quotechar", '"'),
-        "escape": conf.get("escapechar", "\\"),
+        # reference escapechar defaults to None — no escape processing
+        # (parsers.py:641-645); NUL disables Univocity's backslash default
+        "escape": conf.get("escapechar", "\u0000"),
         "mode": "PERMISSIVE",
         "columnNameOfCorruptRecord": _CORRUPT,
     }

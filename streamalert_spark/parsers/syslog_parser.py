@@ -14,13 +14,14 @@ from pyspark.sql import functions as F
 from streamalert_spark.parsers.base import ParserBase, parser
 from streamalert_spark.schema.registry import LogSchema
 
-# parsers.py:823-828, re-expressed without named groups (Spark regexp_extract
-# is index-based). Groups: 1=timestamp, 2=host, 3=application, 4=message.
+# parsers.py:819-822 verbatim, with named groups converted to indexes and
+# inner groups made non-capturing (Spark regexp_extract is index-based).
+# Groups: 1=timestamp, 2=host, 3=application, 4=message.
 SYSLOG_REGEX = (
-    r"(\w{3}\s\d{2}\s(?:\d{2}:?){3})\s"
-    r"([\w\.\-]+)\s"
-    r"([\w\-]+)(?:\[.*\])?:\s"
-    r"(.*)"
+    r"(^\w{3}\s\d{2}\s(?:\d{2}:?)+)\s"
+    r"((?:\w[-]*)+)\s"
+    r"(\w+)(?:\[\w+\])*:\s"
+    r"(.*$)"
 )
 
 _GROUPS = {"timestamp": 1, "host": 2, "application": 3, "message": 4}

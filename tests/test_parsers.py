@@ -165,6 +165,19 @@ def test_kv_parser(spark):
     assert batch.invalid.count() == 2
 
 
+def test_csv_quoted_fields_and_literal_backslash(spark):
+    """parsers.py:630-645 — quotechar wraps delimiters; escapechar defaults
+    to None, so a backslash is a literal character."""
+    schema = LogSchema(
+        name="t:csvq", schema={"a": "string", "b": "string"}, parser="csv",
+    )
+    batch = _classify_one(spark, schema, ['"x,y",path\\to\\file'])
+    rows = batch.by_log_type["t:csvq"].collect()
+    assert len(rows) == 1
+    assert rows[0]["record"]["a"] == "x,y"
+    assert rows[0]["record"]["b"] == "path\\to\\file"
+
+
 def test_kv_duplicate_keys_positional_fallback(spark):
     """parsers.py:800-806 — duplicate key assigns to the schema key at that
     field's position (reference test_extract_record_duplicate_fields)."""
@@ -218,6 +231,25 @@ def test_syslog_parser(spark):
     assert rec["host"] == "vagrant-ubuntu-trusty-64"
     assert rec["application"] == "sudo"
     assert rec["message"] == "session opened for root"
+    assert batch.invalid.count() == 1
+
+
+def test_syslog_pid_bracket_and_anchor(spark):
+    """parsers.py:819-822 — optional [pid] after application; timestamp
+    must anchor at line start (reference ^ inside the group)."""
+    schema = LogSchema(
+        name="t:sys2",
+        schema={"timestamp": "string", "host": "string", "application": "string", "message": "string"},
+        parser="syslog",
+    )
+    batch = _classify_one(spark, schema, [
+        "Jan 10 19:35:13 vagrant-ubuntu-precise-32 ssh[13941]: login for mike",
+        "prefix Jan 10 19:35:13 host app: anchored fail",
+    ])
+    rows = batch.by_log_type["t:sys2"].collect()
+    assert len(rows) == 1
+    rec = rows[0]["record"]
+    assert rec["application"] == "ssh" and rec["message"] == "login for mike"
     assert batch.invalid.count() == 1
 
 
