@@ -79,6 +79,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup RESOLUTION: verified near-dup pairs -> survivor set. Greedy min-id
+# keep policy: any doc that is the larger side of a confirmed pair is
+# dropped (single pass, deterministic — no transitive closure, so a chain
+# a~b~c keeps a and c). At scale the verifier runs over LSH candidates
+# (minhash_lsh_candidates) instead of all pairs; the policy and the
+# left-anti join are identical.
+# ---------------------------------------------------------------------------
+
+_RESOLUTION_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+dropped AS (
+  SELECT DISTINCT i.b AS doc_id
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE ROUND(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.5
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY d.doc_id
+"""
+
+
+@query("dedup_resolution", oracle=_RESOLUTION_ORACLE,
+       doc="End-to-end near-dup dedup: jaccard-verified pairs -> greedy "
+           "min-id survivor set via left-anti join.")
+def dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    dropped = pairs.select(F.col("b").alias("doc_id")).distinct()
+    return (
+        docs.join(dropped, "doc_id", "left_anti")
+        .select("doc_id")
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash signatures + LSH candidate pairs. Hash family is lexicographic min
 # of md5(seed:shingle) — portable, uniform; bands of 4 over 16 hashes.
 # ---------------------------------------------------------------------------
