@@ -91,3 +91,41 @@ def test_simhash_kernel_no_shuffle(spark):
     docs = read_table(spark, SF_DIR, "documents")
     plan = _plan(simhash_bits(docs))
     assert "hashpartitioning" not in plan, plan
+
+
+def test_kv_fold_single_tree(spark):
+    """The KV parse is ONE aggregate fold; per-field extraction cloned it
+    5x (interpreted HOFs get no codegen CSE — measured 6x slower)."""
+    from streamalert_spark.classify.classifier import Classifier
+    from streamalert_spark.schema.registry import LogSchema, SchemaRegistry
+
+    df = spark.createDataFrame([("a=1 b=x",)], "payload string")
+    reg = SchemaRegistry()
+    reg.register(LogSchema(name="t:kv", schema={"a": "integer", "b": "string"}, parser="kv"))
+    out = Classifier(reg).classify(df, raw_col="payload").by_log_type["t:kv"]
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("aggregate(") == 1, plan
+
+
+def test_strict_keyset_single_json_parse(spark):
+    """Strict key-set validation is one sorted-array equality: exactly one
+    json_object_keys per candidate schema, not three."""
+    from streamalert_spark.classify.classifier import Classifier
+    from streamalert_spark.schema.registry import LogSchema, SchemaRegistry
+
+    df = spark.createDataFrame([('{"a": "1"}',)], "payload string")
+    reg = SchemaRegistry()
+    reg.register(LogSchema(name="t:j", schema={"a": "string"}))
+    out = Classifier(reg).classify(df, raw_col="payload").by_log_type["t:j"]
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("jsonobjectkeys") == 1, plan
+
+
+def test_query_surface_has_no_global_sort(spark):
+    """Oracle queries order via one-partition local sort; a global Sort
+    (RangePartitioning) double-executes the plan to sample boundaries."""
+    from streamalert_spark.queries import load_all
+
+    df = load_all()["parse_csv_strict"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "rangepartitioning" not in plan.lower(), plan
