@@ -46,6 +46,58 @@ def build_rules() -> RuleRegistry:
         path = record["columns"].get("path") or ""
         return path.startswith(("/etc/", "/root/"))
 
+    # AWS Config rules ported from rules/community/cloudtrail/
+    # cloudtrail_aws_config.py + matchers/default.py AwsConfigMatcher.
+    # Free-form {} schema fields surface as map<string,string> whose nested
+    # values are JSON text — Python-bodied rules re-parse them with
+    # safe_json_loads (the documented porting pattern for dict-typed
+    # fields); scalar booleans arrive as 'true'/'false' strings.
+    rules.matcher(
+        lambda rec: (rec.get("eventSource") == "config.amazonaws.com"
+                     and rec.get("eventName") == "PutEvaluations"
+                     and (rec.get("requestParameters") or {}).get("testMode") != "true"),
+        name="is_config_compliance",
+        expr=lambda rec: (
+            (rec["eventSource"] == "config.amazonaws.com")
+            & (rec["eventName"] == "PutEvaluations")
+            & F.coalesce(rec["requestParameters"]["testMode"] != "true", F.lit(True))
+        ),
+    )
+
+    @rules.rule(logs=["cloudtrail:events"], matchers=["is_config_compliance"],
+                outputs=["slack:compliance"])
+    def config_compliance(record):
+        """Alert on AWS Config compliance change of NON_COMPLIANT
+        (cloudtrail_aws_config.py:12-34)."""
+        from streamalert_spark.rules.helpers import safe_json_loads
+
+        evaluations = safe_json_loads(
+            (record.get("requestParameters") or {}).get("evaluations") or "[]")
+        return any(e.get("complianceType") == "NON_COMPLIANT"
+                   for e in (evaluations or []))
+
+    rules.matcher(
+        lambda rec: (rec.get("eventName") == "StartAutomationExecution"
+                     and rec.get("eventSource") == "ssm.amazonaws.com"
+                     and rec.get("sourceIPAddress") == "config.amazonaws.com"),
+        name="is_auto_remediation",
+        expr=lambda rec: (
+            (rec["eventName"] == "StartAutomationExecution")
+            & (rec["eventSource"] == "ssm.amazonaws.com")
+            & (rec["sourceIPAddress"] == "config.amazonaws.com")
+        ),
+    )
+
+    # rule body is `return True` (cloudtrail_aws_config.py:37-47)
+    rules.add(Rule(
+        name="config_auto_remediation",
+        expr=lambda rec: F.lit(True),
+        matchers=["is_auto_remediation"],
+        logs=["cloudtrail:events"],
+        outputs=["slack:compliance"],
+        description="AWS Config auto-remediation run.",
+    ))
+
     # denied flow to a sensitive port
     rules.add(Rule(
         name="flow_denied_ssh",

@@ -13,7 +13,8 @@ def test_load_conf_dir_registers_and_routes():
 
     reg = load_conf_dir(EXAMPLES / "conf")
     assert set(reg.all()) == {
-        "cloudwatch:events", "cloudwatch:flow_logs", "osquery:differential"}
+        "cloudwatch:events", "cloudwatch:flow_logs", "osquery:differential",
+        "cloudtrail:events"}
     # family name 'cloudwatch' expands to both types in declared order
     kinesis = [s.name for s in reg.candidates("kinesis", "prod_streamalert")]
     assert kinesis == ["cloudwatch:events", "cloudwatch:flow_logs"]

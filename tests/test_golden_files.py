@@ -11,16 +11,38 @@ from streamalert_spark.testing import load_golden_events, run_golden_event
 from tests.test_streaming import _guardduty_pipeline
 
 EVENTS = load_golden_events(Path(__file__).parent / "golden")
+GUARDDUTY_EVENTS = [e for e in EVENTS if e["log"] == "cloudwatch:events"]
+CLOUDTRAIL_EVENTS = [e for e in EVENTS if e["log"] == "cloudtrail:events"]
 
 
 def test_fixture_files_found():
-    assert len(EVENTS) >= 4
+    assert len(GUARDDUTY_EVENTS) >= 4 and len(CLOUDTRAIL_EVENTS) >= 4
 
 
 @pytest.mark.parametrize(
-    "event", EVENTS, ids=[e.get("description", "?") for e in EVENTS])
+    "event", GUARDDUTY_EVENTS,
+    ids=[e.get("description", "?") for e in GUARDDUTY_EVENTS])
 def test_golden_file(spark, event):
     res = run_golden_event(spark, _guardduty_pipeline(), event)
+    assert res.passed, res.failures
+
+
+def _cloudtrail_pipeline():
+    """The runnable example deployment (conf/ + rules/), exercising the
+    Records[*] json_path explode and free-form {} fields end to end."""
+    from examples.rules.security import build_rules
+    from streamalert_spark.schema.loader import load_conf_dir
+    from streamalert_spark.streaming.pipeline import StreamingPipeline
+
+    conf = load_conf_dir(Path(__file__).parent.parent / "examples" / "conf")
+    return StreamingPipeline(schemas=conf, rules=build_rules(), cluster="prod")
+
+
+@pytest.mark.parametrize(
+    "event", CLOUDTRAIL_EVENTS,
+    ids=[e.get("description", "?") for e in CLOUDTRAIL_EVENTS])
+def test_golden_cloudtrail(spark, event):
+    res = run_golden_event(spark, _cloudtrail_pipeline(), event)
     assert res.passed, res.failures
 
 
