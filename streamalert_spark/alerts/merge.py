@@ -34,7 +34,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MAX_MERGE_GROUP_SIZE = 50        # alert_merger/main.py:34
+ALERT_GENERATOR_LIMIT = 5000     # alert_merger/main.py:62-66
 ALERT_TS_PY_FMT = "%Y-%m-%dT%H:%M:%S.%fZ"  # alert.py:35
+
+
+def cap_alerts_per_rule(alerts: DataFrame, limit: int = ALERT_GENERATOR_LIMIT) -> DataFrame:
+    """Reference generator limit: at most ``limit`` alerts per rule enter
+    one merge pass (alert_merger/main.py:62-66 — a per-pass memory budget).
+    Oldest-first with a deterministic tie-break; the remainder stays for
+    the next pass, exactly like the reference's truncated table scan. At
+    scale this also bounds how much a single noisy rule can concentrate
+    into the merge shuffle in one pass."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("rule_name").orderBy("created", "record")
+    return (
+        alerts.withColumn("_sa_rn", F.row_number().over(w))
+        .filter(F.col("_sa_rn") <= limit)
+        .drop("_sa_rn")
+    )
 
 
 def _common_subset(records: list[Any]) -> Any:
@@ -134,14 +152,18 @@ MERGED_SCHEMA = (
 )
 
 
-def merge_alerts_batch(alerts: DataFrame) -> DataFrame:
+def merge_alerts_batch(alerts: DataFrame, generator_limit: int | None = None) -> DataFrame:
     """Batch merge over an alerts DataFrame (columns per ALERT_SCHEMA).
 
     groupBy (rule_name, merge key values) -> applyInPandas running the
     greedy grouping + synthesis. Alerts without merge config pass through
     as singleton groups downstream (reference dispatches them immediately,
     main.py:163-191) — callers should pre-filter on merge_window_mins > 0.
+    ``generator_limit`` applies the reference's per-rule per-pass cap
+    (cap_alerts_per_rule); None processes the whole batch in one pass.
     """
+    if generator_limit is not None:
+        alerts = cap_alerts_per_rule(alerts, generator_limit)
     # merge-key values come from a single from_json pass (get_json_object
     # needs a foldable path, but merge keys live in a per-row array)
     rec_map = F.from_json(F.col("record"), "map<string,string>")

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
+from pyspark.sql import functions as F
+
 from streamalert_spark.alerts.merge import (
     greedy_groups,
     merge_common_subset,
@@ -94,3 +96,38 @@ def test_merge_alerts_batch(spark):
     assert all(r["rule_name"] == "my_rule" for r in out)
     merged = json.loads(out[0]["merged_record"])
     assert merged["MergedBy"] == {"user": "bob"}
+
+
+def test_generator_limit_caps_oldest_per_rule(spark):
+    """alert_merger/main.py:62-66 — at most N alerts per rule per pass,
+    oldest first; the rest waits for the next pass."""
+    import json
+
+    rows = []
+    t0 = datetime(2024, 1, 1)
+    for rule in ("noisy", "quiet"):
+        n = 8 if rule == "noisy" else 2
+        for i in range(n):
+            rows.append((
+                f"{rule}{i}", rule,
+                (t0 + timedelta(minutes=i)).strftime("%Y-%m-%dT%H:%M:%S.%fZ"),
+                json.dumps({"user": "bob", "n": i}),
+                ["user"], 60,
+            ))
+    df = spark.createDataFrame(
+        rows,
+        "id string, rule_name string, created string, record string, "
+        "merge_by_keys array<string>, merge_window_mins bigint",
+    )
+    from streamalert_spark.alerts.merge import cap_alerts_per_rule, merge_alerts_batch
+
+    capped = cap_alerts_per_rule(df, limit=3)
+    per_rule = {r["rule_name"]: r["cnt"] for r in
+                capped.groupBy("rule_name").agg(F.count("*").alias("cnt")).collect()}
+    assert per_rule == {"noisy": 3, "quiet": 2}
+    # oldest-first: the 3 kept noisy alerts are minutes 0,1,2
+    kept = sorted(r["created"] for r in capped.filter(F.col("rule_name") == "noisy").collect())
+    assert kept[-1].startswith("2024-01-01T00:02")
+
+    out = merge_alerts_batch(df, generator_limit=3).collect()
+    assert sum(r["alert_count"] for r in out if r["rule_name"] == "noisy") == 3
