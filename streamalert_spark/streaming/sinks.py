@@ -55,6 +55,36 @@ class HistoricalStore:
             .outputMode("append")
         )
 
+    def write_batch_bucketed(
+        self,
+        df: DataFrame,
+        log_type: str,
+        bucket_col: str = "streamalert_record_id",
+        buckets: int = 64,
+        dt_col: str | None = "dt",
+    ) -> str:
+        """Append as a catalog table bucketed (and sorted) on ``bucket_col``.
+
+        Bucketing pre-partitions the table by hash(bucket_col) at WRITE
+        time, so joins and aggregations on that column read co-located
+        buckets with NO exchange — the scale path for record ⋈ artifacts /
+        alerts ⋈ records joins that would otherwise shuffle the full table
+        (SURVEY §2.7). Requires the catalog (bucket metadata lives there);
+        plain write_batch stays for pathless appends. Returns the table name.
+        """
+        out = sanitize_columns(df)
+        name = sanitized_table_name(log_type)
+        writer = (
+            out.write.mode("append")
+            .option("path", self.table_path(log_type))
+            .bucketBy(buckets, bucket_col)
+            .sortBy(bucket_col)
+        )
+        if dt_col and dt_col in out.columns:
+            writer = writer.partitionBy(dt_col)
+        writer.format("parquet").saveAsTable(name)
+        return name
+
     def read(self, spark, log_type: str) -> DataFrame:
         return spark.read.parquet(self.table_path(log_type))
 

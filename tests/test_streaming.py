@@ -216,3 +216,38 @@ def test_publisher_composition():
 
     out = compose_publishers([add_summary, explodes], {"rule_name": "r1"})
     assert out["summary"] == "r1!"  # failing publisher skipped
+
+
+def test_bucketed_store_join_has_no_shuffle(spark, tmp_path):
+    """Bucketed tables co-locate their join keys at write time: a join on
+    the bucket column runs with no Exchange (SURVEY §2.7 scale path)."""
+    import pyspark.sql.functions as F
+
+    from streamalert_spark.streaming.sinks import HistoricalStore
+
+    store = HistoricalStore(str(tmp_path / "hist"))
+    records = spark.range(1000).select(
+        F.md5(F.col("id").cast("string")).alias("streamalert_record_id"),
+        F.col("id").alias("payload"),
+    )
+    artifacts = spark.range(1000).select(
+        F.md5(F.col("id").cast("string")).alias("streamalert_record_id"),
+        F.lit("ip_address").alias("type"),
+    )
+    spark.sql("DROP TABLE IF EXISTS bt_records")
+    spark.sql("DROP TABLE IF EXISTS bt_artifacts")
+    store.write_batch_bucketed(records, "bt:records", buckets=8, dt_col=None)
+    store.write_batch_bucketed(artifacts, "bt:artifacts", buckets=8, dt_col=None)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bt_records").join(
+            spark.table("bt_artifacts"), "streamalert_record_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_records")
+        spark.sql("DROP TABLE IF EXISTS bt_artifacts")
