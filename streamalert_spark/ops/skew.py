@@ -1,0 +1,71 @@
+"""Skew mitigation: salted joins and salted heavy aggregation.
+
+AQE's skew-join splitting (spark.sql.adaptive.skewJoin, on by default in
+session.py) handles most sort-merge skew at runtime; these utilities cover
+the cases AQE cannot touch:
+
+- a shuffle feeding a NON-join operator with a hot key (e.g. a
+  collect_list/applyInPandas group where one key holds a large share of
+  rows) — ``salted_two_stage_agg``;
+- a join the planner cannot split because one side must stay intact
+  (pre-bucketed tables, streaming-static joins) — ``salted_join``.
+
+Both are pure plan rewrites: results are identical to the unsalted form
+(verified against the plain plan in tests), only the shuffle key gains
+entropy. The engine's own joins are broadcast (IOC, lookups) or bucketed
+(historical), so these are user-query tools, exported for the SQL surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "_sa_salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join robust to hot keys on ``left``: the left side gets a
+    uniform random salt in [0, salt), the right side is replicated once per
+    salt value, and the join key becomes (on, salt) — a hot key spreads
+    over ``salt`` reducers instead of one. Right-side replication costs
+    |right| * salt rows, so use for small-to-medium right sides (a big-big
+    skewed join should lean on AQE skew splitting instead)."""
+    salted_left = left.withColumn(_SALT, (F.rand() * salt).cast("int"))
+    salted_right = right.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = salted_left.join(salted_right, [on, _SALT], how)
+    return out.drop(_SALT)
+
+
+def salted_two_stage_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for hot grouping keys with combinable
+    aggregates: stage 1 aggregates on (keys + salt) — spreading a hot key
+    over ``salt`` partial groups — stage 2 merges the partials on keys.
+
+    ``aggs`` maps output column name -> (partial_agg_expr, merge_agg_expr),
+    e.g. {"cnt": (F.count(F.lit(1)), F.sum("cnt"))}. For plain
+    count/sum/min/max Spark's map-side partial aggregation already bounds
+    skew; this matters when stage 1 must materialize per-group state too
+    big for a single reducer (distinct sets, sketches, collect_list caps).
+    """
+    partial_exprs = [expr.alias(name) for name, (expr, _) in aggs.items()]
+    merge_exprs = [expr.alias(name) for name, (_, expr) in aggs.items()]
+    staged = (
+        df.withColumn(_SALT, (F.rand() * salt).cast("int"))
+        .groupBy(*keys, _SALT)
+        .agg(*partial_exprs)
+    )
+    return staged.groupBy(*keys).agg(*merge_exprs)
