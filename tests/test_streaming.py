@@ -251,3 +251,51 @@ def test_bucketed_store_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_records")
         spark.sql("DROP TABLE IF EXISTS bt_artifacts")
+
+
+def test_streaming_merge_event_time(spark, tmp_path):
+    """Event-time merge: the group emits when the WATERMARK (driven by
+    later data) passes oldest-alert + window — not wall-clock."""
+    from streamalert_spark.streaming.merge import streaming_merge_event_time
+
+    src_dir = tmp_path / "alerts_et"
+    src_dir.mkdir()
+    schema = ("id string, rule_name string, created string, record string, "
+              "merge_by_keys array<string>, merge_window_mins bigint")
+
+    def alert(i, created, user="bob"):
+        return {"id": f"id{i}", "rule_name": "r1", "created": created,
+                "record": json.dumps({"user": user, "n": i}),
+                "merge_by_keys": ["user"], "merge_window_mins": 1}
+
+    with open(src_dir / "a.jsonl", "w") as fh:
+        for i in range(3):
+            fh.write(json.dumps(alert(i, f"2024-01-01T00:0{i}:00.000000Z")) + "\n")
+
+    src = spark.readStream.schema(schema).json(str(src_dir))
+    merged = streaming_merge_event_time(src, watermark_delay="5 minutes")
+    q = (
+        merged.writeStream.format("memory").queryName("merged_et")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_et"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM merged_et").count() == 0  # watermark not advanced
+        # a much later alert advances the watermark past oldest+window
+        with open(src_dir / "b.jsonl", "w") as fh:
+            fh.write(json.dumps(alert(9, "2024-01-01T01:00:00.000000Z", user="eve")) + "\n")
+        q.processAllAvailable()
+        # one more batch so the new watermark is applied to the state store
+        with open(src_dir / "c.jsonl", "w") as fh:
+            fh.write(json.dumps(alert(10, "2024-01-01T01:01:00.000000Z", user="eve")) + "\n")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM merged_et").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    assert rows[0]["alert_count"] == 3
+    rec = json.loads(rows[0]["merged_record"])
+    assert rec["AlertTimeFirst"] == "2024-01-01T00:00:00.000000Z"
+    assert rec["AlertTimeLast"] == "2024-01-01T00:02:00.000000Z"
