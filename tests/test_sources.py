@@ -59,3 +59,60 @@ def test_s3_via_sns_unwrap(spark):
     out = s3_event_objects(sns_extract(df))
     rows = sorted((r["bucket"], r["key"]) for r in out.collect())
     assert rows == [("logs", "a/b.json.gz"), ("logs", "c.json")]
+
+
+def test_kafka_source_options_pure():
+    from streamalert_spark.sources.streams import kafka_source_options
+
+    opts = kafka_source_options("broker:9092", "logs", starting="earliest")
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["subscribe"] == "logs"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "false"
+
+
+def test_file_stream_classifies_end_to_end(spark, tmp_path):
+    """file_stream -> Classifier: the (service, resource) literals drive
+    cluster routing, one streaming micro-batch classifies records."""
+    import json as _json
+
+    from streamalert_spark.classify.classifier import Classifier
+    from streamalert_spark.schema.registry import LogSchema, SchemaRegistry
+    from streamalert_spark.sources.streams import file_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "a.log", "w") as fh:
+        fh.write(_json.dumps({"a": "x", "b": 1}) + "\n")
+        fh.write(_json.dumps({"a": "y", "b": 2}) + "\n")
+
+    reg = SchemaRegistry()
+    reg.register(LogSchema(name="t:json", schema={"a": "string", "b": "integer"}))
+    reg.route("s3", "logs-bucket", ["t:json"])
+
+    stream = file_stream(spark, str(src), resource="logs-bucket")
+    assert stream.isStreaming
+    rows = []
+
+    def sink(batch_df, _bid):
+        batch = Classifier(reg).classify(
+            batch_df, raw_col="value", service="s3", resource="logs-bucket")
+        rows.extend(batch.by_log_type["t:json"].collect())
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r["record"]["a"] for r in rows) == ["x", "y"]
+
+
+def test_sns_stream_wraps_batch(spark):
+    from streamalert_spark.sources.streams import sns_stream
+
+    df = spark.createDataFrame(
+        [('{"Type": "Notification", "Sns": {"Message": "hello"}}',)], "value string")
+    # batch DataFrames flow through the same wrapper
+    import json as _json  # noqa: F401
+    out = sns_stream(df, resource="alerts-topic").collect()
+    assert out[0]["value"] == "hello"
+    assert out[0]["service"] == "sns" and out[0]["resource"] == "alerts-topic"
