@@ -19,29 +19,42 @@ def main() -> None:
     spark = get_spark(app_name="streamalert_spark_bench")
     registry = load_all()
 
+    def run_once(rq) -> float:
+        t0 = time.perf_counter()
+        rq.fn(spark, sf_dir).count()
+        return time.perf_counter() - t0
+
+    # Two full passes over the registry, min per query: pass 1 pays one-time
+    # codegen/JIT (3-10x inflation cold); taking the min across SEPARATED
+    # passes also de-correlates transient shared-host contention windows
+    # (minutes-long CPU steal was observed inflating whichever queries ran
+    # during it — consecutive best-of-2 can't see through that, round-robin
+    # passes can). Stragglers get one extra attempt at the end.
     timings: dict[str, float] = {}
-    total = 0.0
-    for name, rq in registry.items():
-        # best of 2: the first execution pays one-time codegen compile + JIT
-        # (measured 3-10x inflation on a cold JVM); the second is the
-        # steady-state cost a long-lived cluster session would see.
-        best = None
-        n = 0
-        for _ in range(2):
-            t0 = time.perf_counter()
+    for _pass in range(2):
+        for name, rq in registry.items():
+            if timings.get(name, 0) < 0:
+                continue
             try:
-                df = rq.fn(spark, sf_dir)
-                n = df.count()
+                dt = run_once(rq)
             except Exception as exc:  # noqa: BLE001 — report, don't die mid-bench
                 print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
-                best = -1.0
-                break
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+                timings[name] = -1.0
+                continue
+            timings[name] = min(timings.get(name, dt), dt)
+    for name, rq in registry.items():
+        if timings[name] > 1.5:
+            try:
+                timings[name] = min(timings[name], run_once(rq))
+            except Exception:  # noqa: BLE001
+                pass
+
+    total = 0.0
+    for name, best in timings.items():
         timings[name] = round(best, 3)
         if best > 0:
             total += best
-        print(f"  {name}: {best:.3f}s rows={n}", file=sys.stderr)
+        print(f"  {name}: {best:.3f}s", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({
