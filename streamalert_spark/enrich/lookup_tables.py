@@ -19,10 +19,13 @@ shuffled hash join on the key.
 from __future__ import annotations
 
 import json
+import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+DEFAULT_CACHE_REFRESH_MINUTES = 10  # conf/lookup_tables.json:5-18 default
 
 
 class LookupTables:
@@ -32,15 +35,43 @@ class LookupTables:
         self._spark = spark
         self._dicts: dict[str, Any] = {}          # broadcast handles
         self._frames: dict[str, DataFrame] = {}
+        # file-backed tables: name -> (path, ttl_seconds, loaded_at)
+        self._files: dict[str, tuple[str, float, float]] = {}
 
     # -- S3-file-like: broadcast dict ----------------------------------------
     def register_dict(self, name: str, data: dict) -> None:
+        old = self._dicts.get(name)
         self._dicts[name] = self._spark.sparkContext.broadcast(data)
+        if old is not None:
+            old.unpersist()
 
-    def register_json_file(self, name: str, path: str) -> None:
-        """Whole-file JSON table (driver_s3.py semantics)."""
+    def register_json_file(
+        self,
+        name: str,
+        path: str,
+        cache_refresh_minutes: float = DEFAULT_CACHE_REFRESH_MINUTES,
+    ) -> None:
+        """Whole-file JSON table with TTL refresh (driver_s3.py:36-79,
+        ``cache_refresh_minutes``): maybe_refresh() re-reads + re-broadcasts
+        only after the TTL elapses — call it per trigger/batch."""
         with open(path) as fh:
             self.register_dict(name, json.load(fh))
+        self._files[name] = (path, cache_refresh_minutes * 60.0, time.monotonic())
+
+    def maybe_refresh(self, now: float | None = None) -> list[str]:
+        """Reload every file-backed table whose TTL has lapsed
+        (driver_s3.py:46-79). Returns the names refreshed. Spark shape of
+        the reference's warm-container cache: the driver re-reads, the new
+        broadcast replaces the old one for subsequent batches."""
+        now = time.monotonic() if now is None else now
+        refreshed = []
+        for name, (path, ttl, loaded_at) in list(self._files.items()):
+            if now - loaded_at >= ttl:
+                with open(path) as fh:
+                    self.register_dict(name, json.load(fh))
+                self._files[name] = (path, ttl, now)
+                refreshed.append(name)
+        return refreshed
 
     def get(self, table: str, key: str, default=None):
         """The rule-facing API (core.py:141-152). Valid on the driver and

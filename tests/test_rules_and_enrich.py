@@ -214,3 +214,26 @@ def test_datatype_routing(spark):
     # without a normalization column the rule can never match
     alerts2 = RulesEngine(reg).run(df, log_type="t:x", event_time=F.col("ts"))
     assert alerts2 is None or alerts2.count() == 0
+
+
+def test_lookup_json_file_ttl_refresh(spark, tmp_path):
+    """driver_s3.py:46-79 — file tables re-read only after the TTL lapses."""
+    import json as _json
+
+    from streamalert_spark.enrich.lookup_tables import LookupTables
+
+    fp = tmp_path / "allow.json"
+    fp.write_text(_json.dumps({"alice": "admin"}))
+    lk = LookupTables(spark)
+    lk.register_json_file("acl", str(fp), cache_refresh_minutes=10)
+    assert lk.get("acl", "alice") == "admin"
+
+    fp.write_text(_json.dumps({"alice": "revoked", "bob": "user"}))
+    assert lk.maybe_refresh() == []                 # TTL not lapsed: cached
+    assert lk.get("acl", "alice") == "admin"
+
+    import time as _time
+    future = _time.monotonic() + 11 * 60
+    assert lk.maybe_refresh(now=future) == ["acl"]  # TTL lapsed: re-read
+    assert lk.get("acl", "alice") == "revoked"
+    assert lk.get("acl", "bob") == "user"
