@@ -100,3 +100,55 @@ def test_sanitized_table_name():
     assert out.startswith("a" * 55 + "_")
     # deterministic suffix
     assert out == sanitized_table_name(long)
+
+
+def test_observe_normalized_counts_extracting_rows(spark):
+    import streamalert_spark.metrics as M
+    from streamalert_spark.normalize.normalizer import (
+        NormalizationSpec, Normalizer, PathSpec,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(("1.2.3.4",),), ((None,),)],
+        "record struct<src_ip: string>",
+    )
+    normed = Normalizer(NormalizationSpec(types={
+        "ip_address": [PathSpec(path="src_ip")],
+    })).apply(df, record_col="record", record_id=F.lit("x"))
+    observed, obs = M.observe_normalized(normed)
+    observed.count()
+    assert obs.get[M.NORMALIZED_RECORDS] == 1
+
+
+def test_streaming_metrics_listener(spark, tmp_path):
+    """Observed metrics surface per micro-batch through the listener."""
+    import json as _json
+    import time as _time
+
+    import streamalert_spark.metrics as M
+
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "a.jsonl", "w") as fh:
+        for i in range(5):
+            fh.write(_json.dumps({"v": str(i)}) + "\n")
+
+    sink: list = []
+    listener = M.MetricsListener.build(sink)
+    spark.streams.addListener(listener)
+    try:
+        stream = spark.readStream.schema("v string").json(str(src))
+        observed, _obs = M.observe_records(stream, size_col="v")
+        q = (observed.writeStream.format("memory").queryName("metrics_out")
+             .option("checkpointLocation", str(tmp_path / "ck")).start())
+        q.processAllAvailable()
+        deadline = _time.time() + 30
+        while not sink and _time.time() < deadline:
+            _time.sleep(1)
+        q.stop()
+    finally:
+        spark.streams.removeListener(listener)
+    assert sink, "no observed metrics captured"
+    m = sink[0]["metrics"]["records"]
+    assert m[M.TOTAL_RECORDS] == 5
