@@ -21,6 +21,14 @@ Option support:
   a ThreatIntel table for the run; requires the pipeline to carry a
   ThreatIntel (its ioc table is swapped for the fixture rows), mirroring
   the reference's fixture-backed mock table.
+- ``publisher_tests``: {output: [tests]} run against the published alert
+  representation (docs/source/testing.rst:175-241); each test is
+  {jmespath_expression, condition: is|in, value} or the [path, cond,
+  value] triple shorthand. Path expressions support the dotted-path
+  subset of jmespath the shipped tests use. Requires passing the
+  ``dispatcher`` (its per-service publisher lists build the publication).
+- ``skip_publishers``: suppress publisher_tests for the event
+  (event.py:96-97).
 """
 
 from __future__ import annotations
@@ -78,11 +86,54 @@ def load_golden_events(path: str | Path) -> list[dict]:
     return events
 
 
+def _search_path(data, path: str):
+    """Dotted-path lookup — the jmespath subset the shipped publisher
+    tests use (testing.rst:200)."""
+    cur = data
+    for part in path.split("."):
+        if isinstance(cur, dict):
+            cur = cur.get(part)
+        else:
+            return None
+    return cur
+
+
+def _run_publisher_tests(event: dict, alert_rows: list[dict], dispatcher) -> list[str]:
+    """publisher_tests assertions (testing.rst:175-241): per output under
+    test, compose its publisher pipeline over each triggered alert and
+    check extracted values."""
+    from streamalert_spark.streaming.sinks import compose_publishers
+
+    failures: list[str] = []
+    for output, tests in (event.get("publisher_tests") or {}).items():
+        service = output.split(":", 1)[0]
+        pubs = dispatcher.publishers.get(service, []) if dispatcher else []
+        matching = [a for a in alert_rows if output in (a.get("outputs") or [])]
+        if not matching:
+            failures.append(f"publisher_tests[{output}]: no triggered alert has this output")
+            continue
+        for alert in matching:
+            publication = compose_publishers(pubs, alert)
+            for t in tests:
+                if isinstance(t, (list, tuple)):
+                    path, cond, want = t
+                else:
+                    path, cond, want = (t["jmespath_expression"], t["condition"], t["value"])
+                got = _search_path(publication, path)
+                ok = (got == want) if cond == "is" else (
+                    want in got if got is not None else False)
+                if not ok:
+                    failures.append(
+                        f"publisher_tests[{output}] {path} {cond} {want!r}: got {got!r}")
+    return failures
+
+
 def run_golden_event(
     spark: SparkSession,
     pipeline: StreamingPipeline,
     event: dict,
     lookups=None,
+    dispatcher=None,
 ) -> GoldenResult:
     """Feed one golden event through classification + rules and assert the
     declared outcomes."""
@@ -148,11 +199,18 @@ def run_golden_event(
     triggered: set[str] = set()
     if not event.get("classify_only"):
         alerts = pipeline.build_alerts(source, service=service, resource=resource)
+        alert_rows: list[dict] = []
         if alerts is not None:
-            triggered = {r["rule_name"] for r in alerts.select("rule_name").collect()}
+            alert_rows = [r.asDict(recursive=True) for r in alerts.collect()]
+            for a in alert_rows:
+                if isinstance(a.get("record"), str):
+                    a["record"] = json.loads(a["record"])
+            triggered = {a["rule_name"] for a in alert_rows}
         want_rules = set(event.get("trigger_rules", []))
         if triggered != want_rules:
             failures.append(f"triggered {sorted(triggered)}, expected {sorted(want_rules)}")
+        if event.get("publisher_tests") and not event.get("skip_publishers"):
+            failures.extend(_run_publisher_tests(event, alert_rows, dispatcher))
 
     return GoldenResult(
         event=event,

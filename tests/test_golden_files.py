@@ -110,3 +110,35 @@ def test_golden_threat_intel_fixture_miss(spark):
     }
     res = run_golden_event(spark, _ioc_pipeline(), event)
     assert res.passed, res.failures
+
+
+def test_golden_publisher_tests(spark):
+    """publisher_tests (testing.rst:175-241): dict + triple shorthand,
+    composed through the registered publisher pipeline."""
+    from streamalert_spark.alerts.publishers import add_record, remove_internal_fields
+    from streamalert_spark.streaming.sinks import AlertDispatcher
+
+    dispatcher = AlertDispatcher()
+    dispatcher.register("slack", lambda pub, desc: True,
+                        publishers=[add_record, remove_internal_fields])
+    event = dict(GUARDDUTY_EVENTS[0])
+    event["publisher_tests"] = {
+        "slack:alerts": [
+            {"jmespath_expression": "record.detail-type",
+             "condition": "is", "value": "GuardDuty Finding"},
+            ["record.source", "in", "aws.guardduty"],
+        ]
+    }
+    res = run_golden_event(spark, _guardduty_pipeline(), event, dispatcher=dispatcher)
+    assert res.passed, res.failures
+
+    bad = dict(event)
+    bad["publisher_tests"] = {
+        "slack:alerts": [["record.source", "is", "aws.nope"]]}
+    res2 = run_golden_event(spark, _guardduty_pipeline(), bad, dispatcher=dispatcher)
+    assert not res2.passed and "publisher_tests" in res2.failures[0]
+
+    skipped = dict(bad)
+    skipped["skip_publishers"] = True
+    res3 = run_golden_event(spark, _guardduty_pipeline(), skipped, dispatcher=dispatcher)
+    assert res3.passed, res3.failures
