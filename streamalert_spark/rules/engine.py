@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import copy
 import json
+import os
+import time
 from collections.abc import Iterator
 
 import pandas as pd
@@ -33,6 +35,10 @@ from pyspark.sql import functions as F
 
 from streamalert_spark.alerts.model import alert_columns
 from streamalert_spark.rules.registry import Rule, RuleRegistry
+
+# reference env-var opt-in for the per-rule timing harness
+# (rules_engine.py:67-70, shared/stats.py:26-97)
+TRACK_RULE_STATS_ENV = "STREAMALERT_TRACK_RULE_STATS"
 
 
 def _to_plain(value):
@@ -50,8 +56,52 @@ def _to_plain(value):
 
 
 class RulesEngine:
-    def __init__(self, registry: RuleRegistry):
+    def __init__(self, registry: RuleRegistry, track_rule_stats: bool | None = None):
         self.registry = registry
+        # per-rule wall-ms + call-count harness (shared/stats.py:26-97),
+        # opt-in via the reference's env var; Spark shape: one accumulator
+        # pair per rule, aggregated across executors. Only Python-bodied
+        # rules are timed — native-expression rules run inside codegen where
+        # per-rule time is not separable (their cost shows in the plan).
+        self.track_rule_stats = (
+            track_rule_stats
+            if track_rule_stats is not None
+            else bool(os.environ.get(TRACK_RULE_STATS_ENV))
+        )
+        self._stat_accs: dict[str, tuple] = {}
+
+    def _stats_for(self, df: DataFrame, rule_name: str):
+        if not self.track_rule_stats:
+            return None
+        if rule_name not in self._stat_accs:
+            sc = df.sparkSession.sparkContext
+            self._stat_accs[rule_name] = (sc.accumulator(0.0), sc.accumulator(0))
+        return self._stat_accs[rule_name]
+
+    def rule_stats(self) -> dict[str, dict]:
+        """{rule: {ms, calls, avg_ms}} (RuleStatisticTracker.statistics_info
+        shape, stats.py:59-73)."""
+        out = {}
+        for name, (t_acc, c_acc) in self._stat_accs.items():
+            calls = c_acc.value
+            out[name] = {
+                "ms": t_acc.value,
+                "calls": calls,
+                "avg_ms": (t_acc.value / calls) if calls else 0.0,
+            }
+        return out
+
+    def stats_info(self) -> str:
+        """Human-readable per-rule statistics (stats.py:59-73)."""
+        stats = self.rule_stats()
+        if not stats:
+            return "No rule statistics to return"
+        pad = max(len(n) for n in stats) + 4
+        lines = [
+            f"{name:<{pad}}{s['ms']:14.8f} ms  {s['calls']:6d} calls  {s['avg_ms']:14.8f} avg"
+            for name, s in sorted(stats.items(), key=lambda kv: (kv[1]["ms"], kv[0]))
+        ]
+        return "Rule statistics:\n\n" + "\n".join(lines)
 
     # -- native pre-filters --------------------------------------------------
     def _req_subkeys_filter(self, record: Column, r: Rule) -> Column | None:
@@ -86,10 +136,12 @@ class RulesEngine:
 
     # -- python body evaluation (vectorized) ----------------------------------
     @staticmethod
-    def _python_eval(df: DataFrame, r: Rule, python_matchers: list, record_col: str) -> DataFrame:
+    def _python_eval(df: DataFrame, r: Rule, python_matchers: list, record_col: str,
+                     stats=None) -> DataFrame:
         """Evaluate matchers + rule body per batch via mapInPandas. Exceptions
         map to False (rule.py:142-164); context is deep-copied per record
-        (rule.py:152-157)."""
+        (rule.py:152-157). ``stats`` is an optional (time_acc, count_acc)
+        accumulator pair timing the rule body (stats.py:35-57)."""
         process = r.process
         base_context = r.context
 
@@ -99,6 +151,8 @@ class RulesEngine:
                     yield pdf
                     continue
                 keep = []
+                body_ms = 0.0
+                body_calls = 0
                 for rec in pdf[record_col]:
                     record = _to_plain(rec)
                     ok = True
@@ -108,13 +162,18 @@ class RulesEngine:
                                 ok = False
                                 break
                         if ok and process is not None:
-                            if base_context is not None:
-                                ok = bool(process(record, copy.deepcopy(base_context)))
-                            else:
-                                ok = bool(process(record))
+                            ctx = copy.deepcopy(base_context) if base_context is not None else None
+                            t0 = time.perf_counter() if stats else 0.0
+                            ok = bool(process(record, ctx)) if ctx is not None else bool(process(record))
+                            if stats:
+                                body_ms += (time.perf_counter() - t0) * 1000.0
+                                body_calls += 1
                     except Exception:  # noqa: BLE001 — rule.py:160-164: never crash
                         ok = False
                     keep.append(ok)
+                if stats and body_calls:
+                    stats[0].add(body_ms)
+                    stats[1].add(body_calls)
                 yield pdf[pd.Series(keep, index=pdf.index)]
 
         return df.mapInPandas(run, schema=df.schema)
@@ -211,7 +270,8 @@ class RulesEngine:
             if r.expr is not None:
                 cur = cur.filter(r.expr(record))
             if r.process is not None or python_matchers:
-                cur = self._python_eval(cur, r, python_matchers, record_col)
+                cur = self._python_eval(cur, r, python_matchers, record_col,
+                                        stats=self._stats_for(cur, r.name))
             staged = bool((staged_rules or {}).get(r.name, False))
             outputs_override = None
             if staged:

