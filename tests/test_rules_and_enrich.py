@@ -263,3 +263,38 @@ def test_rule_stats_harness(spark):
     engine_off.track_rule_stats = False
     engine_off.run(df, log_type="t:stats").count()
     assert engine_off.rule_stats() == {}
+
+
+def test_rule_description_parser():
+    """shared/description.py:19-164 — fuzzy field parsing, URL re-join,
+    paragraph preservation, maintainer alias."""
+    from streamalert_spark.rules.description import parse, present
+
+    desc = """
+    This rule fires when speed exceeds 9000
+
+    author: jack
+    reference: https://example.com/a/really/long
+               ?query=that+wraps#anchor
+    playbook: check the dashboard
+    """
+    p = present(desc)
+    assert p["author"] == "jack"
+    assert p["description"] == "This rule fires when speed exceeds 9000"
+    assert p["fields"]["reference"] == (
+        "https://example.com/a/really/long?query=that+wraps#anchor")
+    assert p["fields"]["playbook"] == "check the dashboard"
+
+    # maintainer aliases author; multiline field joins with spaces;
+    # double break preserves a paragraph split
+    p2 = present("""maintainer: ops team
+    description: line one
+    line two
+
+    para two""")
+    assert p2["author"] == "ops team"
+    # one blank source line buffers one newline (description.py:126-139)
+    assert p2["description"] == "line one line two\npara two"
+
+    # http: line is a value continuation, never a field label
+    assert "http" not in parse("description: x\nhttps://e.com/a: b")
