@@ -204,11 +204,13 @@ def test_kv_blank_fields_and_first_separator_split(spark):
     )
     batch = _classify_one(spark, schema, [
         "name:joe bob,result:success",     # reference test_parse
-        ",,name:x,result:a:b:c,",          # blanks dropped; value 'a:b:c'
+        ",,name:x,result:a:b:c,",          # blanks dropped; value 'a:b:c' (fold path)
+        "name:y,result:d:e:f",             # first-sep split on the fast path too
     ])
     rows = {r["record"]["name"]: r["record"] for r in batch.by_log_type["t:kvb"].collect()}
     assert rows["joe bob"]["result"] == "success"
     assert rows["x"]["result"] == "a:b:c"
+    assert rows["y"]["result"] == "d:e:f"
 
 
 # ---------------------------------------------------------------- Syslog
