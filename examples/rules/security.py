@@ -46,6 +46,48 @@ def build_rules() -> RuleRegistry:
         path = record["columns"].get("path") or ""
         return path.startswith(("/etc/", "/root/"))
 
+    # OsqueryMatcher port (matchers/default.py:27-54): 'added' action and
+    # a user login from the incident-response last-table pack, excluding
+    # runlevel pseudo-users.
+    _RUNLEVELS = {"", "LOGIN", "reboot", "shutdown", "runlevel"}
+    _EVENT_TYPE_LOGIN = 7
+
+    rules.matcher(
+        lambda rec: rec.get("action") == "added",
+        name="osquery_added",
+        expr=lambda rec: rec["action"] == "added",
+    )
+
+    def _user_login(rec):
+        try:
+            return (
+                rec["name"] == "pack_incident-response_last"
+                and int(rec["columns"]["type"]) == _EVENT_TYPE_LOGIN
+                and rec["columns"]["username"] not in _RUNLEVELS
+            )
+        except (KeyError, TypeError, ValueError):
+            return False
+
+    rules.matcher(
+        _user_login,
+        name="osquery_user_login",
+        expr=lambda rec: (
+            (rec["name"] == "pack_incident-response_last")
+            & (rec["columns"]["type"].try_cast("int") == _EVENT_TYPE_LOGIN)
+            & ~rec["columns"]["username"].isin(sorted(_RUNLEVELS))
+        ),
+    )
+
+    # rules/community/osquery/ssh_login_activity.py:6-18 — body is True
+    rules.add(Rule(
+        name="ssh_login_activity",
+        expr=lambda rec: F.lit(True),
+        matchers=["osquery_added", "osquery_user_login"],
+        logs=["osquery:differential"],
+        outputs=["slack:security"],
+        description="Detect ssh login activity based on the osquery last table.",
+    ))
+
     # AWS Config rules ported from rules/community/cloudtrail/
     # cloudtrail_aws_config.py + matchers/default.py AwsConfigMatcher.
     # Free-form {} schema fields surface as map<string,string> whose nested

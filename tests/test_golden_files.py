@@ -12,11 +12,13 @@ from tests.test_streaming import _guardduty_pipeline
 
 EVENTS = load_golden_events(Path(__file__).parent / "golden")
 GUARDDUTY_EVENTS = [e for e in EVENTS if e["log"] == "cloudwatch:events"]
-CLOUDTRAIL_EVENTS = [e for e in EVENTS if e["log"] == "cloudtrail:events"]
+# events running through the full example deployment (conf/ + rules/)
+EXAMPLE_EVENTS = [
+    e for e in EVENTS if e["log"] in ("cloudtrail:events", "osquery:differential")]
 
 
 def test_fixture_files_found():
-    assert len(GUARDDUTY_EVENTS) >= 4 and len(CLOUDTRAIL_EVENTS) >= 4
+    assert len(GUARDDUTY_EVENTS) >= 4 and len(EXAMPLE_EVENTS) >= 8
 
 
 @pytest.mark.parametrize(
@@ -27,9 +29,10 @@ def test_golden_file(spark, event):
     assert res.passed, res.failures
 
 
-def _cloudtrail_pipeline():
+def _example_pipeline():
     """The runnable example deployment (conf/ + rules/), exercising the
-    Records[*] json_path explode and free-form {} fields end to end."""
+    Records[*] json_path explode, free-form {} fields, and multi-family
+    kinesis routing end to end."""
     from examples.rules.security import build_rules
     from streamalert_spark.schema.loader import load_conf_dir
     from streamalert_spark.streaming.pipeline import StreamingPipeline
@@ -39,10 +42,10 @@ def _cloudtrail_pipeline():
 
 
 @pytest.mark.parametrize(
-    "event", CLOUDTRAIL_EVENTS,
-    ids=[e.get("description", "?") for e in CLOUDTRAIL_EVENTS])
-def test_golden_cloudtrail(spark, event):
-    res = run_golden_event(spark, _cloudtrail_pipeline(), event)
+    "event", EXAMPLE_EVENTS,
+    ids=[e.get("description", "?") for e in EXAMPLE_EVENTS])
+def test_golden_example_deployment(spark, event):
+    res = run_golden_event(spark, _example_pipeline(), event)
     assert res.passed, res.failures
 
 
