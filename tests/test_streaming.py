@@ -299,3 +299,55 @@ def test_streaming_merge_event_time(spark, tmp_path):
     rec = json.loads(rows[0]["merged_record"])
     assert rec["AlertTimeFirst"] == "2024-01-01T00:00:00.000000Z"
     assert rec["AlertTimeLast"] == "2024-01-01T00:02:00.000000Z"
+
+
+def test_streaming_merge_survives_restart(spark, tmp_path):
+    """State-store recovery: buffered groups persist across a query
+    restart from the same checkpoint and still emit on watermark."""
+    from streamalert_spark.streaming.merge import streaming_merge_event_time
+
+    src_dir = tmp_path / "alerts_rs"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_rs")
+    schema = ("id string, rule_name string, created string, record string, "
+              "merge_by_keys array<string>, merge_window_mins bigint")
+
+    def alert(i, created, user="bob"):
+        return {"id": f"id{i}", "rule_name": "r1", "created": created,
+                "record": json.dumps({"user": user, "n": i}),
+                "merge_by_keys": ["user"], "merge_window_mins": 1}
+
+    out_dir = str(tmp_path / "merged_rs")
+
+    def start(name):
+        # file sinks (unlike memory) support checkpoint recovery
+        src = spark.readStream.schema(schema).json(str(src_dir))
+        merged = streaming_merge_event_time(src, watermark_delay="5 minutes")
+        return (merged.writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append").option("checkpointLocation", ckpt).start())
+
+    with open(src_dir / "a.jsonl", "w") as fh:
+        for i in range(3):
+            fh.write(json.dumps(alert(i, f"2024-01-01T00:0{i}:00.000000Z")) + "\n")
+    q = start("rs_one")
+    q.processAllAvailable()
+    q.stop()  # bob's group is buffered in the state store
+
+    # new data lands while the query is down
+    with open(src_dir / "b.jsonl", "w") as fh:
+        fh.write(json.dumps(alert(9, "2024-01-01T01:00:00.000000Z", user="eve")) + "\n")
+
+    q2 = start("rs_two")
+    try:
+        q2.processAllAvailable()
+        with open(src_dir / "c.jsonl", "w") as fh:
+            fh.write(json.dumps(alert(10, "2024-01-01T01:01:00.000000Z", user="eve")) + "\n")
+        q2.processAllAvailable()
+        rows = spark.read.parquet(out_dir).collect()
+    finally:
+        q2.stop()
+    assert len(rows) == 1
+    assert rows[0]["alert_count"] == 3
+    rec = json.loads(rows[0]["merged_record"])
+    assert rec["MergedBy"] == {"user": "bob"}
