@@ -247,6 +247,35 @@ def minhash_lsh_candidates(
     )
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """THE scale path for near-dup detection: MinHash+LSH candidate pairs,
+    Jaccard-verified — the exact verifier runs only over docs that appear
+    in some candidate pair, then a broadcast semi-join restricts to the
+    candidate pairs themselves. At 100 TB the quadratic shingle self-join
+    never touches the full corpus: its input is the candidate-doc subset
+    (LSH recall controls quality; bands/rows control the candidate rate).
+
+    Output: (a, b, jaccard) for candidate pairs with jaccard >= threshold
+    — a subset of ngram_jaccard_pairs' output by construction.
+    """
+    cands = minhash_lsh_candidates(df, text_col, id_col, n, num_hashes, band_size)
+    cands = _swap_cache("lsh_verified_cands", cands)
+    cand_ids = (
+        cands.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
+    )
+    subset = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    verified = ngram_jaccard_pairs(subset, text_col, id_col, n, threshold)
+    return verified.join(F.broadcast(cands), ["a", "b"], "left_semi")
+
+
 def simhash_bits(
     df: DataFrame,
     text_col: str = "text",

@@ -186,6 +186,57 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir)).repartition(1).sortWithinPartitions("a", "b")
 
 
+def _lsh_verified_oracle(num_hashes: int = 16, band_size: int = 4,
+                         threshold: float = 0.5) -> str:
+    bands = []
+    for bi in range(num_hashes // band_size):
+        cols = " || '|' || ".join(f"mh_{bi * band_size + j}" for j in range(band_size))
+        bands.append(
+            f"SELECT doc_id, {bi} AS band_idx, md5({cols}) AS band_key FROM sig"
+        )
+    bands_sql = "\nUNION ALL\n".join(bands)
+    mh = ",".join(f"MIN(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+bands AS (
+{bands_sql}
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT i.a, i.b,
+       ROUND(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN cands c ON c.a = i.a AND c.b = i.b
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE ROUND(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
+ORDER BY i.a, i.b
+"""
+
+
+@query("lsh_verified_pairs", oracle=_lsh_verified_oracle(),
+       doc="THE dedup scale path: MinHash+LSH candidates verified by exact "
+           "Jaccard over the candidate-doc subset only.")
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_verified_pairs(
+        _docs(spark, sf_dir), threshold=0.5
+    ).repartition(1).sortWithinPartitions("a", "b")
+
+
 # ---------------------------------------------------------------------------
 # SimHash: 64-bit fingerprint as a bit string (portable md5-derived bits).
 # ---------------------------------------------------------------------------
