@@ -92,6 +92,72 @@ def extract_image_features(df: DataFrame, content_col: str = "content",
     return df.mapInPandas(run, schema=IMAGE_FEATURES_DDL)
 
 
+RESIZED_DDL = (
+    "media_id string, content binary, width int, height int, "
+    "src_width int, src_height int"
+)
+
+
+def resize_images(df: DataFrame, max_side: int = 256,
+                  content_col: str = "content", id_col: str = "media_id") -> DataFrame:
+    """mapInPandas image resize: aspect-preserving fit into max_side.
+
+    The scaling ARITHMETIC is real; the pixel re-encode is stubbed (the
+    fake emits the original payload — a real codec swaps in PIL's
+    thumbnail+save inside the same kernel, nothing else changes). Output
+    carries both source and target dims so downstream filters (e.g. drop
+    upscales) stay native.
+    """
+    if _HAS_CODECS:  # pragma: no cover
+        raise NotImplementedError("real codec path: wire PIL thumbnail here")
+    decode = _fake_decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                w, h, _ = decode(payload)
+                scale = min(1.0, max_side / max(w, h)) if max(w, h) else 0.0
+                rows.append((mid, payload, int(w * scale), int(h * scale), w, h))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "content", "width", "height", "src_width", "src_height"])
+
+    return df.mapInPandas(run, schema=RESIZED_DDL)
+
+
+AUDIO_FEATURES_DDL = (
+    "media_id string, n_bytes bigint, sha string, duration_s double, rms double"
+)
+
+
+def extract_audio_features(df: DataFrame, content_col: str = "content",
+                           id_col: str = "media_id",
+                           bytes_per_second: int = 32000) -> DataFrame:
+    """mapInPandas audio feature extraction: duration estimate from byte
+    length (real for fixed-rate PCM-ish payloads) + a stubbed RMS (the
+    fake derives it from the payload hash; a real decoder computes it from
+    samples inside the same kernel)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                if payload is None:
+                    rows.append((mid, 0, "", 0.0, 0.0))
+                    continue
+                h = hashlib.md5(payload).digest()  # noqa: S324 — fake decode
+                rows.append((
+                    mid, len(payload),
+                    hashlib.sha256(payload).hexdigest(),
+                    round(len(payload) / bytes_per_second, 6),
+                    round(h[3] / 255.0, 6),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_bytes", "sha", "duration_s", "rms"])
+
+    return df.mapInPandas(run, schema=AUDIO_FEATURES_DDL)
+
+
 def frame_sample_plan(df: DataFrame, every_n_seconds: int = 10,
                       duration_col: str = "duration_s") -> DataFrame:
     """Video frame-sampling *plan*: one output row per frame to extract —

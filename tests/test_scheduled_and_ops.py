@@ -154,3 +154,31 @@ def test_frame_sample_plan(spark):
     plan = frame_sample_plan(df, every_n_seconds=10)
     ts = [r["frame_ts"] for r in plan.collect()]
     assert ts == [0, 10, 20]
+
+
+def test_multimodal_resize_and_audio(spark):
+    """Resize arithmetic + audio duration are real; decode is stubbed —
+    schema, batch shape, and Arrow plumbing are the tested surface."""
+    from pyspark.sql import functions as F
+
+    from streamalert_spark.ops.multimodal import (
+        extract_audio_features, resize_images,
+    )
+
+    media = spark.createDataFrame(
+        [("m1", bytearray(b"x" * 64000)), ("m2", bytearray(b"hello")), ("m3", None)],
+        "media_id string, content binary",
+    )
+    resized = {r["media_id"]: r for r in resize_images(media, max_side=100).collect()}
+    r1 = resized["m1"]
+    assert r1["src_width"] >= 64 and r1["src_height"] >= 64
+    assert max(r1["width"], r1["height"]) <= 100
+    # aspect preserved within integer truncation
+    assert abs(r1["width"] / r1["height"] - r1["src_width"] / r1["src_height"]) < 0.05
+    assert resized["m3"]["width"] == 0  # null payload -> zero dims
+
+    audio = {r["media_id"]: r for r in
+             extract_audio_features(media, bytes_per_second=32000).collect()}
+    assert audio["m1"]["duration_s"] == 2.0
+    assert audio["m2"]["n_bytes"] == 5 and 0.0 <= audio["m2"]["rms"] <= 1.0
+    assert audio["m3"]["sha"] == "" and audio["m3"]["duration_s"] == 0.0
