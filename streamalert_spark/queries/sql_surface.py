@@ -122,6 +122,51 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q3_ORACLE = """
+SELECT
+  l.l_orderkey AS orderkey,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  o.o_orderdate AS orderdate,
+  o.o_orderpriority AS orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", oracle=_Q3_ORACLE,
+       doc="TPC-H Q3 shape: selective filters pushed to all three scans, "
+           "broadcast customer, AQE-planned fact joins, decimal-exact "
+           "revenue, top-10.")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+             .cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+    )
+    # deterministic top-10: sort needs ALL groups, so this tiny global sort
+    # is inherent to the query (LIMIT pushes into the sort as TakeOrdered)
+    return out.orderBy(F.col("revenue").desc(), "orderkey").limit(10)
+
+
 # ---------------------------------------------------------------------------
 # Scheduled-query style: hourly counts with a date predicate (the reference's
 # packs always carry a dt partition filter — athena.py:36). date_trunc is the
