@@ -148,4 +148,7 @@ def build_rules() -> RuleRegistry:
         outputs=["slack:network"],
         description="Rejected inbound SSH flow.",
     ))
+
+    from examples.rules.cloudwatch_events import register as register_cloudwatch_events
+    register_cloudwatch_events(rules)
     return rules

@@ -11,14 +11,14 @@ from streamalert_spark.testing import load_golden_events, run_golden_event
 from tests.test_streaming import _guardduty_pipeline
 
 EVENTS = load_golden_events(Path(__file__).parent / "golden")
-GUARDDUTY_EVENTS = [e for e in EVENTS if e["log"] == "cloudwatch:events"]
-# events running through the full example deployment (conf/ + rules/)
-EXAMPLE_EVENTS = [
-    e for e in EVENTS if e["log"] in ("cloudtrail:events", "osquery:differential")]
+GUARDDUTY_EVENTS = [e for e in EVENTS if e["_file"].endswith("guardduty.json")]
+# events running through the full example deployment (conf/ + rules/) —
+# everything else, so every event also proves no OTHER rule fires on it
+EXAMPLE_EVENTS = [e for e in EVENTS if e not in GUARDDUTY_EVENTS]
 
 
 def test_fixture_files_found():
-    assert len(GUARDDUTY_EVENTS) >= 4 and len(EXAMPLE_EVENTS) >= 8
+    assert len(GUARDDUTY_EVENTS) >= 4 and len(EXAMPLE_EVENTS) >= 30
 
 
 @pytest.mark.parametrize(
