@@ -14,12 +14,20 @@ def test_load_conf_dir_registers_and_routes():
     reg = load_conf_dir(EXAMPLES / "conf")
     assert set(reg.all()) == {
         "cloudwatch:events", "cloudwatch:flow_logs", "osquery:differential",
-        "cloudtrail:events"}
+        "cloudtrail:events", "binaryalert", "carbonblack:ingress.event.procstart",
+        "duo:administrator", "duo:authentication", "fleet:results",
+        "ghe:general", "okta:logevents", "onelogin:events",
+        "packetbeat:dns", "packetbeat:flow", "trendmicro:malwareevent"}
     # family name 'cloudwatch' expands to both types in declared order
     kinesis = [s.name for s in reg.candidates("kinesis", "prod_streamalert")]
     assert kinesis == ["cloudwatch:events", "cloudwatch:flow_logs"]
     s3 = [s.name for s in reg.candidates("s3", "osquery-logs-bucket")]
     assert s3 == ["osquery:differential"]
+    sns = [s.name for s in reg.candidates("sns", "prefix_cluster_sample_topic")]
+    assert sns == ["binaryalert", "trendmicro:malwareevent"]
+    app = [s.name for s in reg.candidates(
+        "streamalert_app", "prefix_cluster_duo_admin_sm-app-name_app")]
+    assert app == ["duo:administrator"]
 
 
 def test_normalization_spec_from_raw_conf():
