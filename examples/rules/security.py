@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 from streamalert_spark.rules.registry import Rule, RuleRegistry
 
 
-def build_rules() -> RuleRegistry:
+def build_rules(lookups=None) -> RuleRegistry:
+    """The full example deployment's rule registry. ``lookups`` (a
+    LookupTables) enables the in-rule lookup-table example family."""
     rules = RuleRegistry()
 
     rules.matcher(
@@ -150,5 +152,11 @@ def build_rules() -> RuleRegistry:
     ))
 
     from examples.rules.cloudwatch_events import register as register_cloudwatch_events
+    from examples.rules.github import register as register_github
+    from examples.rules.mitre import register as register_mitre
+    from examples.rules.saas import register as register_saas
     register_cloudwatch_events(rules)
+    register_github(rules)
+    register_saas(rules, lookups=lookups)
+    register_mitre(rules)
     return rules

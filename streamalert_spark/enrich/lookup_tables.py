@@ -85,6 +85,16 @@ class LookupTables:
         """Pass this into rule closures; .value is the dict on executors."""
         return self._dicts[table]
 
+    def view(self) -> "LookupTablesView":
+        """Picklable accessor for rule closures (the reference's in-rule
+        ``LookupTables.get(...)`` API, lookup_tables/core.py:141-152).
+
+        Carries the broadcast-handle map by reference — NOT the session —
+        so tables registered after the rule is built (e.g. golden-event
+        ``test_fixtures.lookup_tables``) are visible when the task
+        serializes at action time."""
+        return LookupTablesView(self._dicts)
+
     # -- Dynamo-like: DataFrame join ------------------------------------------
     def register_frame(self, name: str, df: DataFrame, key_col: str = "key") -> None:
         self._frames[name] = df.withColumnRenamed(key_col, "__lookup_key")
@@ -103,3 +113,20 @@ class LookupTables:
             lk = lk.select("__lookup_key", *value_cols)
         out = df.join(F.broadcast(lk), df[key_col] == lk["__lookup_key"], how)
         return out.drop("__lookup_key")
+
+
+class LookupTablesView:
+    """Executor-safe lookup accessor: holds broadcast handles only.
+
+    Rule bodies capture this in their closure; ``get`` reads the broadcast
+    value, valid on the driver and inside Arrow-batched rule evaluation.
+    """
+
+    def __init__(self, dicts: dict[str, Any]):
+        self._dicts = dicts
+
+    def get(self, table: str, key: str, default=None):
+        b = self._dicts.get(table)
+        if b is None:
+            return default
+        return b.value.get(key, default)

@@ -92,6 +92,12 @@ class JsonParser(ParserBase):
                 df = df.withColumn("_sa_raw", F.explode(F.array(F.nullif(blob, F.lit("")))))
                 return df, "_sa_raw"
             return df, raw_col
+        if path == "[*]":
+            # root-level array payload (e.g. trendmicro malware events,
+            # parsers.py:429-448 jmespath '[*]'): every element is a record.
+            inner = F.from_json(F.col(raw_col), "array<string>")
+            df = df.withColumn("_sa_raw", F.explode(inner))
+            return df, "_sa_raw"
         m = _JSON_PATH_RE.match(path)
         if m:
             head, tail = m.group("head"), m.group("tail")

@@ -45,3 +45,18 @@ def load_conf_dir(path: str | Path) -> SchemaRegistry:
                         )
                 registry.route(service, resource, expanded)
     return registry
+
+
+def normalizers_from_conf(registry: SchemaRegistry) -> dict:
+    """Per-log-type Normalizers from each schema's ``configuration.
+    normalization`` block (conf/schemas/*.json, normalize.py:130-173) —
+    what the reference classifier wires at Normalizer.normalize time
+    (classifier.py:191-198)."""
+    from streamalert_spark.normalize import NormalizationSpec, Normalizer
+
+    out = {}
+    for name, schema in registry.all().items():
+        cfg = schema.normalization
+        if cfg:
+            out[name] = Normalizer(NormalizationSpec.from_config(cfg))
+    return out

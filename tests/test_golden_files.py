@@ -29,23 +29,30 @@ def test_golden_file(spark, event):
     assert res.passed, res.failures
 
 
-def _example_pipeline():
+def _example_pipeline(spark):
     """The runnable example deployment (conf/ + rules/), exercising the
-    Records[*] json_path explode, free-form {} fields, and multi-family
-    kinesis routing end to end."""
+    Records[*] json_path explode, free-form {} fields, conf-driven
+    normalization (datatype-routed rules), and multi-service routing end
+    to end. Returns (pipeline, lookups) — lookups for fixture events."""
     from examples.rules.security import build_rules
-    from streamalert_spark.schema.loader import load_conf_dir
+    from streamalert_spark.enrich.lookup_tables import LookupTables
+    from streamalert_spark.schema.loader import load_conf_dir, normalizers_from_conf
     from streamalert_spark.streaming.pipeline import StreamingPipeline
 
     conf = load_conf_dir(Path(__file__).parent.parent / "examples" / "conf")
-    return StreamingPipeline(schemas=conf, rules=build_rules(), cluster="prod")
+    lookups = LookupTables(spark)
+    pipeline = StreamingPipeline(
+        schemas=conf, rules=build_rules(lookups=lookups), cluster="prod",
+        normalizers=normalizers_from_conf(conf))
+    return pipeline, lookups
 
 
 @pytest.mark.parametrize(
     "event", EXAMPLE_EVENTS,
     ids=[e.get("description", "?") for e in EXAMPLE_EVENTS])
 def test_golden_example_deployment(spark, event):
-    res = run_golden_event(spark, _example_pipeline(), event)
+    pipeline, lookups = _example_pipeline(spark)
+    res = run_golden_event(spark, pipeline, event, lookups=lookups)
     assert res.passed, res.failures
 
 
