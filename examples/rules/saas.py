@@ -41,17 +41,24 @@ def register(rules: RuleRegistry, lookups=None) -> None:
                 outputs=["pagerduty:duo"])
     def duo_bypass_code_create_non_expiring(record):
         """duo_bypass_code_create_non_expiring.py:8-17 — valid_secs null
-        means the code never expires."""
-        desc = safe_json_loads(record.get("description") or "")
-        return "valid_secs" in desc and desc["valid_secs"] is None
+        means the code never expires. Like the reference's
+        ``.get('valid_secs') is None``, this also fires when the key is
+        absent or the description is unparseable JSON; a missing
+        description key raises there (mapped to False), mirrored here."""
+        if "description" not in record:
+            return False
+        return safe_json_loads(record["description"]).get("valid_secs") is None
 
     @rules.rule(logs=["duo:administrator"], matchers=["duo_bypass_create"],
                 outputs=["pagerduty:duo"])
     def duo_bypass_code_create_unlimited_use(record):
         """duo_bypass_code_create_unlimited_use.py:8-17 — remaining_uses
-        null means unlimited."""
-        desc = safe_json_loads(record.get("description") or "")
-        return "remaining_uses" in desc and desc["remaining_uses"] is None
+        null means unlimited; fires on key-absent / unparseable
+        description too (reference ``.get(...) is None`` semantics)."""
+        if "description" not in record:
+            return False
+        return safe_json_loads(record["description"]).get(
+            "remaining_uses") is None
 
     # -- duo_authentication (2 native + the lookup-table example) -------------
     rules.add(Rule(
@@ -107,13 +114,22 @@ def register(rules: RuleRegistry, lookups=None) -> None:
         description="packetbeat_dns_lookup.py:6-14 — DNS lookup under a "
                     "blacklisted zone.",
     ))
+    # IPv4Address(rec['source']['ip']) in the reference raises on a
+    # missing/invalid/IPv6 source address (engine maps to False) — the
+    # native twin is a strict dotted-quad regex gate (no leading zeros,
+    # octets 0-255, matching what ipaddress.IPv4Address accepts).
+    _ipv4_octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    _ipv4_regex = r"^({o}\.){{3}}{o}$".format(o=_ipv4_octet)
     rules.add(Rule(
         name="packetbeat_blacklisted_ip",
-        expr=lambda rec: rec["dest"]["ip"].isin(_IP_BLACKLIST),
+        expr=lambda rec: rec["source"]["ip"].isNotNull()
+        & rec["source"]["ip"].rlike(_ipv4_regex)
+        & rec["dest"]["ip"].isin(_IP_BLACKLIST),
         logs=["packetbeat:flow"],
         outputs=["slack:network"],
         description="packetbeat_blacklisted_ip.py:9-18 — network "
-                    "connection to a blacklisted IP.",
+                    "connection to a blacklisted IP (source IP must be "
+                    "valid IPv4, per the reference's IPv4Address gate).",
     ))
 
     # -- binaryalert ----------------------------------------------------------

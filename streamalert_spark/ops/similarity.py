@@ -54,44 +54,66 @@ def cosine_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    num_blocks: int = 8,
 ) -> DataFrame:
     """All-pairs cosine >= threshold (near-duplicate embeddings).
 
-    BLAS-backed: the (small) vector matrix broadcasts to every executor and
-    each partition computes its rows' scores against the whole matrix with
-    one float64 matmul — the all-pairs work distributes over the row axis.
-    This is the *verifier/moderate-n* form; when the matrix itself outgrows
-    a broadcast (100 TB regime), use lsh_bucketed_pairs to generate
-    candidates and verify only those.
+    Block-nested-loop join, fully distributed: vectors are hashed into
+    ``num_blocks`` blocks by id, the B*(B+1)/2 unordered block pairs fan out
+    via a broadcast of the tiny block-pair table, and each (bi, bj) task
+    scores its two blocks against each other with one float64 BLAS matmul.
+    Nothing is ever materialized on the driver; per-task work is
+    O((n/B)^2 * dim) and the shuffle replicates each row (B+1)/2 times on
+    average — pick B ~ sqrt(n_rows / rows_per_task) at scale. Exact
+    (every pair is scored once); LSH (lsh_bucketed_pairs) is the
+    approximate path when even O(n^2/B) pairs is too much.
     """
     import numpy as np
     import pandas as pd
 
-    mat_rows = df.select(id_col, vec_col).toPandas()
-    ids = mat_rows[id_col].to_numpy()
-    M = np.array(mat_rows[vec_col].tolist(), dtype=np.float64)
-    norms = np.sqrt((M * M).sum(axis=1))
-    bc = df.sparkSession.sparkContext.broadcast((ids, M, norms))
+    spark = df.sparkSession
+    pair_rows = [(bi, bj) for bi in range(num_blocks) for bj in range(bi, num_blocks)]
+    # Two independently-constructed plans (fresh literal frames, renamed
+    # columns) so the cogroup below is not an ambiguous self-join.
+    left_pairs = spark.createDataFrame(pair_rows, "bi int, bj int")
+    right_pairs = spark.createDataFrame(pair_rows, "r_bi int, r_bj int")
+    blk = (F.col(id_col) % num_blocks).cast("int")
+    left = (
+        df.select(F.col(id_col).alias("l_id"), F.col(vec_col).alias("l_vec"),
+                  blk.alias("l_blk"))
+        .join(F.broadcast(left_pairs), F.col("l_blk") == F.col("bi"))
+    )
+    right = (
+        df.select(F.col(id_col).alias("r_id"), F.col(vec_col).alias("r_vec"),
+                  blk.alias("r_blk"))
+        .join(F.broadcast(right_pairs), F.col("r_blk") == F.col("r_bj"))
+    )
 
-    def run(batches):
-        b_ids, b_M, b_norms = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            x_ids = pdf[id_col].to_numpy()
-            xn = np.sqrt((X * X).sum(axis=1))
-            S = np.round((X @ b_M.T) / np.outer(xn, b_norms), 6)
-            keep = (S >= threshold) & (x_ids[:, None] < b_ids[None, :])
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame({
-                "a": x_ids[ai],
-                "b": b_ids[bj],
-                "score": S[ai, bj],
-            })
+    def score(left_pdf: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+        if left_pdf.empty or right_pdf.empty:
+            return pd.DataFrame({"a": [], "b": [], "score": []})
+        X = np.array(left_pdf["l_vec"].tolist(), dtype=np.float64)
+        Y = np.array(right_pdf["r_vec"].tolist(), dtype=np.float64)
+        x_ids = left_pdf["l_id"].to_numpy()
+        y_ids = right_pdf["r_id"].to_numpy()
+        xn = np.sqrt((X * X).sum(axis=1))
+        yn = np.sqrt((Y * Y).sum(axis=1))
+        S = np.round((X @ Y.T) / np.outer(xn, yn), 6)
+        # bi < bj pairs each unordered pair exactly once across block pairs;
+        # the id inequality both orders (a, b) and dedupes the bi == bj case.
+        keep = (S >= threshold) & (x_ids[:, None] != y_ids[None, :])
+        ai, bj = np.nonzero(keep)
+        a, b = x_ids[ai], y_ids[bj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"a": lo, "b": hi, "score": S[ai, bj]})
+        return out.drop_duplicates(subset=["a", "b"])
 
-    src = df.select(id_col, vec_col).repartition(df.sparkSession.sparkContext.defaultParallelism)
-    return src.mapInPandas(run, schema=f"a {dict(df.dtypes)[id_col]}, b {dict(df.dtypes)[id_col]}, score double")
+    id_type = dict(df.dtypes)[id_col]
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("r_bi", "r_bj"))
+        .applyInPandas(score, schema=f"a {id_type}, b {id_type}, score double")
+    )
 
 
 def cosine_pairs_exact(

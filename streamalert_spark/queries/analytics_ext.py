@@ -31,8 +31,8 @@ flagged AS (
 ),
 numbered AS (
   SELECT user_id, event_id, ts, es,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,

@@ -82,18 +82,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup RESOLUTION: verified near-dup pairs -> survivor set. Greedy min-id
 # keep policy: any doc that is the larger side of a confirmed pair is
 # dropped (single pass, deterministic — no transitive closure, so a chain
-# a~b~c keeps a and c). At scale the verifier runs over LSH candidates
-# (minhash_lsh_candidates) instead of all pairs; the policy and the
-# left-anti join are identical.
+# a~b~c keeps a and c). The verifier runs over MinHash+LSH candidates only
+# (the scale path) — never all pairs; the oracle mirrors the same
+# candidate restriction so both engines verify the identical pair set.
 # ---------------------------------------------------------------------------
 
-_RESOLUTION_ORACLE = """
+def _lsh_resolution_oracle(num_hashes: int = 16, band_size: int = 4,
+                           threshold: float = 0.5) -> str:
+    bands = []
+    for bi in range(num_hashes // band_size):
+        cols = " || '|' || ".join(f"mh_{bi * band_size + j}" for j in range(band_size))
+        bands.append(
+            f"SELECT doc_id, {bi} AS band_idx, md5({cols}) AS band_key FROM sig"
+        )
+    bands_sql = "\nUNION ALL\n".join(bands)
+    mh = ",".join(f"MIN(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes))
+    return f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
   FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+bands AS (
+{bands_sql}
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
   FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
@@ -101,8 +120,10 @@ inter AS (
 ),
 dropped AS (
   SELECT DISTINCT i.b AS doc_id
-  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
-  WHERE ROUND(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= 0.5
+  FROM inter i
+  JOIN cands c ON c.a = i.a AND c.b = i.b
+  JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE ROUND(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
 )
 SELECT d.doc_id FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
@@ -110,12 +131,13 @@ ORDER BY d.doc_id
 """
 
 
-@query("dedup_resolution", oracle=_RESOLUTION_ORACLE,
-       doc="End-to-end near-dup dedup: jaccard-verified pairs -> greedy "
-           "min-id survivor set via left-anti join.")
+@query("dedup_resolution", oracle=_lsh_resolution_oracle(),
+       doc="End-to-end near-dup dedup at scale: MinHash+LSH candidates -> "
+           "exact-Jaccard verify -> greedy min-id survivor set via "
+           "left-anti join.")
 def dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = dedup.lsh_verified_pairs(docs, threshold=0.5)
     dropped = pairs.select(F.col("b").alias("doc_id")).distinct()
     return (
         docs.join(dropped, "doc_id", "left_anti")
