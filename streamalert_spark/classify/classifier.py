@@ -125,18 +125,41 @@ def coercion_valid(parsed: Column, typed: Column, schema: LogSchema) -> Column:
 
 def log_patterns_filter(typed: Column, schema: LogSchema) -> Column:
     """fnmatch log_patterns: ALL fields must match ANY of their globs
-    (parsers.py:173-221). Dotted field paths address nested structs."""
-    conds = []
-    for path, globs in schema.log_patterns.items():
-        field = typed
-        for part in path.split("."):
-            field = field[part]
-        any_of = None
-        for g in globs:
-            like = field.cast("string").like(glob_to_like(g))
-            any_of = like if any_of is None else (any_of | like)
-        if any_of is not None:
-            conds.append(any_of)
+    (parsers.py:173-221). Dotted field paths address nested structs, and
+    a dict pattern value recurses into the nested record
+    (parsers.py:195-197). A pattern key not declared in the schema rejects
+    every record (parsers.py:205-212 — e.g. the shipped pan.json declares
+    a flat 'type' key that only exists nested under 'message')."""
+    def _declared(path: list[str]) -> bool:
+        tok: Any = schema.schema
+        for part in path:
+            if not isinstance(tok, dict) or part not in tok:
+                return False
+            tok = tok[part]
+        return True
+
+    def _walk(patterns: dict, prefix: list[str], conds: list[Column]) -> None:
+        for key, val in patterns.items():
+            path = prefix + [key]
+            if isinstance(val, dict):
+                _walk(val, path, conds)
+                continue
+            globs = [val] if isinstance(val, str) else val
+            if not _declared(path):
+                conds.append(F.lit(False))
+                continue
+            field = typed
+            for part in path:
+                field = field[part]
+            any_of = None
+            for g in globs:
+                like = field.cast("string").like(glob_to_like(g))
+                any_of = like if any_of is None else (any_of | like)
+            if any_of is not None:
+                conds.append(any_of)
+
+    conds: list[Column] = []
+    _walk(schema.log_patterns, [], conds)
     if not conds:
         return F.lit(True)
     out = conds[0]
@@ -238,17 +261,54 @@ class Classifier:
             out = bdf.filter(cond).select(*keep_cols, *cols)
             by_log_type[schema.name] = out
 
-        # invalid = base rows matching no base-shape candidate (exploded
-        # schemas are judged on their own shape). Diagnostics path — the
-        # re-derived parse here costs ~2 evaluations per row, not ~20.
-        base_valid = None
+        # invalid accounting. Base-shape candidates judge the original
+        # payload: a payload matching no candidate is one invalid record
+        # (classifier.py:202-215). Line-exploded CSV groups judge each
+        # line individually (parsers.py:705-712 — invalid lines within a
+        # matched payload are still bad records); lines whose payload a
+        # base-shape candidate accepts are excluded. json_path-exploded
+        # JSON schemas stay judged on their own shape (excluded).
+        # Diagnostics path — the re-derived parses cost ~2 evaluations
+        # per row, not ~20.
+        def _base_valid_expr() -> Column | None:
+            v = None
+            for schema, p, _, rcol in prepared:
+                if rcol != raw_col:
+                    continue
+                raw = F.col(raw_col)
+                e = p.valid_expr(schema, raw, p.parse_expr(schema, raw))
+                v = e if v is None else (v | e)
+            return v
+
+        invalid_frames: list[DataFrame] = []
+        base_valid = _base_valid_expr()
+        if base_valid is not None:
+            invalid_frames.append(
+                df.filter(~base_valid).select(*keep_cols, F.col(raw_col).alias("raw")))
+
+        seen_line_groups: set[int] = set()
         for schema, p, pdf, rcol in prepared:
-            if rcol != raw_col:
+            if rcol != "_sa_csv_line" or id(pdf) in seen_line_groups:
                 continue
-            raw = F.col(raw_col)
-            v = p.valid_expr(schema, raw, p.parse_expr(schema, raw))
-            base_valid = v if base_valid is None else (base_valid | v)
-        if base_valid is None:
-            base_valid = F.lit(False)
-        invalid = df.filter(~base_valid).select(*keep_cols, F.col(raw_col).alias("raw"))
+            seen_line_groups.add(id(pdf))
+            group_invalid = None
+            for s2, p2, pdf2, rcol2 in prepared:
+                if id(pdf2) != id(pdf):
+                    continue
+                line = F.col(rcol)
+                v = p2.valid_expr(s2, line, p2.parse_expr(s2, line))
+                group_invalid = ~v if group_invalid is None else (group_invalid & ~v)
+            if base_valid is not None:
+                group_invalid = group_invalid & ~base_valid
+            invalid_frames.append(
+                pdf.filter(group_invalid).select(*keep_cols, F.col(rcol).alias("raw")))
+
+        if invalid_frames:
+            invalid = invalid_frames[0]
+            for f in invalid_frames[1:]:
+                invalid = invalid.unionByName(f)
+        else:
+            # no base-shape or line-shape candidates at all (pure
+            # json_path sources): every payload is unjudged -> invalid
+            invalid = df.select(*keep_cols, F.col(raw_col).alias("raw"))
         return ClassifiedBatch(by_log_type=by_log_type, invalid=invalid)

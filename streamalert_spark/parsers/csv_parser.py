@@ -49,13 +49,30 @@ class CsvParser(ParserBase):
         # CSV embedded in JSON (parsers.py:676-683): json_path names the
         # JSON field holding the CSV line.
         path = schema.json_path
+        src = raw_col
         if path:
             df = df.withColumn("_sa_raw", F.get_json_object(F.col(raw_col), "$." + path))
             if schema.envelope_keys:
                 env_ddl = all_string_struct_ddl(sorted(schema.envelope_keys))
                 df = df.withColumn("streamalert_envelope_keys", F.from_json(F.col(raw_col), env_ddl))
-            return df, "_sa_raw"
-        return df, raw_col
+            src = "_sa_raw"
+        # Multi-line payloads: one csv.reader pass yields one record per
+        # line (parsers.py:705-712 `for row in reader`); a payload matches
+        # the schema when >=1 line is valid, invalid lines are counted
+        # individually. The split is structural — quoted embedded newlines
+        # are NOT supported (csv.reader would keep them inside the field;
+        # known limitation, see COVERAGE.md). A single trailing newline
+        # terminates the last row rather than starting an empty one.
+        lines = F.split(F.col(src), "\r?\n")
+        lines = F.when(
+            (F.size(lines) > 1) & (F.element_at(lines, -1) == ""),
+            F.slice(lines, 1, F.size(lines) - 1),
+        ).otherwise(lines)
+        df = df.withColumn(
+            "_sa_csv_line",
+            F.explode(F.coalesce(lines, F.array(F.lit(None).cast("string")))),
+        )
+        return df, "_sa_csv_line"
 
     def _ddl(self, schema: LogSchema) -> str:
         cols = ", ".join(f"`{name}` string" for name in schema.schema)

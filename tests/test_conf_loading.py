@@ -17,7 +17,9 @@ def test_load_conf_dir_registers_and_routes():
         "cloudtrail:events", "binaryalert", "carbonblack:ingress.event.procstart",
         "duo:administrator", "duo:authentication", "fleet:results",
         "ghe:general", "okta:logevents", "onelogin:events",
-        "packetbeat:dns", "packetbeat:flow", "trendmicro:malwareevent"}
+        "packetbeat:dns", "packetbeat:flow", "trendmicro:malwareevent",
+        "aliyun:actiontrail", "box:admin_events", "gsuite:reports",
+        "pan", "slack:access", "slack:integration", "streamquery:version1"}
     # family name 'cloudwatch' expands to both types in declared order
     kinesis = [s.name for s in reg.candidates("kinesis", "prod_streamalert")]
     assert kinesis == ["cloudwatch:events", "cloudwatch:flow_logs"]

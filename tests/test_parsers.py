@@ -165,6 +165,64 @@ def test_kv_parser(spark):
     assert batch.invalid.count() == 2
 
 
+def test_csv_multi_line_payload(spark):
+    """parsers.py:705-712 — one csv.reader pass yields a record per line
+    (mirrors test_parsers_csv.py::test_nested_csv's sibling multi-record
+    case): both lines parse, a mixed payload keeps its valid line and
+    counts the bad one invalid."""
+    schema = LogSchema(
+        name="t:csvml", schema={"host": "string", "date": "string", "message": "string"},
+        parser="csv",
+    )
+    batch = _classify_one(spark, schema, [
+        "host-name,01-01-2018,contents\nhost-name-02,02-02-2018,contents-02",
+        "host-ok,03-03-2018,fine\nonly,two",   # 2nd line under-width
+        "trailing,newline,ok\n",               # terminator, not a new row
+    ])
+    rows = batch.by_log_type["t:csvml"].collect()
+    hosts = sorted(r["record"]["host"] for r in rows)
+    assert hosts == ["host-name", "host-name-02", "host-ok", "trailing"]
+    inv = [r["raw"] for r in batch.invalid.collect()]
+    assert inv == ["only,two"]
+
+
+def test_pan_schema_reference_parity(spark):
+    """The shipped pan schema (conf/schemas/pan.json): nested CSV message
+    column, and a log_patterns key 'type' that only exists nested under
+    'message' — the reference rejects every record for a pattern key
+    missing from the record (parsers.py:205-212), so the shipped config
+    classifies nothing; with the pattern nested properly, TRAFFIC rows
+    classify and others are filtered."""
+    import dataclasses
+    import json as _json
+    from pathlib import Path
+
+    from streamalert_spark.schema.loader import load_conf_dir
+
+    conf_dir = Path(__file__).resolve().parent.parent / "examples" / "conf"
+    pan = load_conf_dir(conf_dir).get("pan")
+    inner_keys = list(pan.schema["message"])
+    inner = {k: f"i_{k}" for k in inner_keys}
+    inner["type"] = "TRAFFIC"
+    outer = {k: f"v_{k}" for k in pan.schema if k != "message"}
+    line = ",".join(outer.values()) + ',"' + ",".join(inner.values()) + '"'
+
+    batch = _classify_one(spark, pan, [line])
+    assert batch.by_log_type["pan"].count() == 0          # reference parity
+    # parse-shape quarantine only: pattern-rejected rows are filtered, not
+    # quarantined (the line itself parses under the schema)
+    assert batch.invalid.count() == 0
+
+    fixed = dataclasses.replace(pan, configuration={
+        **pan.configuration, "log_patterns": {"message": {"type": ["TRAFFIC"]}}})
+    threat_line = line.replace("TRAFFIC", "THREAT")
+    batch = _classify_one(spark, fixed, [line, threat_line])
+    rows = batch.by_log_type["pan"].collect()
+    assert len(rows) == 1
+    assert rows[0]["record"]["message"]["type"] == "TRAFFIC"
+    assert rows[0]["record"]["message"]["src"] == "i_src"
+
+
 def test_csv_quoted_fields_and_literal_backslash(spark):
     """parsers.py:630-645 — quotechar wraps delimiters; escapechar defaults
     to None, so a backslash is a literal character."""
