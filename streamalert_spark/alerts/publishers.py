@@ -98,6 +98,31 @@ def enumerate_fields(_, publication: dict) -> dict:
     return OrderedDict(sorted(flat.items()))
 
 
+def _stringify_scalar_arrays(publication: dict, delimiter: str) -> dict:
+    """BFS over the publication joining every all-scalar list into one
+    string (generic.py:206-273). Lists reached inside other lists are too
+    late to replace (no back-reference) — same caveat as the reference."""
+    queue: deque = deque([publication])
+    while queue:
+        node = queue.popleft()
+        if isinstance(node, dict):
+            for key, item in node.items():
+                if isinstance(item, list) and not any(
+                        isinstance(e, (dict, list)) for e in item):
+                    node[key] = delimiter.join(str(e) for e in item)
+                else:
+                    queue.append(item)
+        elif isinstance(node, list):
+            queue.extend(node)
+    return publication
+
+
+@register
+def stringify_arrays(_, publication: dict) -> dict:
+    """Join scalar arrays with newlines (generic.py StringifyArrays)."""
+    return _stringify_scalar_arrays(publication, "\n")
+
+
 @register
 def populate_fields(alert: dict, publication: dict) -> dict:
     """Keep ONLY context['populate_fields'], hoisted to the top level

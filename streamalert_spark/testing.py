@@ -88,13 +88,19 @@ def load_golden_events(path: str | Path) -> list[dict]:
 
 def _search_path(data, path: str):
     """Dotted-path lookup — the jmespath subset the shipped publisher
-    tests use (testing.rst:200)."""
+    tests use (testing.rst:200). A path that IS a literal key wins at any
+    level (jmespath's quoted-identifier form, needed for flat publication
+    keys like '@slack.text'); quotes around the whole path are stripped."""
+    path = path.strip('"')
     cur = data
-    for part in path.split("."):
-        if isinstance(cur, dict):
-            cur = cur.get(part)
-        else:
+    remaining = path.split(".")
+    while remaining:
+        if not isinstance(cur, dict):
             return None
+        whole = ".".join(remaining)
+        if whole in cur:
+            return cur[whole]
+        cur = cur.get(remaining.pop(0))
     return cur
 
 
