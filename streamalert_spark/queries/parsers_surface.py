@@ -68,6 +68,50 @@ def parse_csv_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition(1).sortWithinPartitions("src_key", "linenumber")
 
 
+_CSV_MULTILINE_ORACLE = """
+SELECT
+  CAST(o_orderkey AS BIGINT) AS orderkey,
+  o_orderstatus AS status,
+  CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS price
+FROM orders
+ORDER BY orderkey
+"""
+
+
+@query("parse_csv_multiline", oracle=_CSV_MULTILINE_ORACLE,
+       doc="Multi-line CSV payloads: one payload per customer holding one "
+           "CSV line per order; the parser yields one record per line "
+           "(parsers.py:705-712).")
+def parse_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("string"),
+    )
+    payloads = (
+        orders.select(F.col("o_custkey").alias("cust"), line.alias("line"))
+        .groupBy("cust")
+        .agg(F.array_join(F.collect_list("line"), "\n").alias("payload"))
+    )
+    schema = LogSchema(
+        name="csv:orders",
+        schema={"orderkey": "integer", "status": "string", "price": "float"},
+        parser="csv",
+    )
+    batch = _classify(payloads, schema, keep=[])
+    return (
+        batch.by_log_type["csv:orders"]
+        .select(
+            F.col("record.orderkey").alias("orderkey"),
+            F.col("record.status").alias("status"),
+            F.col("record.price").alias("price"),
+        )
+        .repartition(1).sortWithinPartitions("orderkey")
+    )
+
+
 # ---------------------------------------------------------------- KV
 
 _KV_ORACLE = """
