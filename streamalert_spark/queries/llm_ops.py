@@ -147,6 +147,145 @@ def dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup CONNECTED COMPONENTS: transitive closure over the LSH-verified
+# pair graph — chain a~b~c collapses into one component labelled by its
+# min doc id. Spark side is iterative min-label propagation
+# (ops/dedup.connected_components); the oracle is a recursive CTE.
+# ---------------------------------------------------------------------------
+
+def _components_oracle(num_hashes: int = 16, band_size: int = 4,
+                       threshold: float = 0.5) -> str:
+    bands = []
+    for bi in range(num_hashes // band_size):
+        cols = " || '|' || ".join(f"mh_{bi * band_size + j}" for j in range(band_size))
+        bands.append(
+            f"SELECT doc_id, {bi} AS band_idx, md5({cols}) AS band_key FROM sig"
+        )
+    bands_sql = "\nUNION ALL\n".join(bands)
+    mh = ",".join(f"MIN(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes))
+    return f"""
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+bands AS (
+{bands_sql}
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+vp AS (
+  SELECT i.a, i.b
+  FROM inter i
+  JOIN cands c ON c.a = i.a AND c.b = i.b
+  JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE ROUND(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM vp UNION SELECT b, a FROM vp
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS component_id
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
+@query("dedup_components", oracle=_components_oracle(),
+       doc="Transitive-closure dedup: connected components over the "
+           "LSH-verified near-dup graph via iterative min-label "
+           "propagation (recursive-CTE oracle).")
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.lsh_verified_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return (
+        dedup.connected_components(pairs)
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: training docs sharing any 3-gram shingle
+# with the (hash-designated) eval subset are flagged with their overlap
+# count — the standard pre-training contamination sweep.
+# ---------------------------------------------------------------------------
+
+_DECONTAMINATE_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+SELECT tr.doc_id, COUNT(*) AS n_shared_shingles
+FROM tr JOIN ev USING (shingle)
+GROUP BY tr.doc_id
+ORDER BY tr.doc_id
+"""
+
+
+@query("decontaminate_ngram_overlap", oracle=_DECONTAMINATE_ORACLE,
+       doc="Benchmark decontamination: flag training docs sharing 3-gram "
+           "shingles with the eval subset (broadcast semi-join).")
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops import curation
+
+    docs = _docs(spark, sf_dir)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return (
+        curation.ngram_overlap_flags(train, eval_df)
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: per-language keep rates via md5
+# hash-gating — identical row selection on every engine and every run.
+# ---------------------------------------------------------------------------
+
+def _stratified_oracle() -> str:
+    from streamalert_spark.ops.curation import sample_threshold_hex
+
+    en, zh = sample_threshold_hex(0.5), sample_threshold_hex(0.25)
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE CASE
+  WHEN lang = 'en' THEN substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < '{en}'
+  WHEN lang = 'zh' THEN substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < '{zh}'
+  ELSE TRUE END
+ORDER BY doc_id
+"""
+
+
+@query("stratified_sample_langs", oracle=_stratified_oracle(),
+       doc="Deterministic stratified sampling: en kept at 50%, zh at 25%, "
+           "other languages untouched — md5 hash-gate, zero shuffle.")
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops import curation
+
+    docs = _docs(spark, sf_dir)
+    return (
+        curation.stratified_sample(docs, {"en": 0.5, "zh": 0.25})
+        .select("doc_id", "lang")
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash signatures + LSH candidate pairs. Hash family is lexicographic min
 # of md5(seed:shingle) — portable, uniform; bands of 4 over 16 hashes.
 # ---------------------------------------------------------------------------

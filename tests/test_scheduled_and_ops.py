@@ -182,3 +182,69 @@ def test_multimodal_resize_and_audio(spark):
     assert audio["m1"]["duration_s"] == 2.0
     assert audio["m2"]["n_bytes"] == 5 and 0.0 <= audio["m2"]["rms"] <= 1.0
     assert audio["m3"]["sha"] == "" and audio["m3"]["duration_s"] == 0.0
+
+
+def test_connected_components_chain_and_islands(spark):
+    """a~b~c collapses to one component (the transitive closure the
+    greedy resolution skips); disjoint pairs stay separate."""
+    from streamalert_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "a bigint, b bigint",
+    )
+    got = {r["doc_id"]: r["component_id"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from streamalert_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a bigint, b bigint")
+    got = connected_components(pairs).collect()
+    assert {r["component_id"] for r in got} == {0}
+    assert len(got) == 13
+
+
+def test_ngram_overlap_flags_semantics(spark):
+    """Only train docs sharing a 3-gram with the eval set are flagged,
+    counting distinct shared shingles."""
+    from streamalert_spark.ops.curation import ngram_overlap_flags
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id bigint, text string")
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox sleeps"),   # shares 2 shingles
+         (2, "a wholly different sentence here"),
+         (3, "quick brown fox jumps high")],  # shares 2 shingles
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r["n_shared_shingles"]
+           for r in ngram_overlap_flags(train, eval_df).collect()}
+    assert got == {1: 2, 3: 2}
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    from streamalert_spark.ops.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)],
+        "doc_id bigint, lang string")
+    once = sorted(r["doc_id"] for r in
+                  stratified_sample(df, {"en": 0.3}).collect())
+    twice = sorted(r["doc_id"] for r in
+                   stratified_sample(df, {"en": 0.3}).collect())
+    assert once == twice                      # deterministic
+    en_kept = sum(1 for i in once if i % 2 == 0)
+    assert 0.2 < en_kept / 1000 < 0.4        # ~30% of the 1000 en rows
+    assert sum(1 for i in once if i % 2 == 1) == 1000  # fr untouched
+
+
+def test_stratified_sample_is_zero_shuffle(spark):
+    from streamalert_spark.ops.curation import stratified_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    plan = stratified_sample(df, {"en": 0.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
