@@ -116,6 +116,50 @@ def cosine_pairs(
     )
 
 
+def batch_cosine_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k for a BATCH of query vectors in one corpus scan.
+
+    The query set broadcasts (probe batches are small by definition);
+    scoring is corpus-parallel. Top-k is a two-phase aggregate: each scan
+    partition keeps only its local top-k per query, then the global merge
+    sees q x partitions x k rows — the shuffle never carries the scored
+    corpus, so the plan survives any corpus size. Ties break on vec_id
+    ascending via a negated-id sort key (no float negation, so scores
+    round-trip exactly).
+    """
+    q = df.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    scored = df.crossJoin(F.broadcast(q)).select(
+        "q_id", F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("score"))
+    item = F.struct(
+        F.col("score"), (-F.col(id_col)).alias("nv"), F.col(id_col).alias("vid"))
+    local = (
+        scored.groupBy("q_id", F.spark_partition_id().alias("p"))
+        .agg(F.slice(F.sort_array(F.collect_list(item), asc=False), 1, k).alias("tk"))
+    )
+    merged = (
+        local.select("q_id", F.explode("tk").alias("t"))
+        .groupBy("q_id")
+        .agg(F.slice(F.sort_array(F.collect_list("t"), asc=False), 1, k).alias("tk"))
+    )
+    return (
+        merged.select("q_id", F.posexplode("tk").alias("rank0", "t"))
+        .select(
+            "q_id",
+            F.col("t.vid").alias(id_col),
+            F.col("t.score").alias("score"),
+            (F.col("rank0") + 1).cast("bigint").alias("rank"),
+        )
+    )
+
+
 def cosine_pairs_exact(
     df: DataFrame,
     threshold: float = 0.95,

@@ -466,6 +466,42 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.repartition(1).sortWithinPartitions(F.col("score").desc(), "vec_id").limit(10)
 
 
+_BATCH_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+    ROUND(
+      list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+    6) AS score
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY q_id, rank
+"""
+
+
+@query("ann_batch_topk", oracle=_BATCH_TOPK_ORACLE,
+       doc="Batch ANN: exact top-3 for five query vectors in ONE corpus "
+           "scan — broadcast probe set + two-phase per-partition top-k "
+           "(shuffle carries q x partitions x k rows, never the corpus).")
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        similarity.batch_cosine_topk(_emb(spark, sf_dir), [0, 1, 2, 3, 4], k=3)
+        .repartition(1).sortWithinPartitions("q_id", "rank")
+    )
+
+
 _NEARDUP_ORACLE = """
 SELECT x.vec_id AS a, y.vec_id AS b,
   ROUND(
