@@ -18,6 +18,8 @@ a second from_csv. All JVM-native.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -59,11 +61,17 @@ class CsvParser(ParserBase):
         # Multi-line payloads: one csv.reader pass yields one record per
         # line (parsers.py:705-712 `for row in reader`); a payload matches
         # the schema when >=1 line is valid, invalid lines are counted
-        # individually. The split is structural — quoted embedded newlines
-        # are NOT supported (csv.reader would keep them inside the field;
-        # known limitation, see COVERAGE.md). A single trailing newline
-        # terminates the last row rather than starting an empty one.
-        lines = F.split(F.col(src), "\r?\n")
+        # individually. A newline is a record boundary only when an EVEN
+        # number of quote chars follows it (quote-parity lookahead), so
+        # newlines inside quoted fields stay in the field value — same
+        # semantics as csv.reader; doubled-quote escapes keep parity.
+        # The lookahead rescans the payload tail per newline (O(L x
+        # lines) worst case) — payloads are record-sized, so this is
+        # bounded. A single trailing newline terminates the last row
+        # rather than starting an empty one.
+        q = re.escape(schema.configuration.get("quotechar", '"'))
+        boundary = rf"\r?\n(?=(?:[^{q}]*{q}[^{q}]*{q})*[^{q}]*$)"
+        lines = F.split(F.col(src), boundary)
         lines = F.when(
             (F.size(lines) > 1) & (F.element_at(lines, -1) == ""),
             F.slice(lines, 1, F.size(lines) - 1),

@@ -186,6 +186,22 @@ def test_csv_multi_line_payload(spark):
     assert inv == ["only,two"]
 
 
+def test_csv_quoted_embedded_newline(spark):
+    """A newline inside a quoted field stays IN the field (csv.reader
+    semantics): the quote-parity line split only breaks records at
+    newlines followed by an even number of quotes."""
+    schema = LogSchema(
+        name="t:csvnl", schema={"a": "string", "b": "string", "c": "string"},
+        parser="csv",
+    )
+    payload = 'r1,"line1\nline2",end\nr2,plain,end2'
+    batch = _classify_one(spark, schema, [payload])
+    rows = sorted((r["record"]["a"], r["record"]["b"]) for r in
+                  batch.by_log_type["t:csvnl"].collect())
+    assert rows == [("r1", "line1\nline2"), ("r2", "plain")]
+    assert batch.invalid.count() == 0
+
+
 def test_pan_schema_reference_parity(spark):
     """The shipped pan schema (conf/schemas/pan.json): nested CSV message
     column, and a log_patterns key 'type' that only exists nested under
