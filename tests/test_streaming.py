@@ -351,3 +351,53 @@ def test_streaming_merge_survives_restart(spark, tmp_path):
     assert rows[0]["alert_count"] == 3
     rec = json.loads(rows[0]["merged_record"])
     assert rec["MergedBy"] == {"user": "bob"}
+
+
+def test_streaming_merge_rocksdb_state_store(spark, tmp_path):
+    """The 100 TB state-store path: the event-time merge runs unchanged on
+    the RocksDB provider (recommended at high merge-key cardinality —
+    state lives off-heap/on-disk instead of the executor heap)."""
+    from streamalert_spark.streaming.merge import streaming_merge_event_time
+
+    src_dir = tmp_path / "alerts_rdb"
+    src_dir.mkdir()
+    schema = ("id string, rule_name string, created string, record string, "
+              "merge_by_keys array<string>, merge_window_mins bigint")
+
+    def alert(i, created, user="bob"):
+        return {"id": f"id{i}", "rule_name": "r1", "created": created,
+                "record": json.dumps({"user": user, "n": i}),
+                "merge_by_keys": ["user"], "merge_window_mins": 1}
+
+    with open(src_dir / "a.jsonl", "w") as fh:
+        for i in range(2):
+            fh.write(json.dumps(alert(i, f"2024-01-01T00:0{i}:00.000000Z")) + "\n")
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try:
+        src = spark.readStream.schema(schema).json(str(src_dir))
+        merged = streaming_merge_event_time(src, watermark_delay="5 minutes")
+        q = (merged.writeStream.format("memory").queryName("merged_rdb")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt_rdb")).start())
+        try:
+            q.processAllAvailable()
+            # advance the watermark past oldest + window, then apply it
+            for name, ts in (("b", "2024-01-01T01:00:00.000000Z"),
+                             ("c", "2024-01-01T01:01:00.000000Z")):
+                with open(src_dir / f"{name}.jsonl", "w") as fh:
+                    fh.write(json.dumps(alert(9, ts, user="eve")) + "\n")
+                q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM merged_rdb").collect()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert len(rows) == 1 and rows[0]["alert_count"] == 2
