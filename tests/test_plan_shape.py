@@ -129,3 +129,31 @@ def test_query_surface_has_no_global_sort(spark):
     df = load_all()["parse_csv_strict"].fn(spark, SF_DIR)
     plan = _plan(df)
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_batch_topk_broadcasts_probes_no_global_sort(spark):
+    """Batch ANN: the probe set broadcasts, no SortMergeJoin, and no
+    RangePartitioning (the top-k is a two-phase aggregate, not a global
+    sort of the scored corpus)."""
+    from streamalert_spark.ops.similarity import batch_cosine_topk
+    from streamalert_spark.session import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    plan = _plan(batch_cosine_topk(emb, [0, 1, 2], k=3))
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_decontamination_broadcasts_eval_shingles(spark):
+    """The benchmark shingle set broadcasts; the corpus side never
+    SortMergeJoins."""
+    from streamalert_spark.ops.curation import ngram_overlap_flags
+    from streamalert_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    plan = _plan(ngram_overlap_flags(train, eval_df))
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
