@@ -62,6 +62,42 @@ def deterministic_keep(key: Column, rate: float) -> Column:
     return F.substring(F.md5(key), 1, 8) < F.lit(sample_threshold_hex(rate))
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+) -> DataFrame:
+    """Keep-set for capping over-represented groups (e.g. at most k docs
+    per source domain): the first k rows of each group by ``order_col``
+    ascending (must be unique within the group, e.g. a doc id). Returns
+    (group_col, order_col, rank) — compose with a semi-join to filter
+    the corpus.
+
+    Same bounded two-phase shape as the batch top-k: every scan
+    partition keeps at most k order values per group, so the shuffle
+    carries groups x partitions x k scalars — a plain window
+    row_number would instead shuffle the whole corpus to per-group
+    tasks and melt on hot groups.
+    """
+    local = (
+        df.groupBy(group_col, F.spark_partition_id().alias("p"))
+        .agg(F.slice(F.sort_array(F.collect_list(F.col(order_col))), 1, k).alias("tk"))
+    )
+    merged = (
+        local.select(group_col, F.explode("tk").alias("o"))
+        .groupBy(group_col)
+        .agg(F.slice(F.sort_array(F.collect_list("o")), 1, k).alias("tk"))
+    )
+    return (
+        merged.select(group_col, F.posexplode("tk").alias("rank0", order_col))
+        .select(
+            group_col, order_col,
+            (F.col("rank0") + 1).cast("bigint").alias("rank"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -286,6 +286,37 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-source capping: keep at most k docs per source (domain over-
+# representation control) — bounded two-phase top-k, never a full-corpus
+# window shuffle.
+# ---------------------------------------------------------------------------
+
+_CAP_ORACLE = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rank
+  FROM documents
+)
+SELECT source, doc_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+ORDER BY source, rank
+"""
+
+
+@query("cap_docs_per_source", oracle=_CAP_ORACLE,
+       doc="Cap over-represented sources at 10 docs each (first-k by "
+           "doc_id, bounded two-phase aggregate).")
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops import curation
+
+    docs = _docs(spark, sf_dir)
+    return (
+        curation.cap_per_group(docs, "source", "doc_id", k=10)
+        .repartition(1).sortWithinPartitions("source", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash signatures + LSH candidate pairs. Hash family is lexicographic min
 # of md5(seed:shingle) — portable, uniform; bands of 4 over 16 hashes.
 # ---------------------------------------------------------------------------

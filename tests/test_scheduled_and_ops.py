@@ -248,3 +248,15 @@ def test_stratified_sample_is_zero_shuffle(spark):
         F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
     plan = stratified_sample(df, {"en": 0.5})._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_cap_per_group_keeps_first_k(spark):
+    from streamalert_spark.ops.curation import cap_per_group
+
+    df = spark.createDataFrame(
+        [(f"s{i % 3}", i) for i in range(30)], "source string, doc_id bigint")
+    got = sorted((r["source"], r["doc_id"], r["rank"])
+                 for r in cap_per_group(df, "source", "doc_id", k=2).collect())
+    assert got == [("s0", 0, 1), ("s0", 3, 2),
+                   ("s1", 1, 1), ("s1", 4, 2),
+                   ("s2", 2, 1), ("s2", 5, 2)]
