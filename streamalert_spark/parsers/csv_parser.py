@@ -69,9 +69,15 @@ class CsvParser(ParserBase):
         # lines) worst case) — payloads are record-sized, so this is
         # bounded. A single trailing newline terminates the last row
         # rather than starting an empty one.
-        q = re.escape(schema.configuration.get("quotechar", '"'))
+        quote = schema.configuration.get("quotechar", '"')
+        q = re.escape(quote)
         boundary = rf"\r?\n(?=(?:[^{q}]*{q}[^{q}]*{q})*[^{q}]*$)"
-        lines = F.split(F.col(src), boundary)
+        # fast path: payloads containing no quote char at all (the common
+        # case for machine-generated CSV) split on the plain newline —
+        # the parity lookahead only runs where a quote is present
+        lines = F.when(
+            F.locate(quote, F.col(src)) == 0, F.split(F.col(src), r"\r?\n")
+        ).otherwise(F.split(F.col(src), boundary))
         lines = F.when(
             (F.size(lines) > 1) & (F.element_at(lines, -1) == ""),
             F.slice(lines, 1, F.size(lines) - 1),
