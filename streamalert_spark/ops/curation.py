@@ -32,16 +32,25 @@ def ngram_overlap_flags(
     n_shared_shingles) for flagged docs only.
 
     Scale: the eval side is benchmark-sized (thousands of docs), so its
-    distinct shingle set broadcasts; the train side is one shingle
-    projection + broadcast-hash semi-join + partial-aggregated count —
-    no shuffle of the corpus beyond the final per-doc count.
+    distinct shingle set broadcasts; the train side is one raw shingle
+    projection (no pre-distinct — that would shuffle the whole corpus)
+    filtered by the broadcast join FIRST, then a count_distinct over the
+    matched survivors only. The only shuffle carries shingles that
+    actually hit the benchmark set.
     """
-    train_sh = shingles(train, text_col, id_col, n)
+    # rebalance the corpus across cores before the explode (same
+    # local-vs-cluster note as the Arrow kernels: at scale the scan
+    # already has more splits than cores and this only matters when the
+    # input arrives as a handful of files)
+    par = train.sparkSession.sparkContext.defaultParallelism
+    if train.rdd.getNumPartitions() < par:
+        train = train.repartition(par)
+    train_sh = shingles(train, text_col, id_col, n, distinct=False)
     eval_sh = shingles(eval_df, text_col, id_col, n).select("shingle").distinct()
     return (
         train_sh.join(F.broadcast(eval_sh), "shingle")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .agg(F.count_distinct("shingle").alias("n_shared_shingles"))
     )
 
 

@@ -55,16 +55,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document, via a generated index
-    sequence (single-space tokenization for oracle portability)."""
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3, distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per document, via a generated index sequence
+    (single-space tokenization for oracle portability). ``distinct``
+    dedupes per (doc, shingle) — a full shuffle; pass False when a
+    downstream join filters first and a count_distinct can dedupe the
+    (much smaller) survivor set instead."""
     w = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.size(w) - n)
     gram = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]))
-    return (
-        df.select(F.col(id_col), F.explode(gram).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(F.col(id_col), F.explode(gram).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def _shingle_hash_rows(
