@@ -8,8 +8,6 @@ integer-derived operands, explicit tie-breaks on every ORDER BY.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -18,11 +16,15 @@ from streamalert_spark.queries import query
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from streamalert_spark.session import read_table
+
+    return read_table(spark, sf_dir, "documents")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from streamalert_spark.session import read_table
+
+    return read_table(spark, sf_dir, "embeddings")
 
 
 # ---------------------------------------------------------------------------

@@ -70,6 +70,19 @@ def get_spark(
     return spark
 
 
+def _local_row_groups(path: str) -> int | None:
+    """Row-group count of a LOCAL parquet file (None when not inspectable
+    — e.g. an object-store path on a real cluster)."""
+    if not os.path.isfile(path):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).num_row_groups
+    except Exception:  # noqa: BLE001 — inspection is best-effort
+        return None
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver parquet table, normalizing types.
 
@@ -77,6 +90,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     default; we read nanos as long (legacy conf, session-mutable) and
     convert with exact integer division to micros — double division would
     lose precision at ns-since-epoch magnitudes.
+
+    Parquet can only parallelize a scan at row-group granularity: the
+    driver's single-file tables carry ONE row group, so every downstream
+    parse/projection would run as one task regardless of
+    minPartitionNum (the empty splits get no rows). When a local file has
+    fewer row groups than cores, rebalance once after the scan — a
+    round-robin shuffle of megabytes that unlocks full-width execution.
+    At 100 TB scans have thousands of row groups and this never fires.
     """
     from pyspark.sql import functions as F
 
@@ -86,8 +107,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    cores = spark.sparkContext.defaultParallelism
+    groups = _local_row_groups(path)
+    if groups is not None and groups < cores:
+        df = df.repartition(cores)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:

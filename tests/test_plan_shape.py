@@ -73,13 +73,18 @@ def test_filter_pushdown_reaches_scan(spark):
 
 
 def test_text_stats_single_projection_no_shuffle(spark):
-    """Text analysis is one scan pass: no Exchange in the plan."""
+    """Text analysis is one scan pass: no key-based Exchange. (read_table
+    may round-robin-rebalance a single-row-group local file — that is a
+    local-mode convenience, not an operator shuffle; with a plain scan
+    there is no Exchange at all.)"""
     from streamalert_spark.ops.text import text_stats
     from streamalert_spark.session import read_table
 
     docs = read_table(spark, SF_DIR, "documents")
     plan = _plan(text_stats(docs))
-    assert "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
+    plain = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert "Exchange" not in _plan(text_stats(plain)), _plan(text_stats(plain))
 
 
 def test_simhash_kernel_no_shuffle(spark):
