@@ -260,3 +260,38 @@ def test_cap_per_group_keeps_first_k(spark):
     assert got == [("s0", 0, 1), ("s0", 3, 2),
                    ("s1", 1, 1), ("s1", 4, 2),
                    ("s2", 2, 1), ("s2", 5, 2)]
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized cross-check: the distributed min-label propagation
+    agrees with a driver-side union-find on seeded random graphs."""
+    import random
+
+    def union_find_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    from streamalert_spark.ops.dedup import connected_components
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        edges = sorted({(rng.randrange(40), rng.randrange(40))
+                        for _ in range(30) if True})
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = sorted({n for e in edges for n in e})
+        pairs = spark.createDataFrame(edges, "a bigint, b bigint")
+        got = {r["doc_id"]: r["component_id"]
+               for r in connected_components(pairs).collect()}
+        want = union_find_components(edges, nodes)
+        assert got == want, f"seed {seed}: {got} != {want}"
