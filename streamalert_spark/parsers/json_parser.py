@@ -32,7 +32,10 @@ from pyspark.sql import functions as F
 from streamalert_spark.parsers.base import ParserBase, parser
 from streamalert_spark.schema.registry import LogSchema
 
-_JSON_PATH_RE = re.compile(r"^(?P<head>[A-Za-z0-9_.]+)\[\*\](?:\.(?P<tail>[A-Za-z0-9_.]+))?$")
+# fast-path shapes: single-segment head/tail only (a dotted segment would
+# read as a literal backticked field name in the from_json DDL — dotted
+# paths route through the general [*] chain below instead)
+_JSON_PATH_RE = re.compile(r"^(?P<head>[A-Za-z0-9_]+)\[\*\](?:\.(?P<tail>[A-Za-z0-9_]+))?$")
 
 # Reference JSONParser._regex (parsers.py:520): greedy JSON-blob grab from a
 # free-text field. Java regex needs the braces escaped; semantics (greedy .+,
@@ -111,6 +114,25 @@ class JsonParser(ParserBase):
                 ddl = f"`{head}` array<string>"
                 inner = F.from_json(F.col(raw_col), ddl)[head]
                 df = df.withColumn("_sa_raw", F.explode(inner))
+            return df, "_sa_raw"
+        if "[*]" in path:
+            # general list-projection chain (the jmespath subset
+            # 'a.b[*].c.d[*].e'): each [*] explodes the array at its
+            # dotted prefix, the final dotted suffix projects out of the
+            # exploded element. Covers dotted tails and multi-level
+            # arrays the fast paths above don't.
+            parts = path.split("[*]")
+            cur = F.col(raw_col)
+            for i, pre in enumerate(parts[:-1]):
+                pre = pre.lstrip(".")
+                arr_text = F.get_json_object(cur, "$." + pre) if pre else cur
+                step = f"_sa_jp{i}"
+                df = df.withColumn(step, F.explode(F.from_json(arr_text, "array<string>")))
+                cur = F.col(step)
+            suffix = parts[-1].lstrip(".")
+            if suffix:
+                cur = F.get_json_object(cur, "$." + suffix)
+            df = df.withColumn("_sa_raw", cur)
             return df, "_sa_raw"
         # plain dotted path 'a.b' — single record extraction
         df = df.withColumn("_sa_raw", F.get_json_object(F.col(raw_col), "$." + path))

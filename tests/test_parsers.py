@@ -353,3 +353,39 @@ def test_routing_limits_candidates(spark):
     assert "t:a" not in batch.by_log_type
     assert batch.by_log_type["t:b"].count() == 1
     assert batch.invalid.count() == 1
+
+
+def test_json_path_general_chain(spark):
+    """jmespath shapes beyond the shipped fast paths (parsers.py:429-448,
+    where the reference accepts any jmespath): dotted array prefix,
+    dotted element suffix, and multi-level [*] projections."""
+    import json as _json
+
+    schema = LogSchema(
+        name="t:jp", schema={"msg": "string"},
+        configuration={"json_path": "detail.batches[*].events[*].payload.msg"},
+    )
+    payload = _json.dumps({"detail": {"batches": [
+        {"events": [{"payload": {"msg": _json.dumps({"msg": "a"})}},
+                    {"payload": {"msg": _json.dumps({"msg": "b"})}}]},
+        {"events": [{"payload": {"msg": _json.dumps({"msg": "c"})}}]},
+    ]}})
+    batch = _classify_one(spark, schema, [payload])
+    got = sorted(r["record"]["msg"] for r in batch.by_log_type["t:jp"].collect())
+    assert got == ["a", "b", "c"]
+
+
+def test_json_path_dotted_tail(spark):
+    import json as _json
+
+    schema = LogSchema(
+        name="t:jpd", schema={"v": "string"},
+        configuration={"json_path": "items[*].inner.rec"},
+    )
+    payload = _json.dumps({"items": [
+        {"inner": {"rec": _json.dumps({"v": "x"})}},
+        {"inner": {"rec": _json.dumps({"v": "y"})}},
+    ]})
+    batch = _classify_one(spark, schema, [payload])
+    got = sorted(r["record"]["v"] for r in batch.by_log_type["t:jpd"].collect())
+    assert got == ["x", "y"]
