@@ -317,5 +317,77 @@ def topn_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape): parts whose order quantity
+# falls below 20% of that part's average — Catalyst decorrelates the
+# per-part average into an aggregate + join; no per-row re-scan.
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4) AS DOUBLE)
+       AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(CAST(l2.l_quantity AS DOUBLE))
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@query("q17_small_qty_revenue", oracle=_Q17_ORACLE,
+       doc="TPC-H Q17 shape: correlated scalar subquery (per-part average "
+           "quantity threshold) — the identical correlated SQL runs on both "
+           "engines; Catalyst decorrelates it into an aggregate + join.")
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q17_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY + HAVING feeding a semi join (TPC-H Q18 shape): customers with
+# any large-volume order.
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+SELECT c.c_custkey, c.c_name, COUNT(*) AS n_big_orders
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN big b ON b.l_orderkey = o.o_orderkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY n_big_orders DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@query("q18_large_volume_customers", oracle=_Q18_ORACLE,
+       doc="TPC-H Q18 shape: HAVING-filtered aggregate driving a join "
+           "back to customers.")
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey)
+        .join(big, big.l_orderkey == orders.o_orderkey, "left_semi")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count(F.lit(1)).alias("n_big_orders"))
+        .repartition(1)
+        .sortWithinPartitions(F.col("n_big_orders").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     load_tables(spark, sf_dir)
