@@ -78,3 +78,35 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         lang_id(text).alias("lang_pred"),
         fingerprint(text).alias("fingerprint"),
     )
+
+
+def token_frequency_stats(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Corpus-frequency quality signal — the integer-exact form of
+    LM-likelihood scoring: a doc whose tokens are rare corpus-wide (low
+    mean frequency) or highly repetitive (low distinct ratio) is a
+    filter candidate. All aggregates are integer sums with a single
+    final division + round, so both engines agree bit-for-bit (log-based
+    perplexity would hang cross-engine equality on libm ulp behavior).
+
+    Scale: one token explode, one groupBy(token) count (uniform key,
+    partial-aggregated), one shuffle join back on token, one per-doc
+    aggregate. No broadcast needed — vocab can be arbitrarily large.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        toks.join(counts, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.count_distinct("tok").cast("bigint").alias("n_distinct"),
+            F.round(F.sum("freq").cast("double") / F.count(F.lit(1)), 6)
+             .alias("mean_token_freq"),
+            F.round(F.count_distinct("tok").cast("double") / F.count(F.lit(1)), 6)
+             .alias("distinct_ratio"),
+        )
+    )

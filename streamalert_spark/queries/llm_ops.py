@@ -593,6 +593,34 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_stats(_docs(spark, sf_dir)).repartition(1).sortWithinPartitions("doc_id")
 
 
+_TOKEN_FREQ_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, w
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+),
+cnt AS (SELECT w, COUNT(*) AS freq FROM toks GROUP BY w)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT toks.w) AS BIGINT) AS n_distinct,
+       ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 6) AS mean_token_freq,
+       ROUND(CAST(COUNT(DISTINCT toks.w) AS DOUBLE) / COUNT(*), 6) AS distinct_ratio
+FROM toks JOIN cnt ON cnt.w = toks.w
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("token_frequency_score", oracle=_TOKEN_FREQ_ORACLE,
+       doc="Corpus-frequency quality scoring: mean token frequency + "
+           "distinct-token ratio per doc (integer-exact LM-style signal).")
+def token_frequency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        text.token_frequency_stats(_docs(spark, sf_dir))
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
+
+
 _BPE_ORACLE = r"""
 SELECT doc_id,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
