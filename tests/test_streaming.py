@@ -401,3 +401,64 @@ def test_streaming_merge_rocksdb_state_store(spark, tmp_path):
         else:
             spark.conf.set(key, prev)
     assert len(rows) == 1 and rows[0]["alert_count"] == 2
+
+
+def test_streaming_single_query_classify_rules_merge(spark, tmp_path):
+    """SURVEY §3.1's composition claim, live: ONE streaming query chains
+    source -> classify -> rule -> alert rows -> stateful merge; the three
+    findings for one account buffer in the state store and emit as a
+    single merged group when the merge window lapses."""
+    from streamalert_spark.rules.registry import Rule, RuleRegistry
+    from streamalert_spark.schema.registry import LogSchema, SchemaRegistry
+    from streamalert_spark.streaming.merge import streaming_merge
+    from streamalert_spark.streaming.pipeline import StreamingPipeline
+
+    schemas = SchemaRegistry()
+    schemas.register(LogSchema(
+        name="cloudwatch:events",
+        schema={
+            "account": "string", "detail": {}, "detail-type": "string",
+            "id": "string", "region": "string", "resources": [],
+            "source": "string", "time": "string", "version": "string",
+        },
+    ))
+    rules = RuleRegistry()
+    rules.add(Rule(
+        name="guard_duty_merged",
+        expr=lambda rec: rec["detail-type"] == "GuardDuty Finding",
+        logs=["cloudwatch:events"],
+        outputs=["slack:alerts"],
+        merge_by_keys=["account"],
+        merge_window_mins=1,
+        description="GuardDuty finding, merged per account",
+    ))
+    pipeline = StreamingPipeline(schemas=schemas, rules=rules, cluster="test")
+
+    src_dir = tmp_path / "chain_src"
+    src_dir.mkdir()
+    with open(src_dir / "a.jsonl", "w") as fh:
+        for i in range(3):
+            fh.write(json.dumps(_gd_event() | {"id": f"ev{i}"}) + "\n")
+        fh.write(json.dumps(_gd_event("Not A Finding")) + "\n")
+
+    src = spark.readStream.format("text").load(str(src_dir))
+    merged = streaming_merge(
+        pipeline.build_alerts(src, service="kinesis", resource="stream1"))
+    q = (merged.writeStream.format("memory").queryName("chain_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_chain")).start())
+    try:
+        deadline = time.time() + 180
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM chain_out").collect()
+            if rows:
+                break
+            time.sleep(5)
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    assert rows[0]["rule_name"] == "guard_duty_merged"
+    assert rows[0]["alert_count"] == 3
+    merged_rec = json.loads(rows[0]["merged_record"])
+    assert merged_rec["MergedBy"] == {"account": "123456789012"}
