@@ -107,6 +107,123 @@ def cap_per_group(
     )
 
 
+# Second-level labels under which the registrable domain needs three
+# labels (host mail.example.co.uk -> example.co.uk, not co.uk). A tiny,
+# deliberately-incomplete public-suffix approximation: production swaps in
+# the full public-suffix list as a broadcast lookup.
+_PUBLIC_SECOND_LEVELS = ("co", "com", "ac", "gov", "org", "net", "edu")
+
+
+def url_host(url: Column) -> Column:
+    """Hostname of a URL: strip scheme, userinfo, port, path/query. One
+    regexp per row, no shuffle; identical regex runs in the oracle."""
+    host = F.regexp_extract(url, r"^[a-z]+://([^/?#]+)", 1)
+    host = F.regexp_replace(host, r"^[^@]*@", "")     # userinfo
+    return F.lower(F.regexp_replace(host, r":\d+$", ""))  # port
+
+
+def registrable_domain(host: Column) -> Column:
+    """Registrable-domain approximation: the last two host labels, or the
+    last three when the second-to-last is a public second-level label
+    (co/com/ac/...) and at least three labels exist."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    second = F.element_at(labels, -2)
+    take3 = (n >= F.lit(3)) & second.isin(*_PUBLIC_SECOND_LEVELS)
+    return F.when(take3, F.concat_ws(".", F.slice(labels, n - 2, 3))) \
+            .when(n >= 2, F.concat_ws(".", F.slice(labels, n - 1, 2))) \
+            .otherwise(host)
+
+
+def url_path_depth(url: Column) -> Column:
+    """Number of non-empty path segments after the authority."""
+    path = F.regexp_extract(url, r"^[a-z]+://[^/?#]+(/[^?#]*)", 1)
+    return F.size(F.filter(F.split(path, "/"), lambda seg: seg != "")) \
+            .cast("bigint")
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop rows whose URL's registrable domain is on the blocklist — the
+    standard source-quality sweep over a crawl. Adds host/domain columns
+    and left-anti joins the (small) blocklist, broadcast so the corpus
+    side never shuffles. ``blocked`` must have a ``domain`` column."""
+    parsed = df.withColumn("host", url_host(F.col(url_col))) \
+               .withColumn("domain", registrable_domain(F.col("host")))
+    return parsed.join(F.broadcast(blocked.select("domain")), "domain", "left_anti")
+
+
+def length_histogram(df: DataFrame, length_col: str = "n_chars") -> DataFrame:
+    """Log2-bucketed length histogram — the standard corpus-shape
+    diagnostic before truncation/packing decisions. The bin id is
+    length(bin(n)) == floor(log2(n))+1, an integer-exact formulation
+    (float log2 at bin boundaries is engine-dependent; string length of
+    the binary representation is not). One partial-aggregated groupBy on
+    ~60 possible keys; share is computed from a scalar subtotal via a
+    single-row cross join, so the plan is two tiny aggregates — no sort,
+    no driver collect."""
+    n = F.greatest(F.col(length_col).cast("bigint"), F.lit(1))
+    binned = df.select(F.length(F.bin(n)).cast("bigint").alias("len_bin"))
+    counts = binned.groupBy("len_bin").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = binned.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "len_bin",
+            F.pow(F.lit(2.0), F.col("len_bin") - 1).cast("bigint").alias("bin_lo"),
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+def quality_buckets(
+    scored: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing of a quality/likelihood
+    score, computed with binned exact quantiles instead of a global sort:
+
+    1. bin each score into fixed-width integer bins (projection);
+    2. aggregate doc counts per bin — tiny result (O(score range / width));
+    3. running-total the bins on a single partition (bins are metadata
+       scale, so the one-partition window is O(100) rows, not the corpus)
+       and assign each bin to head/middle/tail by integer-exact
+       cumulative thirds (3*cum <= total, 3*cum <= 2*total);
+    4. broadcast the bin->bucket map back onto the corpus.
+
+    The corpus is never globally sorted and never shuffled on score — the
+    only wide op is the per-bin count. Bucket boundaries land on bin
+    edges (quantile resolution = bin_width), which is the same trade
+    t-digest/GK sketches make, but deterministically."""
+    from pyspark.sql import Window
+
+    binned = scored.withColumn(
+        "score_bin",
+        F.floor(F.col(score_col) / F.lit(bin_width)).cast("bigint"))
+    bins = binned.groupBy("score_bin").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("score_bin").rowsBetween(Window.unboundedPreceding, 0)
+    bin_map = (
+        bins.coalesce(1)
+        .withColumn("cum", F.sum("n").over(w))
+        .withColumn("total", F.sum("n").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(
+            "score_bin",
+            F.when(3 * F.col("cum") <= F.col("total"), F.lit("head"))
+             .when(3 * F.col("cum") <= 2 * F.col("total"), F.lit("middle"))
+             .otherwise(F.lit("tail")).alias("bucket"),
+        )
+    )
+    return binned.join(F.broadcast(bin_map), "score_bin")
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

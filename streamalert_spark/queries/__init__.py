@@ -47,6 +47,7 @@ def load_all() -> dict[str, RegisteredQuery]:
     """Import every query module (side-effect: registration) and return the registry."""
     from streamalert_spark.queries import (  # noqa: F401
         analytics_ext,
+        curation_ext,
         llm_ops,
         multimodal_surface,
         parsers_surface,

@@ -1,0 +1,186 @@
+"""Corpus-curation queries round 2: URL/domain filtering, length
+histograms, and quality-bucket (head/middle/tail) filtering.
+
+The documents table has no URL column, so the URL query constructs a
+deterministic url from (doc_id, source, lang) — same pattern as the
+source-decode queries that build Kinesis/SNS payloads — and then runs the
+REAL parsing + blocklist operators from ops/curation.py over it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamalert_spark.ops import curation, text
+from streamalert_spark.queries import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.session import read_table
+
+    return read_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# URL/domain blocklist filtering
+# ---------------------------------------------------------------------------
+
+def _with_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic URLs: most docs live on <w{id%7}>.<source>-cdn.example
+    with a port and a 3-segment path; every 5th doc sits under a co.uk
+    public-suffix host to exercise the 3-label registrable-domain rule."""
+    base = F.concat(
+        F.lit("https://w"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("."), F.col("source"), F.lit("-cdn.example:"),
+        (F.lit(8000) + F.col("doc_id") % 3).cast("string"),
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+        F.lit("/"), F.col("lang"),
+    )
+    suffixed = F.concat(
+        F.lit("https://a.b."), F.col("source"),
+        F.lit(".co.uk/p/"), F.col("doc_id").cast("string"),
+    )
+    return docs.withColumn(
+        "url", F.when(F.col("doc_id") % 5 == 0, suffixed).otherwise(base))
+
+
+_URL_FILTER_ORACLE = r"""
+WITH urled AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'https://a.b.' || source || '.co.uk/p/' || doc_id
+              ELSE 'https://w' || (doc_id % 7) || '.' || source
+                   || '-cdn.example:' || (8000 + doc_id % 3)
+                   || '/p/' || doc_id || '/' || lang
+         END AS url
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id, url,
+         lower(regexp_replace(
+             regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+             ':[0-9]+$', '')) AS host
+  FROM urled
+),
+domained AS (
+  SELECT doc_id, url, host,
+         CASE WHEN len(string_split(host, '.')) >= 3
+                   AND list_contains(['co','com','ac','gov','org','net','edu'],
+                                     string_split(host, '.')[-2])
+              THEN array_to_string(string_split(host, '.')[-3:], '.')
+              WHEN len(string_split(host, '.')) >= 2
+              THEN array_to_string(string_split(host, '.')[-2:], '.')
+              ELSE host
+         END AS domain,
+         CAST(len(list_filter(
+             string_split(regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1),
+                          '/'), s -> s <> '')) AS BIGINT) AS path_depth
+  FROM parsed
+)
+SELECT doc_id, host, domain, path_depth
+FROM domained
+WHERE domain NOT IN ('src3-cdn.example', 'src7.co.uk')
+ORDER BY doc_id
+"""
+
+
+@query("url_domain_filter", oracle=_URL_FILTER_ORACLE,
+       doc="URL parsing + registrable-domain blocklist sweep: host/port/"
+           "public-suffix handling, broadcast anti-join, zero corpus shuffle.")
+def url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_urls(_docs(spark, sf_dir))
+    blocked = spark.createDataFrame(
+        [("src3-cdn.example",), ("src7.co.uk",)], ["domain"])
+    kept = curation.domain_blocklist_filter(docs, blocked)
+    return (
+        kept.withColumn("path_depth", curation.url_path_depth(F.col("url")))
+        .select("doc_id", "host", "domain", "path_depth")
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document-length histogram
+# ---------------------------------------------------------------------------
+
+_LENGTH_HISTOGRAM_ORACLE = """
+WITH binned AS (
+  SELECT CAST(length(bin(greatest(n_chars, 1))) AS BIGINT) AS len_bin
+  FROM documents
+),
+counts AS (SELECT len_bin, COUNT(*) AS n_docs FROM binned GROUP BY len_bin),
+total AS (SELECT COUNT(*) AS total FROM binned)
+SELECT len_bin,
+       CAST(power(2.0, len_bin - 1) AS BIGINT) AS bin_lo,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / total, 6) AS share
+FROM counts, total
+ORDER BY len_bin
+"""
+
+
+@query("doc_length_histogram", oracle=_LENGTH_HISTOGRAM_ORACLE,
+       doc="Log2-bucketed document-length histogram (integer-exact bins "
+           "via binary-string length; two tiny aggregates, no sort).")
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        curation.length_histogram(_docs(spark, sf_dir), "n_chars")
+        .repartition(1).sortWithinPartitions("len_bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality buckets (head/middle/tail over the corpus-frequency score)
+# ---------------------------------------------------------------------------
+
+_QUALITY_BUCKET_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, w
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+),
+cnt AS (SELECT w, COUNT(*) AS freq FROM toks GROUP BY w),
+scores AS (
+  SELECT doc_id,
+         ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 6) AS mean_token_freq
+  FROM toks JOIN cnt ON cnt.w = toks.w
+  GROUP BY doc_id
+),
+binned AS (
+  SELECT doc_id, mean_token_freq,
+         CAST(floor(mean_token_freq / 5.0) AS BIGINT) AS score_bin
+  FROM scores
+),
+bins AS (SELECT score_bin, COUNT(*) AS n FROM binned GROUP BY score_bin),
+cum AS (
+  SELECT score_bin,
+         CAST(SUM(n) OVER (ORDER BY score_bin
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER () AS BIGINT) AS total
+  FROM bins
+),
+bucketed AS (
+  SELECT score_bin,
+         CASE WHEN 3 * cum <= total THEN 'head'
+              WHEN 3 * cum <= 2 * total THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM cum
+)
+SELECT b.doc_id, b.mean_token_freq, b.score_bin, k.bucket
+FROM binned b JOIN bucketed k USING (score_bin)
+ORDER BY b.doc_id
+"""
+
+
+@query("quality_bucket_filter", oracle=_QUALITY_BUCKET_ORACLE,
+       doc="CCNet-style head/middle/tail quality buckets via binned exact "
+           "quantiles — no global sort of the corpus, bin map broadcasts.")
+def quality_bucket_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = text.token_frequency_stats(_docs(spark, sf_dir)) \
+        .select("doc_id", "mean_token_freq")
+    return (
+        curation.quality_buckets(scores, "mean_token_freq", bin_width=5.0)
+        .select("doc_id", "mean_token_freq", "score_bin", "bucket")
+        .repartition(1).sortWithinPartitions("doc_id")
+    )

@@ -1,0 +1,101 @@
+"""Unit + plan tests for the URL/length/quality curation operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamalert_spark.ops import curation
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_url_host_and_registrable_domain(spark):
+    rows = spark.createDataFrame(
+        [
+            ("https://w3.src5-cdn.example:8443/p/42/en",),
+            ("http://user:pw@Mail.Example.CO.UK/x",),
+            ("https://localhost/",),
+            ("https://a.b.c.d.example.com/deep/1/2/3?q=1#f",),
+        ],
+        ["url"],
+    ).select(
+        "url",
+        curation.url_host(F.col("url")).alias("host"),
+        curation.registrable_domain(curation.url_host(F.col("url"))).alias("dom"),
+        curation.url_path_depth(F.col("url")).alias("depth"),
+    )
+    got = {r["url"]: (r["host"], r["dom"], r["depth"]) for r in rows.collect()}
+    assert got["https://w3.src5-cdn.example:8443/p/42/en"] == \
+        ("w3.src5-cdn.example", "src5-cdn.example", 3)
+    # userinfo stripped, lowercased, co.uk takes three labels
+    assert got["http://user:pw@Mail.Example.CO.UK/x"] == \
+        ("mail.example.co.uk", "example.co.uk", 1)
+    assert got["https://localhost/"] == ("localhost", "localhost", 0)
+    # query/fragment excluded from path depth
+    assert got["https://a.b.c.d.example.com/deep/1/2/3?q=1#f"][2] == 4
+
+
+def test_domain_blocklist_filter_is_broadcast_anti_join(spark):
+    docs = spark.createDataFrame(
+        [(1, "https://x.bad.example/p"), (2, "https://x.good.example/p")],
+        ["doc_id", "url"])
+    blocked = spark.createDataFrame([("bad.example",)], ["domain"])
+    kept = curation.domain_blocklist_filter(docs, blocked)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+    plan = _plan(kept)
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_length_histogram_bins_and_shares(spark):
+    df = spark.createDataFrame(
+        [(1,), (1,), (2,), (7,), (8,), (0,)], ["n_chars"])
+    rows = {r["len_bin"]: (r["bin_lo"], r["n_docs"], r["share"])
+            for r in curation.length_histogram(df).collect()}
+    # 0 clamps to 1; bin k covers [2^(k-1), 2^k)
+    assert rows[1] == (1, 3, round(3 / 6, 6))
+    assert rows[2] == (2, 1, round(1 / 6, 6))
+    assert rows[3] == (4, 1, round(1 / 6, 6))
+    assert rows[4] == (8, 1, round(1 / 6, 6))
+
+
+def test_quality_buckets_thirds_and_broadcast(spark):
+    # 9 docs, scores 0..8 with width 1 -> bins 0..8, one doc each:
+    # cumulative thirds split exactly 3/3/3
+    scored = spark.createDataFrame(
+        [(i, float(i) + 0.5) for i in range(9)], ["doc_id", "score"])
+    out = curation.quality_buckets(scored, "score", bin_width=1.0)
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    assert [got[i] for i in range(9)] == \
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    plan = _plan(out)
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_quality_bucket_query_no_corpus_sort(spark):
+    """The corpus is never range-partitioned: the only sort lives on the
+    single-partition metadata-scale bin table."""
+    from streamalert_spark.queries import load_all
+
+    df = load_all()["quality_bucket_filter"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_url_filter_query_matches_oracle(spark, duck):
+    from streamalert_spark.queries import load_all
+
+    q = load_all()["url_domain_filter"]
+    srows = sorted(tuple(r) for r in q.fn(spark, SF_DIR).collect())
+    # conftest's duck fixture registers sf0.01 views; rebuild at SF_DIR
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    drows = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert srows == drows
