@@ -110,3 +110,43 @@ def token_frequency_stats(df: DataFrame, text_col: str = "text",
              .alias("distinct_ratio"),
         )
     )
+
+
+def chunk_context_windows(
+    df: DataFrame,
+    window: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    context-window chunking pass before embedding or sequence packing.
+    Output: (id, chunk_id, chunk_start, n_chunk_tokens, chunk_text), one
+    row per window of ``window`` tokens advancing by ``stride``.
+
+    Scale: one projection + one explode of start offsets — zero shuffle
+    at any corpus size. A doc with n tokens yields ceil(n/stride) chunks,
+    so output size is bounded by (1 + window/stride) x input tokens and
+    the explode never materializes the token list more than once per row
+    (single split into a reused array column).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        n.alias("_n"),
+        F.posexplode(starts).alias("chunk_id", "chunk_start"),
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("bigint"),
+        F.col("chunk_start").cast("bigint"),
+        F.least(F.lit(window), F.col("_n") - F.col("chunk_start"))
+         .cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(F.slice("_toks", F.col("chunk_start") + 1, window), " ")
+         .alias("chunk_text"),
+    )

@@ -184,3 +184,38 @@ def quality_bucket_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "mean_token_freq", "score_bin", "bucket")
         .repartition(1).sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, toks, n,
+         CAST(s AS BIGINT) AS chunk_start,
+         CAST(s / 48 AS BIGINT) AS chunk_id
+  FROM toked, UNNEST(range(0, greatest(n, 1), 48)) AS t(s)
+)
+SELECT doc_id, chunk_id, chunk_start,
+       CAST(least(64, n - chunk_start) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[chunk_start + 1 : chunk_start + 64], ' ')
+         AS chunk_text
+FROM starts
+ORDER BY doc_id, chunk_id
+"""
+
+
+@query("chunk_context_windows", oracle=_CHUNK_ORACLE,
+       doc="Overlapping 64-token context windows with stride 48 — one "
+           "projection + offset explode, zero shuffle at any scale.")
+def chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        text.chunk_context_windows(_docs(spark, sf_dir), window=64, stride=48)
+        .repartition(1).sortWithinPartitions("doc_id", "chunk_id")
+    )

@@ -389,5 +389,88 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# EXISTS decorrelation (TPC-H Q4 shape): order-priority counts over orders
+# having at least one returned lineitem in a date window. The EXISTS
+# becomes a left-semi join on o_orderkey — one shuffle on the join key,
+# partial-aggregated count after.
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q4_priority_with_returns", oracle=_Q4_ORACLE,
+       doc="TPC-H Q4 shape: EXISTS subquery as a native left-semi join, "
+           "date-window filter pushed to the orders scan.")
+def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01"))
+    returned = _t(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey,
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .repartition(1).sortWithinPartitions("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# NOT IN anti join + distinct aggregate (TPC-H Q16 shape, reshaped onto
+# the lineitem bridge since the synthetic schema has no partsupp):
+# supplier variety per part family, excluding one brand and a
+# "complaint" supplier set.
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_type,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#23'
+  AND p.p_size IN (5, 11, 17, 23, 29)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+"""
+
+
+@query("q16_supplier_variety", oracle=_Q16_ORACLE,
+       doc="TPC-H Q16 shape: NOT-IN exclusion as a null-safe anti join "
+           "(the complaint set has no NULL keys, so plain left_anti is "
+           "equivalent), broadcast part dim, distinct-count aggregate.")
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#23")
+        & F.col("p_size").isin(5, 11, 17, 23, 29))
+    complaints = _t(spark, sf_dir, "supplier") \
+        .filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(complaints),
+                li.l_suppkey == complaints.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .repartition(1)
+        .sortWithinPartitions(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     load_tables(spark, sf_dir)

@@ -99,3 +99,22 @@ def test_url_filter_query_matches_oracle(spark, duck):
                 f"read_parquet('{SF_DIR}/documents.parquet')")
     drows = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
     assert srows == drows
+
+
+def test_chunk_context_windows_edges(spark):
+    from streamalert_spark.ops import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, "")], ["doc_id", "text"])
+    out = text_ops.chunk_context_windows(df, window=3, stride=2)
+    rows = {(r["doc_id"], r["chunk_id"]):
+            (r["chunk_start"], r["n_chunk_tokens"], r["chunk_text"])
+            for r in out.collect()}
+    # doc 1: 5 tokens, starts 0/2/4 with the last window clipped
+    assert rows[(1, 0)] == (0, 3, "a b c")
+    assert rows[(1, 1)] == (2, 3, "c d e")
+    assert rows[(1, 2)] == (4, 1, "e")
+    # single-token and empty docs yield exactly one chunk
+    assert rows[(2, 0)] == (0, 1, "x")
+    assert rows[(3, 0)] == (0, 1, "")
+    assert len(rows) == 5
