@@ -462,3 +462,74 @@ def test_streaming_single_query_classify_rules_merge(spark, tmp_path):
     assert rows[0]["alert_count"] == 3
     merged_rec = json.loads(rows[0]["merged_record"])
     assert merged_rec["MergedBy"] == {"account": "123456789012"}
+
+
+def test_processing_time_merge_survives_restart(spark, tmp_path):
+    """State-store recovery for the PROCESSING-time merge (the event-time
+    twin has its own restart test above). The processing-time timeout has
+    a 1-minute floor, so instead of waiting wall-clock this uses the
+    50-cap emission: 49 alerts buffer before the stop, one more after the
+    restart - the cap fires only if the recovered state still holds all
+    49 (alert_merger/main.py:34 cap semantics)."""
+    from streamalert_spark.alerts.merge import MAX_MERGE_GROUP_SIZE
+    from streamalert_spark.streaming.merge import streaming_merge
+
+    src_dir = tmp_path / "alerts_pt"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_pt")
+    out_dir = str(tmp_path / "merged_pt")
+    schema = ("id string, rule_name string, created string, record string, "
+              "merge_by_keys array<string>, merge_window_mins bigint")
+
+    def alert(i):
+        return {"id": f"id{i}", "rule_name": "r1",
+                "created": f"2024-01-01T00:00:{i % 60:02d}.{i:06d}Z",
+                "record": json.dumps({"user": "bob", "n": i}),
+                "merge_by_keys": ["user"], "merge_window_mins": 60}
+
+    def start():
+        src = spark.readStream.schema(schema).json(str(src_dir))
+        return (streaming_merge(src).writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append").option("checkpointLocation", ckpt).start())
+
+    def wait_for_input(q, n, deadline_s=120):
+        # processAllAvailable never settles under ProcessingTimeTimeout
+        # (the engine keeps scheduling no-data batches to evaluate
+        # timeouts), so poll progress until n input rows are committed.
+        deadline = time.time() + deadline_s
+        seen = 0
+        while time.time() < deadline:
+            seen = sum(int(p["numInputRows"]) for p in q.recentProgress)
+            if seen >= n:
+                return
+            time.sleep(2)
+        raise AssertionError(f"only {seen}/{n} rows processed")
+
+    with open(src_dir / "a.jsonl", "w") as fh:
+        for i in range(MAX_MERGE_GROUP_SIZE - 1):
+            fh.write(json.dumps(alert(i)) + "\n")
+    q = start()
+    wait_for_input(q, MAX_MERGE_GROUP_SIZE - 1)
+    q.stop()  # 49 alerts buffered in the state store, nothing emitted
+
+    with open(src_dir / "b.jsonl", "w") as fh:
+        fh.write(json.dumps(alert(99)) + "\n")
+    q2 = start()
+    try:
+        deadline = time.time() + 180
+        rows = []
+        while time.time() < deadline:
+            try:
+                rows = spark.read.parquet(out_dir).collect()
+            except Exception:
+                rows = []  # sink dir not created yet
+            if rows:
+                break
+            time.sleep(5)
+    finally:
+        q2.stop()
+    assert len(rows) == 1
+    assert rows[0]["alert_count"] == MAX_MERGE_GROUP_SIZE
+    rec = json.loads(rows[0]["merged_record"])
+    assert rec["MergedBy"] == {"user": "bob"}
