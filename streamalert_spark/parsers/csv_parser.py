@@ -70,13 +70,30 @@ class CsvParser(ParserBase):
         # bounded. A single trailing newline terminates the last row
         # rather than starting an empty one.
         quote = schema.configuration.get("quotechar", '"')
+        escape = schema.configuration.get("escapechar")
         q = re.escape(quote)
-        boundary = rf"\r?\n(?=(?:[^{q}]*{q}[^{q}]*{q})*[^{q}]*$)"
-        # fast path: payloads containing no quote char at all (the common
-        # case for machine-generated CSV) split on the plain newline —
-        # the parity lookahead only runs where a quote is present
+        if escape:
+            # Escape-aware parity (csv.reader with escapechar): quotes
+            # consumed by the escapechar don't count toward parity, and a
+            # newline preceded by an odd run of escapechars is itself
+            # escaped (literal, not a boundary). Java lookbehind must be
+            # bounded, so odd-run detection caps at 17 consecutive
+            # escapes — beyond any real payload.
+            e = re.escape(escape)
+            out = rf"(?:{e}.|[^{q}{e}])"     # one unit outside a bare quote
+            odd_run = rf"(?:^|[^{e}]){e}(?:{e}{e}){{0,8}}"
+            boundary = (rf"(?s)(?<!{odd_run})\r?\n"
+                        rf"(?=(?:{out}*{q}{out}*{q})*{out}*$)")
+            fast_gate = (F.locate(quote, F.col(src)) == 0) & \
+                        (F.locate(escape, F.col(src)) == 0)
+        else:
+            boundary = rf"\r?\n(?=(?:[^{q}]*{q}[^{q}]*{q})*[^{q}]*$)"
+            fast_gate = F.locate(quote, F.col(src)) == 0
+        # fast path: payloads containing no quote (or escape) char at all
+        # (the common case for machine-generated CSV) split on the plain
+        # newline — the parity lookahead only runs where one is present
         lines = F.when(
-            F.locate(quote, F.col(src)) == 0, F.split(F.col(src), r"\r?\n")
+            fast_gate, F.split(F.col(src), r"\r?\n")
         ).otherwise(F.split(F.col(src), boundary))
         lines = F.when(
             (F.size(lines) > 1) & (F.element_at(lines, -1) == ""),

@@ -389,3 +389,27 @@ def test_json_path_dotted_tail(spark):
     batch = _classify_one(spark, schema, [payload])
     got = sorted(r["record"]["v"] for r in batch.by_log_type["t:jpd"].collect())
     assert got == ["x", "y"]
+
+
+def test_csv_escapechar_boundary_split(spark):
+    """With a configured escapechar (csv.reader parity): escaped quotes
+    don't flip the quote parity, an escaped newline is literal (stays in
+    the field's line), and an escaped escapechar before a newline leaves
+    the newline as a real record boundary."""
+    schema = LogSchema(
+        name="t:csvesc", schema={"a": "string", "b": "string"},
+        parser="csv",
+        configuration={"escapechar": "\\"},
+    )
+    batch = _classify_one(spark, schema, [
+        'r1,"x\\"y"\nr2,plain',     # escaped quote inside a quoted field
+        'a\\\nb,1\nc,2',            # escaped newline: one record, then c
+        'd\\\\,half\ne,2',          # escaped escape: still two records
+    ])
+    rows = sorted(r["record"]["a"] for r in batch.by_log_type["t:csvesc"].collect())
+    # 'd\\\\' (two literal backslashes): the boundary split matches
+    # csv.reader exactly; field-level unescaping of UNQUOTED values is a
+    # known value delta (univocity leaves them as-is where csv.reader
+    # collapses '\\\\' to '\\') — documented in COVERAGE.md
+    assert rows == ["a\\\nb", "c", "d\\\\", "e", "r1", "r2"]
+    assert batch.invalid.count() == 0
