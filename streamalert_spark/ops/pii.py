@@ -1,0 +1,108 @@
+"""PII detection and redaction over a document corpus.
+
+The standard pre-training scrub pass: detect emails / IPv4s / phone
+numbers / SSNs / credit-card numbers with portable regexes, count them
+per document, and rewrite the text with typed placeholder tokens.
+
+Everything is a pure Column expression (JVM-side, codegen'd) running in
+the projection of a single scan — zero shuffle at any corpus size. The
+regex subset used (character classes, \\b, \\d, {m,n}, (?:...)) behaves
+identically under Java regex (Spark) and RE2 (DuckDB), so every detector
+has an exact SQL oracle.
+
+The credit-card detector includes a Luhn checksum validator built from
+higher-order array functions (transform + aggregate), not a UDF — the
+checksum stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Detection patterns. Order matters for redaction: SSN and CC shapes are
+# redacted before phone numbers so a phone-shaped suffix of a longer
+# digit group can never fire first. All patterns are RE2-compatible.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+SSN_PATTERN = r"\b\d{3}-\d{2}-\d{4}\b"
+CC_PATTERN = r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b|\b\d{16}\b"
+PHONE_PATTERN = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+_REDACTIONS = (
+    (EMAIL_PATTERN, "<EMAIL>"),
+    (SSN_PATTERN, "<SSN>"),
+    (CC_PATTERN, "<CC>"),
+    (IPV4_PATTERN, "<IP>"),
+    (PHONE_PATTERN, "<PHONE>"),
+)
+
+
+def _count(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("bigint")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII hit counts for one text column."""
+    return {
+        "n_emails": _count(text, EMAIL_PATTERN),
+        "n_ipv4": _count(text, IPV4_PATTERN),
+        "n_ssns": _count(text, SSN_PATTERN),
+        "n_ccs": _count(text, CC_PATTERN),
+        "n_phones": _count(text, PHONE_PATTERN),
+    }
+
+
+def redact(text: Column) -> Column:
+    """Replace every detected PII span with its typed placeholder.
+    Fixed application order (email, ssn, cc, ip, phone) so overlapping
+    shapes resolve deterministically in both engines."""
+    out = text
+    for pattern, token in _REDACTIONS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn checksum over a digits-only string — expression-only (no
+    UDF): reverse, double every second digit with the >9 fold, aggregate
+    the sum, test mod 10. Null/empty input yields false."""
+    rev = F.reverse(digits)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(rev), F.lit(1)))
+    terms = F.transform(
+        idx,
+        lambda i: _luhn_term(F.ascii(F.substr(rev, i, F.lit(1))) - 48, i),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
+    return (F.length(digits) > 0) & (total % 10 == 0)
+
+
+def _luhn_fold(doubled: Column) -> Column:
+    return F.when(doubled > 9, doubled - 9).otherwise(doubled)
+
+
+def _luhn_term(d: Column, i: Column) -> Column:
+    return F.when(i % 2 == 0, _luhn_fold(d * 2)).otherwise(d)
+
+
+def cc_digits(cc_match: Column) -> Column:
+    """Digits-only form of a credit-card match (separators stripped)."""
+    return F.regexp_replace(cc_match, r"[- ]", "")
+
+
+def scan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full PII sweep: per-doc category counts, count of Luhn-VALID card
+    numbers among CC-shaped matches, and the redacted text. One
+    projection, zero shuffle."""
+    text = F.col(text_col)
+    counts = pii_counts(text)
+    cc_matches = F.regexp_extract_all(text, F.lit(CC_PATTERN), 0)
+    n_luhn = F.size(
+        F.filter(cc_matches, lambda m: luhn_valid(cc_digits(m)))
+    ).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in counts.items()],
+        n_luhn.alias("n_ccs_luhn_valid"),
+        redact(text).alias("redacted_text"),
+    )

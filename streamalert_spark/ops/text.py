@@ -112,6 +112,65 @@ def token_frequency_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+def ngram_array(toks: Column, n: int) -> Column:
+    """Array of space-joined word n-grams from a token array — pure
+    expression (transform over start offsets), no explode. A doc with
+    fewer than ``n`` tokens yields an empty array (the sequence guard
+    matters: Spark's sequence(1, 0) would count DOWN)."""
+    n_grams = F.size(toks) - (n - 1)
+    return F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_fraction(toks: Column, n: int) -> Column:
+    """Within-document duplicate n-gram fraction — the Gopher-style
+    repetition signal: 1 - distinct/total over the doc's n-grams. Zero
+    shuffle (array expressions only); null for docs with no n-grams."""
+    grams = ngram_array(toks, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.round(1.0 - F.size(F.array_distinct(grams)).cast("double") / total, 6),
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Repetition-based quality signals per document: duplicate bigram /
+    trigram fractions (zero-shuffle array expressions) plus the top-bigram
+    share (count of the most frequent bigram over all bigrams).
+
+    Scale: the dup fractions ride the scan projection. The top share is
+    explode -> groupBy(doc, gram) -> groupBy(doc) — both aggregates are
+    partial-aggregated and keyed by doc_id, so the shuffle carries one row
+    per distinct (doc, gram), never the corpus text. The per-doc array
+    alternative (aggregate over distinct grams) would be O(len^2) per row
+    — wrong for book-length docs.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        dup_ngram_fraction(toks, 2).alias("dup_bigram_frac"),
+        dup_ngram_fraction(toks, 3).alias("dup_trigram_frac"),
+        ngram_array(toks, 2).alias("_bigrams"),
+    )
+    gram_counts = (
+        base.select(id_col, F.explode("_bigrams").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top_share = gram_counts.groupBy(id_col).agg(
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_bigram_share")
+    )
+    return base.drop("_bigrams").join(top_share, id_col, "left")
+
+
 def chunk_context_windows(
     df: DataFrame,
     window: int,

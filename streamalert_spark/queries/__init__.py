@@ -51,10 +51,12 @@ def load_all() -> dict[str, RegisteredQuery]:
         llm_ops,
         multimodal_surface,
         parsers_surface,
+        pii_surface,
         pipeline,
         pipeline_ext,
         scale_ext,
         sources_surface,
+        sql_joins_ext,
         sql_surface,
         surface_ext,
     )

@@ -1,0 +1,169 @@
+"""PII-scrub and repetition-signal query surface.
+
+The documents table carries no real PII, so the PII query appends
+deterministic PII spans (email, IPv4, phone, SSN, credit card — half the
+cards Luhn-valid, half not) to each doc as a function of doc_id — the
+same synthesize-then-run-the-real-operator pattern as the URL and
+source-decode queries — then runs the REAL detectors/redactor from
+ops/pii.py. Redacted text is md5'd to keep the result compact while
+still hash-checking every replacement byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamalert_spark.ops import pii, text
+from streamalert_spark.queries import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.session import read_table
+
+    return read_table(spark, sf_dir, "documents")
+
+
+def _with_pii(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    ssn4 = F.lpad(s(did % 10000), 4, "0")
+    parts = [
+        F.col("text"),
+        F.concat_ws("", F.lit(" user"), s(did), F.lit("@mail"), s(did % 10),
+                    F.lit(".example.com")),
+        F.concat_ws("", F.lit(" from 10."), s(did % 200), F.lit("."),
+                    s((did * 7) % 250), F.lit("."), s(did % 250)),
+        F.when(did % 2 == 0,
+               F.concat_ws("", F.lit(" call 555-010-"), ssn4)).otherwise(F.lit("")),
+        F.when(did % 3 == 0,
+               F.concat_ws("", F.lit(" ssn 123-45-"), ssn4)).otherwise(F.lit("")),
+        F.when(did % 8 == 0, F.lit(" card 4111 1111 1111 1111"))
+         .when(did % 8 == 4, F.lit(" card 4111-1111-1111-1112"))
+         .otherwise(F.lit("")),
+    ]
+    return docs.withColumn("text", F.concat(*parts))
+
+
+_PII_TEXT_SQL = """
+  text || ' user' || doc_id || '@mail' || (doc_id % 10) || '.example.com'
+       || ' from 10.' || (doc_id % 200) || '.' || ((doc_id * 7) % 250)
+       || '.' || (doc_id % 250)
+       || CASE WHEN doc_id % 2 = 0
+               THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END
+       || CASE WHEN doc_id % 3 = 0
+               THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END
+       || CASE WHEN doc_id % 8 = 0 THEN ' card 4111 1111 1111 1111'
+               WHEN doc_id % 8 = 4 THEN ' card 4111-1111-1111-1112'
+               ELSE '' END
+"""
+
+_PII_ORACLE = rf"""
+WITH piid AS (
+  SELECT doc_id, {_PII_TEXT_SQL} AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '\b(?:\d{{1,3}}\.){{3}}\d{{1,3}}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '\b\d{{3}}-\d{{2}}-\d{{4}}\b')) AS BIGINT) AS n_ssns,
+  CAST(len(regexp_extract_all(text, '\b\d{{4}}[- ]\d{{4}}[- ]\d{{4}}[- ]\d{{4}}\b|\b\d{{16}}\b')) AS BIGINT) AS n_ccs,
+  CAST(len(regexp_extract_all(text, '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b')) AS BIGINT) AS n_phones,
+  CAST(len(list_filter(
+      list_transform(
+        regexp_extract_all(text, '\b\d{{4}}[- ]\d{{4}}[- ]\d{{4}}[- ]\d{{4}}\b|\b\d{{16}}\b'),
+        m -> regexp_replace(m, '[- ]', '', 'g')),
+      d -> len(d) > 0 AND
+           list_sum(list_transform(range(1, len(d) + 1),
+             i -> CASE WHEN i % 2 = 0
+                  THEN CASE WHEN 2 * (ascii(substr(reverse(d), i, 1)) - 48) > 9
+                       THEN 2 * (ascii(substr(reverse(d), i, 1)) - 48) - 9
+                       ELSE 2 * (ascii(substr(reverse(d), i, 1)) - 48) END
+                  ELSE ascii(substr(reverse(d), i, 1)) - 48 END)) % 10 = 0
+  )) AS BIGINT) AS n_ccs_luhn_valid,
+  md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+            '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '<SSN>', 'g'),
+          '\b\d{{4}}[- ]\d{{4}}[- ]\d{{4}}[- ]\d{{4}}\b|\b\d{{16}}\b', '<CC>', 'g'),
+        '\b(?:\d{{1,3}}\.){{3}}\d{{1,3}}\b', '<IP>', 'g'),
+      '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b', '<PHONE>', 'g')
+  ) AS redacted_md5
+FROM piid
+ORDER BY doc_id
+"""
+
+
+@query("pii_detect_redact", oracle=_PII_ORACLE,
+       doc="PII sweep: detect emails/IPv4/phones/SSNs/cards (Luhn-checked "
+           "via expression-only array fold) and redact with typed tokens — "
+           "one projection, zero shuffle.")
+def pii_detect_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_pii(_docs(spark, sf_dir))
+    return (
+        pii.scan(docs)
+        .withColumn("redacted_md5", F.md5("redacted_text"))
+        .drop("redacted_text")
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, n,
+         list_transform(range(1, n), i -> toks[i] || ' ' || toks[i + 1]) AS bi,
+         list_transform(range(1, n - 1),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS tri
+  FROM toked
+),
+base AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         CASE WHEN len(bi) > 0
+              THEN ROUND(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi), 6)
+         END AS dup_bigram_frac,
+         CASE WHEN len(tri) > 0
+              THEN ROUND(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri), 6)
+         END AS dup_trigram_frac,
+         bi
+  FROM grams
+),
+gram_counts AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM base, UNNEST(bi) AS t(g)
+  GROUP BY doc_id, g
+),
+top_share AS (
+  SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_share
+  FROM gram_counts GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.dup_bigram_frac, b.dup_trigram_frac,
+       t.top_bigram_share
+FROM base b LEFT JOIN top_share t USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+@query("repetition_signals", oracle=_REPETITION_ORACLE,
+       doc="Gopher-style repetition quality signals: within-doc duplicate "
+           "bigram/trigram fractions (zero-shuffle array exprs) + top-bigram "
+           "share (doc-keyed partial aggregates).")
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        text.repetition_signals(_docs(spark, sf_dir))
+        .repartition(1).sortWithinPartitions("doc_id")
+    )

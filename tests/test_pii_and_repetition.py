@@ -1,0 +1,90 @@
+"""Unit + plan-shape tests for the PII scrub and repetition-signal ops."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_one(spark, text):
+    from streamalert_spark.ops.pii import scan
+
+    df = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+    return scan(df).collect()[0].asDict()
+
+
+def test_pii_counts_and_redaction(spark):
+    row = _scan_one(
+        spark,
+        "mail a@b.co from 1.2.3.4 call 555-123-4567 ssn 123-45-6789 "
+        "card 4111 1111 1111 1111",
+    )
+    assert row["n_emails"] == 1
+    assert row["n_ipv4"] == 1
+    assert row["n_phones"] == 1
+    assert row["n_ssns"] == 1
+    assert row["n_ccs"] == 1
+    assert row["n_ccs_luhn_valid"] == 1
+    assert row["redacted_text"] == (
+        "mail <EMAIL> from <IP> call <PHONE> ssn <SSN> card <CC>")
+
+
+def test_luhn_rejects_bad_checksum(spark):
+    row = _scan_one(spark, "cards 4111-1111-1111-1112 and 4111111111111111")
+    assert row["n_ccs"] == 2
+    assert row["n_ccs_luhn_valid"] == 1  # only the bare valid one
+
+
+def test_no_pii_is_all_zero(spark):
+    row = _scan_one(spark, "nothing sensitive here")
+    assert (row["n_emails"], row["n_ipv4"], row["n_phones"], row["n_ssns"],
+            row["n_ccs"], row["n_ccs_luhn_valid"]) == (0, 0, 0, 0, 0, 0)
+    assert row["redacted_text"] == "nothing sensitive here"
+
+
+def test_seventeen_digit_run_is_not_a_card(spark):
+    row = _scan_one(spark, "serial 41111111111111111 ok")
+    assert row["n_ccs"] == 0
+
+
+def test_pii_scan_is_single_projection_no_shuffle(spark):
+    from streamalert_spark.ops.pii import scan
+
+    plain = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(scan(plain))
+    assert "Exchange" not in plan, plan
+
+
+def test_dup_ngram_fraction_edges(spark):
+    from streamalert_spark.ops.text import dup_ngram_fraction, tokens
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "x"), (2, "p q r")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id",
+            dup_ngram_fraction(tokens(F.col("text")), 2).alias("f"),
+        ).collect()
+    }
+    # "a b a b a" bigrams: [a b, b a, a b, b a] -> 2 distinct of 4 = 0.5 dup
+    assert out[0] == 0.5
+    assert out[1] is None  # single token: no bigrams
+    assert out[2] == 0.0
+
+
+def test_repetition_signals_top_share(spark):
+    from streamalert_spark.ops.text import repetition_signals
+
+    df = spark.createDataFrame([(7, "a b a b a")], "doc_id bigint, text string")
+    row = repetition_signals(df).collect()[0].asDict()
+    assert row["n_tokens"] == 5
+    assert row["dup_bigram_frac"] == 0.5
+    assert row["top_bigram_share"] == 0.5  # 'a b' twice of 4 bigrams
