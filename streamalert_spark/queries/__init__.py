@@ -59,6 +59,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         sql_joins_ext,
         sql_surface,
         surface_ext,
+        training_ext,
     )
 
     return QUERIES

@@ -1,0 +1,143 @@
+"""Training-prep query surface: sequence packing, vocabulary induction,
+and data-mixture reweighting — the batch-prep passes that sit between a
+curated corpus and a training run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamalert_spark.ops import packing
+from streamalert_spark.ops.text import tokens
+from streamalert_spark.queries import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.session import read_table
+
+    return read_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_ORACLE = """
+WITH toked AS (
+  SELECT source, CAST(doc_id % 8 AS BIGINT) AS shard, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+assigned AS (
+  SELECT source, shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+  FROM toked
+)
+SELECT source, shard,
+       CAST(floor(start_tok / 512) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM assigned
+GROUP BY source, shard, CAST(floor(start_tok / 512) AS BIGINT)
+ORDER BY source, shard, pack_id
+"""
+
+
+@query("pack_sequences", oracle=_PACK_ORACLE,
+       doc="Fixed-length sequence packing (512-token windows) within "
+           "deterministic (source, doc_id%8) shards — sharded window "
+           "cumsum, no global sort, parallelism scales with shard count.")
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        packing.pack_sequences(_docs(spark, sf_dir), seq_len=512, n_shards=8)
+        .repartition(1).sortWithinPartitions("source", "shard", "pack_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary induction (word-level top-k)
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT w FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+),
+counts AS (SELECT w AS token, COUNT(*) AS freq FROM toks GROUP BY w)
+SELECT token, CAST(freq AS BIGINT) AS freq
+FROM counts
+ORDER BY freq DESC, token
+LIMIT 50
+"""
+
+
+@query("vocab_topk", oracle=_VOCAB_ORACLE,
+       doc="Word-level vocabulary induction: corpus token frequencies, "
+           "top-50 — partial-aggregated count + TakeOrdered, never a "
+           "global sort of the vocab.")
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture reweighting
+# ---------------------------------------------------------------------------
+
+_MIXTURE_ORACLE = """
+WITH counts AS (
+  SELECT source, lang,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source, lang
+),
+total AS (SELECT SUM(n_tokens) AS total, COUNT(*) AS n_groups FROM counts)
+SELECT source, lang, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / total, 6) AS current_share,
+       ROUND(1.0 / n_groups, 6) AS target_share,
+       ROUND((CAST(total AS DOUBLE) / n_groups) / n_tokens, 6)
+         AS sample_weight
+FROM counts, total
+ORDER BY source, lang
+"""
+
+
+@query("mixture_reweight", oracle=_MIXTURE_ORACLE,
+       doc="Data-mixture reweighting: per-(source, lang) token shares and "
+           "the sampling weight that moves each stratum to a uniform "
+           "target mix — one partial-aggregated groupBy plus a broadcast "
+           "scalar total.")
+def mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.groupBy("source", "lang")
+        .agg(F.sum(F.size(tokens(F.col("text")))).cast("bigint")
+             .alias("n_tokens"))
+    )
+    total = counts.agg(
+        F.sum("n_tokens").alias("total"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "source", "lang", "n_tokens",
+            F.round(F.col("n_tokens") / F.col("total"), 6)
+             .alias("current_share"),
+            F.round(F.lit(1.0) / F.col("n_groups"), 6).alias("target_share"),
+            F.round((F.col("total") / F.col("n_groups")) / F.col("n_tokens"), 6)
+             .alias("sample_weight"),
+        )
+        .repartition(1).sortWithinPartitions("source", "lang")
+    )

@@ -1,0 +1,74 @@
+"""Unit + plan-shape tests for the training-prep ops (packing, vocab,
+mixture reweighting)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _pack(spark, rows, seq_len, n_shards=1):
+    from streamalert_spark.ops.packing import pack_sequences
+
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    return pack_sequences(df, seq_len=seq_len, n_shards=n_shards)
+
+
+def test_pack_boundary_doc_starts_new_pack(spark):
+    # three docs of 3 tokens each, seq_len 4: doc0 starts at 0 (pack 0),
+    # doc1 starts at 3 (pack 0), doc2 starts at 6 (pack 1)
+    rows = [(i, "s", "a b c") for i in range(3)]
+    out = {r["pack_id"]: r.asDict() for r in _pack(spark, rows, 4).collect()}
+    assert out[0]["n_docs"] == 2 and out[0]["total_tokens"] == 6
+    assert out[1]["n_docs"] == 1 and out[1]["first_doc"] == 2
+
+
+def test_pack_sharding_is_deterministic_partition(spark):
+    rows = [(i, "s", "a b") for i in range(8)]
+    out = _pack(spark, rows, 100, n_shards=4).collect()
+    # 4 shards, each with docs {i, i+4}: one pack per shard
+    assert len(out) == 4
+    assert all(r["n_docs"] == 2 and r["total_tokens"] == 4 for r in out)
+    assert sorted(r["shard"] for r in out) == [0, 1, 2, 3]
+
+
+def test_pack_rejects_bad_params(spark):
+    with pytest.raises(ValueError):
+        _pack(spark, [(0, "s", "a")], 0)
+
+
+def test_pack_plan_has_no_global_sort(spark):
+    rows = [(i, "s", "a b c") for i in range(10)]
+    plan = _plan(_pack(spark, rows, 4, n_shards=4))
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_mixture_reweight_uniform_target(spark):
+    from streamalert_spark.queries import load_all
+
+    out = load_all()["mixture_reweight"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    shares = [r["current_share"] for r in out]
+    assert abs(sum(shares) - 1.0) < 1e-4
+    for r in out:
+        # weight * current_share == target_share (up to rounding)
+        assert r["sample_weight"] > 0
+        assert abs(r["sample_weight"] * r["current_share"]
+                   - r["target_share"]) < 1e-3
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    from streamalert_spark.queries import load_all
+
+    df = load_all()["vocab_topk"].fn(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = df.collect()
+    # sf0.001's synthetic vocab is smaller than the top-k limit
+    assert 0 < len(rows) <= 50
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
