@@ -191,3 +191,74 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("stop_ratio")
         .repartition(1).sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------- funnel analysis
+
+_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+  FROM events
+),
+v AS (
+  SELECT user_id, MIN(es) AS t1 FROM e WHERE event_type = 'view'
+  GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.es) AS t2, MIN(v.t1) AS t1
+  FROM e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.es > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.es) AS t3, MIN(c.t2) AS t2
+  FROM e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.es > c.t2
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT '1_view' AS stage, COUNT(*) AS n_users,
+         CAST(NULL AS DOUBLE) AS avg_step_secs FROM v
+  UNION ALL
+  SELECT '2_click', COUNT(*),
+         ROUND(CAST(SUM(t2 - t1) AS DOUBLE) / COUNT(*), 6) FROM c
+  UNION ALL
+  SELECT '3_purchase', COUNT(*),
+         ROUND(CAST(SUM(t3 - t2) AS DOUBLE) / COUNT(*), 6) FROM p
+)
+ORDER BY stage
+"""
+
+
+@query("funnel_stages", oracle=_FUNNEL_ORACLE,
+       doc="Ordered 3-stage funnel (view -> click -> purchase, strictly "
+           "increasing timestamps): per-user earliest-qualifying-event "
+           "joins keyed on user_id, partial-aggregated; stage rollups are "
+           "scalar aggregates.")
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("es"))
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("es").alias("t1")))
+    c = (ev.filter(F.col("event_type") == "click").join(v, "user_id")
+         .filter(F.col("es") > F.col("t1"))
+         .groupBy("user_id")
+         .agg(F.min("es").alias("t2"), F.min("t1").alias("t1")))
+    p = (ev.filter(F.col("event_type") == "purchase").join(c, "user_id")
+         .filter(F.col("es") > F.col("t2"))
+         .groupBy("user_id")
+         .agg(F.min("es").alias("t3"), F.min("t2").alias("t2")))
+    stage = lambda df, name, cur, prev: df.agg(  # noqa: E731
+        F.lit(name).alias("stage"),
+        F.count(F.lit(1)).alias("n_users"),
+        (F.round(F.sum(F.col(cur) - F.col(prev)).cast("double")
+                 / F.count(F.lit(1)), 6) if prev else
+         F.lit(None).cast("double")).alias("avg_step_secs"),
+    )
+    out = (
+        stage(v, "1_view", "t1", None)
+        .unionByName(stage(c, "2_click", "t2", "t1"))
+        .unionByName(stage(p, "3_purchase", "t3", "t2"))
+    )
+    return out.repartition(1).sortWithinPartitions("stage")

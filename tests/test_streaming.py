@@ -533,3 +533,54 @@ def test_processing_time_merge_survives_restart(spark, tmp_path):
     assert rows[0]["alert_count"] == MAX_MERGE_GROUP_SIZE
     rec = json.loads(rows[0]["merged_record"])
     assert rec["MergedBy"] == {"user": "bob"}
+
+
+def test_streaming_dedupe_across_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one copy of a key re-delivered
+    in a later micro-batch (bounded state, watermark eviction)."""
+    from streamalert_spark.streaming.dedupe import dedupe_stream
+
+    src_dir = tmp_path / "dedupe_in"
+    src_dir.mkdir()
+    rows1 = [
+        {"event_id": "e1", "ts": "2024-01-01T00:00:00.000Z", "v": 1},
+        {"event_id": "e2", "ts": "2024-01-01T00:01:00.000Z", "v": 2},
+        {"event_id": "e1", "ts": "2024-01-01T00:00:00.000Z", "v": 1},
+    ]
+    with open(src_dir / "b1.jsonl", "w") as fh:
+        for r in rows1:
+            fh.write(json.dumps(r) + "\n")
+
+    schema = "event_id string, ts timestamp, v bigint"
+    src = spark.readStream.schema(schema).json(str(src_dir))
+    deduped = dedupe_stream(src, ["event_id"], ts_col="ts",
+                            watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory").queryName("dedupe_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedupe"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch re-delivers e2 (within watermark) + new e3
+        rows2 = [
+            {"event_id": "e2", "ts": "2024-01-01T00:01:00.000Z", "v": 2},
+            {"event_id": "e3", "ts": "2024-01-01T00:02:00.000Z", "v": 3},
+        ]
+        with open(src_dir / "b2.jsonl", "w") as fh:
+            for r in rows2:
+                fh.write(json.dumps(r) + "\n")
+        q.processAllAvailable()
+        out = spark.sql("SELECT event_id FROM dedupe_out").collect()
+    finally:
+        q.stop()
+    seen = sorted(r["event_id"] for r in out)
+    assert seen == ["e1", "e2", "e3"]
+
+
+def test_streaming_dedupe_requires_keys(spark):
+    from streamalert_spark.streaming.dedupe import dedupe_stream
+
+    with pytest.raises(ValueError):
+        dedupe_stream(spark.range(1), [])
