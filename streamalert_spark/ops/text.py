@@ -112,6 +112,41 @@ def token_frequency_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+def _nfc_udf():
+    """Arrow-batched NFC normalizer. Unicode NFC has no Spark builtin, so
+    this is the one deliberate Python step in the text-hygiene path — a
+    vectorized pandas UDF (never per-row) whose output is defined by the
+    Unicode standard, hence engine-portable (DuckDB's nfc_normalize
+    produces byte-identical results)."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def nfc(s):
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+
+    # real annotation objects: the module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # signature inference cannot resolve
+    nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(nfc, "string")
+
+
+def clean_text(text: Column, lowercase: bool = False) -> Column:
+    """Standard corpus text hygiene: NFC-normalize, strip C0/DEL control
+    characters, collapse whitespace runs to single spaces, trim. All but
+    the NFC step are JVM regexes; the NFC step is Arrow-batched."""
+    c = _nfc_udf()(text)
+    # strip C0 controls except \t \n \r, which are whitespace and must
+    # collapse to spaces rather than vanish (tab-separated words would
+    # otherwise fuse)
+    c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return F.lower(c) if lowercase else c
+
+
 def ngram_array(toks: Column, n: int) -> Column:
     """Array of space-joined word n-grams from a token array — pure
     expression (transform over start offsets), no explode. A doc with

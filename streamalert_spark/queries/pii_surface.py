@@ -167,3 +167,51 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.repetition_signals(_docs(spark, sf_dir))
         .repartition(1).sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Text hygiene (NFC + control-strip + whitespace collapse)
+# ---------------------------------------------------------------------------
+
+_CLEAN_ORACLE = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || '  re' || chr(769) || 'sume' || chr(7) || '  tail ' AS raw
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, raw,
+         trim(regexp_replace(
+             regexp_replace(nfc_normalize(raw),
+                            '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+             '\s+', ' ', 'g')) AS clean
+  FROM dirty
+)
+SELECT doc_id,
+       CAST(length(raw) AS BIGINT) AS n_chars_raw,
+       CAST(length(clean) AS BIGINT) AS n_chars_clean,
+       md5(clean) AS clean_md5
+FROM cleaned
+ORDER BY doc_id
+"""
+
+
+@query("clean_text_normalize", oracle=_CLEAN_ORACLE,
+       doc="Corpus text hygiene: Unicode NFC (Arrow-batched — no Spark "
+           "builtin), control-char strip, whitespace collapse, trim — one "
+           "projection, zero shuffle; md5 hash-checks every byte.")
+def clean_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    # decomposed accent + BEL control char + ragged whitespace, appended
+    # deterministically so the cleaner has real work on every row
+    raw = F.concat(F.col("text"), F.lit("  résume\x07  tail "))
+    return (
+        docs.select(
+            "doc_id",
+            F.length(raw).cast("bigint").alias("n_chars_raw"),
+            F.length(text.clean_text(raw)).cast("bigint")
+             .alias("n_chars_clean"),
+            F.md5(text.clean_text(raw)).alias("clean_md5"),
+        )
+        .repartition(1).sortWithinPartitions("doc_id")
+    )

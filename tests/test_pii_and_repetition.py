@@ -88,3 +88,25 @@ def test_repetition_signals_top_share(spark):
     assert row["n_tokens"] == 5
     assert row["dup_bigram_frac"] == 0.5
     assert row["top_bigram_share"] == 0.5  # 'a b' twice of 4 bigrams
+
+
+def test_clean_text_nfc_and_whitespace(spark):
+    from streamalert_spark.ops.text import clean_text
+
+    df = spark.createDataFrame(
+        [(0, "résume\x07   has\tspace  "), (1, None)],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["c"]
+           for r in df.select("doc_id",
+                              clean_text(F.col("text")).alias("c")).collect()}
+    assert out[0] == "résume has space"  # precomposed, control-free
+    assert out[1] is None
+
+
+def test_clean_text_lowercase_flag(spark):
+    from streamalert_spark.ops.text import clean_text
+
+    df = spark.createDataFrame([(0, "  MiXeD Case ")], "doc_id bigint, text string")
+    row = df.select(clean_text(F.col("text"), lowercase=True).alias("c")).collect()[0]
+    assert row["c"] == "mixed case"
