@@ -262,3 +262,59 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(p, "3_purchase", "t3", "t2"))
     )
     return out.repartition(1).sortWithinPartitions("stage")
+
+
+# ---------------------------------------------------------------- cohort retention
+
+_COHORT_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT) AS wk
+  FROM events
+),
+firsts AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_wk, e.wk - f.cohort_wk AS wk_offset
+  FROM e JOIN firsts f ON e.user_id = f.user_id
+),
+sizes AS (
+  SELECT cohort_wk, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_wk
+)
+SELECT a.cohort_wk, a.wk_offset,
+       COUNT(*) AS n_active,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / MIN(s.cohort_size), 6) AS retention
+FROM activity a JOIN sizes s ON a.cohort_wk = s.cohort_wk
+GROUP BY a.cohort_wk, a.wk_offset
+ORDER BY a.cohort_wk, a.wk_offset
+"""
+
+
+@query("cohort_retention", oracle=_COHORT_ORACLE,
+       doc="Weekly cohort retention: first-seen week per user, distinct "
+           "(user, week-offset) activity, retention share per cohort cell "
+           "— all aggregates partial-aggregated on user/cohort keys; the "
+           "cohort-size side of the final join is weeks-scale and "
+           "broadcasts.")
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("wk"))
+    firsts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select("user_id", "cohort_wk",
+                (F.col("wk") - F.col("cohort_wk")).alias("wk_offset"))
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        activity.join(F.broadcast(sizes), "cohort_wk")
+        .groupBy("cohort_wk", "wk_offset")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.round(F.count(F.lit(1)).cast("double")
+                    / F.min("cohort_size"), 6).alias("retention"),
+        )
+        .repartition(1).sortWithinPartitions("cohort_wk", "wk_offset")
+    )
