@@ -318,3 +318,37 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("cohort_wk", "wk_offset")
     )
+
+
+# ---------------------------------------------------------------- latest per key
+
+_LATEST_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+  FROM events
+),
+mx AS (SELECT user_id, MAX(es) AS es FROM e GROUP BY user_id)
+SELECT e.user_id, e.es AS latest_es, MIN(e.event_id) AS event_id
+FROM e JOIN mx ON e.user_id = mx.user_id AND e.es = mx.es
+GROUP BY e.user_id, e.es
+ORDER BY e.user_id
+"""
+
+
+@query("latest_event_per_user", oracle=_LATEST_ORACLE,
+       doc="Latest-version-per-key dedup (CDC-style): max-timestamp "
+           "aggregate + equality join back, min-id tie-break — both "
+           "aggregates partial-aggregated; the shuffle carries (key, ts) "
+           "scalars, never full rows, vs a per-key window that would "
+           "shuffle the whole table.")
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("es"))
+    mx = ev.groupBy("user_id").agg(F.max("es").alias("es"))
+    return (
+        ev.join(mx, ["user_id", "es"])
+        .groupBy("user_id", F.col("es").alias("latest_es"))
+        .agg(F.min("event_id").alias("event_id"))
+        .repartition(1).sortWithinPartitions("user_id")
+    )

@@ -110,3 +110,57 @@ def test_clean_text_lowercase_flag(spark):
     df = spark.createDataFrame([(0, "  MiXeD Case ")], "doc_id bigint, text string")
     row = df.select(clean_text(F.col("text"), lowercase=True).alias("c")).collect()[0]
     assert row["c"] == "mixed case"
+
+
+def _luhn_check_digit(body: str) -> str:
+    # python reference: digit making body+d luhn-valid
+    total = 0
+    for i, ch in enumerate(reversed(body)):
+        d = int(ch)
+        if i % 2 == 0:  # positions 2,4,... from the right once d appended
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return str((10 - total % 10) % 10)
+
+
+def test_luhn_expression_matches_python_reference(spark):
+    from streamalert_spark.ops.pii import luhn_valid
+
+    rows = []
+    for seed in range(120):
+        body = str(1000000000000000 + seed * 987654321)[:15]
+        valid = body + _luhn_check_digit(body)
+        bad_digit = (int(valid[-1]) + 1) % 10
+        invalid = valid[:-1] + str(bad_digit)
+        rows.append((valid, True))
+        rows.append((invalid, False))
+    df = spark.createDataFrame(rows, "digits string, expect boolean")
+    got = df.select("digits", "expect",
+                    luhn_valid(F.col("digits")).alias("got")).collect()
+    for r in got:
+        assert r["got"] == r["expect"], r["digits"]
+
+
+def test_pack_sequences_conserves_tokens_and_docs(spark):
+    from streamalert_spark.ops.packing import pack_sequences
+
+    rows = [
+        (i, f"src{i % 3}", " ".join(["w"] * (1 + (i * 37) % 90)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    packs = pack_sequences(df, seq_len=256, n_shards=4).collect()
+    # conservation: every doc lands in exactly one pack
+    assert sum(p["n_docs"] for p in packs) == 200
+    expect_tokens = sum(1 + (i * 37) % 90 for i in range(200))
+    assert sum(p["total_tokens"] for p in packs) == expect_tokens
+    # pack ids are dense per (source, shard) starting at 0
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for p in packs:
+        by_shard[(p["source"], p["shard"])].append(p["pack_id"])
+    for ids in by_shard.values():
+        ids.sort()
+        assert ids == list(range(len(ids)))
