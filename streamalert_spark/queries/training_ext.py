@@ -141,3 +141,61 @@ def mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, w AS term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(floor((tf.tf * 1000000.0) / df.df) AS BIGINT) AS score
+  FROM tf JOIN df ON tf.term = df.term
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, score
+FROM ranked WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
+@query("tfidf_top_terms", oracle=_TFIDF_ORACLE,
+       doc="Per-doc top-3 keywords by an integer-exact tf/df score "
+           "(floor(tf*1e6/df): IEEE division + floor is engine-portable "
+           "where log-based idf is not). Shuffles are keyed by term (df) "
+           "and doc (rank window) — no global sort.")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id", "term",
+        F.floor((F.col("tf") * 1000000.0) / F.col("df")).cast("bigint")
+         .alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "score")
+        .repartition(1).sortWithinPartitions("doc_id", "rnk")
+    )
