@@ -162,3 +162,29 @@ def test_decontamination_broadcasts_eval_shingles(spark):
     plan = _plan(ngram_overlap_flags(train, eval_df))
     assert "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q5_dimensions_all_broadcast(spark):
+    """Q5 shape: nation/region/customer/supplier must broadcast — a
+    SortMergeJoin on a dimension means the fact table shuffled for a
+    metadata-scale side."""
+    from streamalert_spark.queries import load_all
+
+    plan = _plan(load_all()["q5_local_supplier_volume"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_tfidf_has_no_global_sort(spark):
+    from streamalert_spark.queries import load_all
+
+    plan = _plan(load_all()["tfidf_top_terms"].fn(spark, SF_DIR))
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_pii_query_single_scan_no_shuffle_before_sort(spark):
+    """The PII sweep is a pure projection: the only Exchange allowed is
+    the final single-partition collect for deterministic output order."""
+    from streamalert_spark.queries import load_all
+
+    plan = _plan(load_all()["pii_detect_redact"].fn(spark, SF_DIR))
+    assert "hashpartitioning" not in plan.lower(), plan
