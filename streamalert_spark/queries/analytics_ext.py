@@ -352,3 +352,60 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("event_id").alias("event_id"))
         .repartition(1).sortWithinPartitions("user_id")
     )
+
+
+# ---------------------------------------------------------------- native session windows
+
+_SESSION_WINDOW_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, us,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                   >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+numbered AS (
+  SELECT user_id, us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MIN(us) AS BIGINT) AS session_start_us,
+       CAST(MAX(us) + 1800000000 AS BIGINT) AS session_end_us,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+
+@query("session_window_agg", oracle=_SESSION_WINDOW_ORACLE,
+       doc="Native session_window aggregation (30-min gap, window-end "
+           "exclusive => new session at gap >= 1800s) — Spark's built-in "
+           "session operator, micro-exact vs a LAG/SUM oracle. One "
+           "shuffle keyed user_id; the same expression runs under "
+           "Structured Streaming with a watermark (test_streaming.py).")
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            # ts is TIMESTAMP_NTZ: diff from the NTZ epoch is timezone-
+            # independent (unix_micros would require LTZ and hang the
+            # result on the driver session's timezone)
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+                   "00:00:00', session_window.start)")
+             .alias("session_start_us"),
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+                   "00:00:00', session_window.end)")
+             .alias("session_end_us"),
+            "n_events",
+        )
+        .repartition(1).sortWithinPartitions("user_id", "session_start_us")
+    )

@@ -199,3 +199,55 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rnk", "term", "score")
         .repartition(1).sortWithinPartitions("doc_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE first-merge pair statistics
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = """
+WITH words AS (
+  SELECT w, COUNT(*) AS wc
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE len(w) >= 2
+  GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, wc
+  FROM words, UNNEST(range(1, len(w))) AS r(i)
+)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT 20
+"""
+
+
+@query("bpe_merge_pairs", oracle=_BPE_ORACLE,
+       doc="BPE induction, first iteration: adjacent character-pair "
+           "frequencies weighted by word count — the statistic the first "
+           "BPE merge maximizes. Word-count aggregate shrinks the explode "
+           "to vocab scale before the pair explode; top-20 by TakeOrdered.")
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substr(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(20)
+    )

@@ -584,3 +584,50 @@ def test_streaming_dedupe_requires_keys(spark):
 
     with pytest.raises(ValueError):
         dedupe_stream(spark.range(1), [])
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Native session_window under Structured Streaming: closed sessions
+    emit in append mode once the watermark passes session end + gap."""
+    src_dir = tmp_path / "sess_in"
+    src_dir.mkdir()
+    rows1 = [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00.000Z"},
+        {"user_id": 1, "ts": "2024-01-01T00:10:00.000Z"},
+        {"user_id": 2, "ts": "2024-01-01T00:05:00.000Z"},
+    ]
+    with open(src_dir / "s1.jsonl", "w") as fh:
+        for r in rows1:
+            fh.write(json.dumps(r) + "\n")
+    schema = "user_id bigint, ts timestamp"
+    src = spark.readStream.schema(schema).json(str(src_dir))
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark far past both sessions' ends
+        with open(src_dir / "s2.jsonl", "w") as fh:
+            fh.write(json.dumps(
+                {"user_id": 3, "ts": "2024-01-01T02:00:00.000Z"}) + "\n")
+        q.processAllAvailable()
+        # one more batch so the new watermark closes the old sessions
+        with open(src_dir / "s3.jsonl", "w") as fh:
+            fh.write(json.dumps(
+                {"user_id": 3, "ts": "2024-01-01T02:00:01.000Z"}) + "\n")
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM sess_out").collect()
+    finally:
+        q.stop()
+    got = {(r["user_id"], r["n_events"]) for r in out}
+    assert (1, 2) in got   # user 1's two events merged into one session
+    assert (2, 1) in got
