@@ -409,3 +409,81 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("user_id", "session_start_us")
     )
+
+
+# ---------------------------------------------------------------- pivot
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("event_type_pivot", oracle=_PIVOT_ORACLE,
+       doc="Pivot event_type to columns (explicit value list, so no extra "
+           "distinct-values job) — compiles to one partial-aggregated "
+           "groupBy with conditional counts, same plan as the FILTER "
+           "oracle.")
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    # pivot leaves null for absent combos; the oracle's FILTER counts 0
+    filled = out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t)
+          for t in types],
+    )
+    return filled.repartition(1).sortWithinPartitions("user_id")
+
+
+# ---------------------------------------------------------------- range-frame moving aggregate
+
+_MOVING_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN 86400000000 PRECEDING
+                               AND CURRENT ROW) AS DOUBLE) AS day_sum,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                           RANGE BETWEEN 86400000000 PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS day_n
+FROM e
+ORDER BY user_id, event_id
+"""
+
+
+@query("moving_day_window", oracle=_MOVING_ORACLE,
+       doc="Trailing 24h per-user moving sum/count via a RANGE window "
+           "frame over integer event-time micros — decimal-exact sums "
+           "(sliding-frame float accumulation drifts across engines); "
+           "shuffle keyed user_id only.")
+def moving_day_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', ts)").alias("us"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    w = (W.partitionBy("user_id").orderBy("us")
+         .rangeBetween(-86400000000, 0))
+    return (
+        ev.select(
+            "user_id", "event_id",
+            F.sum("v").over(w).cast("double").alias("day_sum"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("day_n"),
+        )
+        .repartition(1).sortWithinPartitions("user_id", "event_id")
+    )
