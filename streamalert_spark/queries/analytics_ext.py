@@ -428,9 +428,10 @@ ORDER BY user_id
 
 @query("event_type_pivot", oracle=_PIVOT_ORACLE,
        doc="Pivot event_type to columns (explicit value list, so no extra "
-           "distinct-values job) — compiles to one partial-aggregated "
-           "groupBy with conditional counts, same plan as the FILTER "
-           "oracle.")
+           "distinct-values job). Plan is two aggregates: partial-"
+           "aggregated groupBy(user, type), then pivotfirst by user — the "
+           "second shuffle carries one row per (user, type), never the "
+           "event table.")
 def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
     types = ["click", "error", "purchase", "signup", "view"]
