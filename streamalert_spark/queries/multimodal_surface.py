@@ -72,3 +72,31 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", F.col("frame_ts").cast("bigint").alias("frame_ts"))
         .repartition(1).sortWithinPartitions("o_orderkey", "frame_ts")
     )
+
+
+@query("multimodal_resize_audio", oracle=None,
+       doc="Resize + audio-feature mapInPandas kernels over synthesized "
+           "binary columns — rows-only check by design: the audio stub's "
+           "Python round() lands on exact decimal halves where engine "
+           "rounding modes legitimately differ; kernel values are pinned "
+           "by tests/test_scheduled_and_ops.py instead.")
+def multimodal_resize_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.multimodal import (
+        extract_audio_features,
+        resize_images,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+         .alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    resized = resize_images(media, max_side=128).select(
+        "media_id", "width", "height", "src_width", "src_height")
+    audio = extract_audio_features(media).select(
+        "media_id", "n_bytes", "duration_s", "rms")
+    return (
+        resized.join(audio, "media_id")
+        .repartition(1).sortWithinPartitions("media_id")
+    )
