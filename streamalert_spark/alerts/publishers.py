@@ -146,3 +146,33 @@ def populate_fields(alert: dict, publication: dict) -> dict:
                 queue.extend(node)
         out[name] = hits[0] if len(hits) == 1 else (hits or None)
     return out
+
+
+# Hook for deployment-global Demisto classification rules: each entry is
+# ``alert_dict -> falsy | dict-of-traits`` and the first truthy result
+# wins (publishers/sample/sample_demisto.py GLOBAL_CLASSIFIERS).
+DEMISTO_GLOBAL_CLASSIFIERS: list[Any] = []
+
+
+@register
+def demisto_classification(alert: dict, publication: dict) -> dict:
+    """Set Demisto incident traits as @demisto.* magic keys
+    (publishers/sample/sample_demisto.py): context['demisto'] wins
+    verbatim; otherwise the first truthy DEMISTO_GLOBAL_CLASSIFIERS
+    result applies; otherwise the publication passes through. (The
+    reference sample iterates ``for key, value in payload`` over its
+    classifier dict — we iterate .items(), which is what that sample
+    intends; its shipped `_any_rule_with_demisto` is illustrative
+    pseudo-code, so no default classifier registers here.)"""
+    context = alert.get("context") or {}
+    if "demisto" in context:
+        for key, value in context["demisto"].items():
+            publication[f"@demisto.{key}"] = value
+        return publication
+    for code in DEMISTO_GLOBAL_CLASSIFIERS:
+        payload = code(alert)
+        if payload:
+            for key, value in payload.items():
+                publication[f"@demisto.{key}"] = value
+            return publication
+    return publication

@@ -88,3 +88,32 @@ def test_composes_with_dispatcher_pipeline():
     pub = compose_publishers(
         [add_record, remove_internal_fields, populate_fields], alert)
     assert pub == {"x": 1}
+
+
+def test_demisto_classification_context_wins():
+    from streamalert_spark.alerts.publishers import PUBLISHERS
+
+    pub = PUBLISHERS["demisto_classification"]
+    alert = {"context": {"demisto": {"incident_type": "X", "playbook": "Y"}}}
+    out = pub(alert, {})
+    assert out == {"@demisto.incident_type": "X", "@demisto.playbook": "Y"}
+
+
+def test_demisto_classification_global_classifiers():
+    from streamalert_spark.alerts import publishers as P
+
+    def classify(alert):
+        if "sample" in alert.get("rule_name", ""):
+            return {"incident_type": "Sample Alert"}
+        return False
+
+    P.DEMISTO_GLOBAL_CLASSIFIERS.append(classify)
+    try:
+        hit = P.PUBLISHERS["demisto_classification"](
+            {"rule_name": "sample_rule", "context": {}}, {})
+        miss = P.PUBLISHERS["demisto_classification"](
+            {"rule_name": "other", "context": {}}, {"k": 1})
+    finally:
+        P.DEMISTO_GLOBAL_CLASSIFIERS.remove(classify)
+    assert hit == {"@demisto.incident_type": "Sample Alert"}
+    assert miss == {"k": 1}
