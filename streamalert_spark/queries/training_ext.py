@@ -251,3 +251,19 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), "pair")
         .limit(20)
     )
+
+
+@query("bpe_learned_merges", oracle=None,
+       doc="Full iterative BPE merge loop (10 merges): per iteration one "
+           "vocab-scale pair aggregate + a single-row argmax collect, "
+           "merge applied as a projection; lineage checkpoint-truncated. "
+           "Genuinely iterative => no SQL oracle (rows-only check); the "
+           "loop is pinned against a pure-Python BPE reference in "
+           "tests/test_training_ext.py::test_learn_bpe_matches_reference.")
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.bpe import learn_bpe
+
+    merges = learn_bpe(_docs(spark, sf_dir), n_merges=10)
+    rows = [(i, pair, count) for i, (pair, count) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_idx bigint, pair string, pair_count bigint")

@@ -1,7 +1,9 @@
 """Unit + plan-shape tests for the training-prep ops (packing, vocab,
-mixture reweighting)."""
+mixture reweighting, BPE learning)."""
 
 from __future__ import annotations
+
+from collections import Counter
 
 import pytest
 from pyspark.sql import functions as F
@@ -72,3 +74,65 @@ def test_vocab_topk_is_take_ordered(spark):
     assert 0 < len(rows) <= 50
     freqs = [r["freq"] for r in rows]
     assert freqs == sorted(freqs, reverse=True)
+
+
+def _reference_bpe(word_counts: dict[str, int], n_merges: int):
+    """Pure-Python BPE (Sennrich-style), lexicographic tie-break."""
+    vocab = {" ".join(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            parts = syms.split(" ")
+            for i in range(len(parts) - 1):
+                pairs[f"{parts[i]} {parts[i+1]}"] += c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], [-ord(ch) for ch in kv[0]]))
+        # lexicographic ASC tie-break on pair at equal count
+        best_count = best[1]
+        cands = sorted(p for p, c in pairs.items() if c == best_count)
+        pair = cands[0]
+        if best_count < 2:
+            break
+        merges.append((pair, best_count))
+        a, b = pair.split(" ")
+
+        def merge_word(syms: str) -> str:
+            parts = syms.split(" ")
+            out, i = [], 0
+            while i < len(parts):
+                if i < len(parts) - 1 and parts[i] == a and parts[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            return " ".join(out)
+
+        vocab = {merge_word(syms): c for syms, c in vocab.items()}
+    return merges
+
+
+def test_learn_bpe_matches_reference(spark):
+    from streamalert_spark.ops.bpe import learn_bpe
+    from streamalert_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    word_counts: Counter = Counter()
+    for r in docs.select("text").collect():
+        for w in r["text"].split(" "):
+            if w:
+                word_counts[w] += 1
+    expect = _reference_bpe(dict(word_counts), 8)
+    got = learn_bpe(docs, 8)
+    assert got == expect
+
+
+def test_learn_bpe_stops_when_dry(spark):
+    from streamalert_spark.ops.bpe import learn_bpe
+
+    df = spark.createDataFrame([(0, "ab cd")], "doc_id bigint, text string")
+    merges = learn_bpe(df, 10)
+    # every pair occurs once (< 2): no merges learned
+    assert merges == []
