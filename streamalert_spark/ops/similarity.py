@@ -283,3 +283,64 @@ def lsh_bucketed_pairs(
         .filter(F.col("score") >= threshold)
         .distinct()
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — the semantic-clustering
+    pass behind cluster-balanced sampling and within-cluster dedup.
+
+    Deterministic: init centroids are the k lowest-id vectors; ties in
+    the assignment argmin break to the lowest cluster index (sort_array
+    on (dist, idx) structs). Returns (id, cluster) assignments.
+
+    Scale: each iteration is ONE scan projecting k squared-L2 distances
+    (centroids inlined as literals — k x dim scalars) + ONE
+    partial-aggregated groupBy(cluster, dim) mean whose result (k x dim
+    rows) is collected to the driver: per-iteration driver traffic is
+    metadata-scale, the corpus never moves. The update uses an index
+    explode rather than elementwise array aggregation so the mean stays
+    a plain partial-aggregated AVG at any dimensionality.
+    """
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>")
+                     .alias("v"))
+    seed_rows = vecs.orderBy(id_col).limit(k).collect()
+    centroids = [list(r["v"]) for r in seed_rows]
+
+    def assign(cents: list[list[float]]) -> DataFrame:
+        dists = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("v"),
+                               F.array(*[F.lit(x) for x in c]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(cents)
+        ]
+        best = F.sort_array(F.array(*dists))[0]["i"]
+        return vecs.withColumn("cluster", best.cast("bigint"))
+
+    for _ in range(iters):
+        assigned = assign(centroids)
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty clusters keep position
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["dim"])] = r["m"]
+        for ci, dims in by_cluster.items():
+            new[ci] = [dims[d] for d in range(len(dims))]
+        centroids = new
+
+    return assign(centroids).select(id_col, "cluster")

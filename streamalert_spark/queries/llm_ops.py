@@ -639,3 +639,21 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
         text.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
     ).repartition(1).sortWithinPartitions("doc_id")
+
+
+@query("embedding_kmeans_sizes", oracle=None,
+       doc="Lloyd's k-means (k=8, 3 iterations) over the embedding table, "
+           "reporting cluster sizes — iterative (centroids re-collected "
+           "per round, metadata-scale), so no SQL oracle; assignments are "
+           "pinned against a NumPy reference in tests/test_skew.py.")
+def embedding_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.similarity import kmeans_lloyd
+    from streamalert_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        kmeans_lloyd(emb, k=8, iters=3)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .repartition(1).sortWithinPartitions("cluster")
+    )

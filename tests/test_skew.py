@@ -53,3 +53,36 @@ def test_salted_two_stage_agg_matches_plain(spark):
                                 F.sum("v").alias("total"),
                                 F.max("v").alias("mx")).collect()}
     assert got == want
+
+
+def test_kmeans_lloyd_matches_numpy_reference(spark):
+    import numpy as np
+
+    from streamalert_spark.ops.similarity import kmeans_lloyd
+    from streamalert_spark.session import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = sorted(
+        ((r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+         for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    X = np.stack([t[1] for t in rows])
+    k, iters = 8, 3
+    cents = X[:k].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)  # argmin ties -> lowest index, same rule
+        for ci in range(k):
+            if (lab == ci).any():
+                cents[ci] = X[lab == ci].mean(axis=0)
+    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    expect = dict(zip(ids.tolist(), d.argmin(axis=1).tolist()))
+
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans_lloyd(emb, k=k, iters=iters).collect()}
+    mismatch = {i for i in expect if expect[i] != got[i]}
+    # float accumulation order differs (numpy pairwise vs Spark sequential)
+    # only exactly-on-boundary points could flip; none exist in this data
+    assert not mismatch, mismatch
