@@ -344,3 +344,48 @@ def kmeans_lloyd(
         centroids = new
 
     return assign(centroids).select(id_col, "cluster")
+
+
+def cell_bucketed_pairs(
+    df: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Centroid-cell-bucketed near-dup pairs — the IVF counterpart to
+    lsh_bucketed_pairs: assign every vector to its max-cosine coarse cell
+    (deterministic lowest-id seed centroids, ties to the lowest seed id),
+    then run exact cosine only WITHIN cells. The cross join shrinks from
+    O(n^2) to O(n^2 / cells) with uniform cells; recall trades at cell
+    boundaries exactly like IVF search. Centroids inline as literals
+    (metadata-scale driver traffic); the corpus shuffles once on cell id.
+    """
+    seeds_rows = df.filter(F.col(id_col) < n_cells).select(id_col, vec_col).collect()
+    seeds = sorted((int(r[0]), [float(v) for v in r[1]]) for r in seeds_rows)
+    vn = norm(F.col(vec_col))
+    cell_structs = F.array(*[
+        F.struct(
+            (-F.round(
+                dot(F.col(vec_col), F.array(*[F.lit(v) for v in sv]))
+                / (vn * F.lit(_pynorm(sv))), 6)).alias("ns"),
+            F.lit(sid).alias("seed"),
+        )
+        for sid, sv in seeds
+    ])
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col),
+        vn.alias("vn"),
+        F.array_min(cell_structs)["seed"].alias("cell"),
+    )
+    a = assigned.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                        F.col("vn").alias("na"), "cell")
+    b = assigned.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                        F.col("vn").alias("nb"), "cell")
+    score = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .select("cell", "a", "b", score.alias("score"))
+        .filter(F.col("score") >= threshold)
+    )

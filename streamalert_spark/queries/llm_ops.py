@@ -657,3 +657,58 @@ def embedding_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
         .repartition(1).sortWithinPartitions("cluster")
     )
+
+
+_CELL_NORM = ("sqrt(list_sum(list_transform(embedding, "
+              "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))")
+
+_CELL_PAIRS_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS sid, embedding AS sv, {_CELL_NORM} AS sn
+  FROM embeddings WHERE vec_id < 8
+),
+vec AS (
+  SELECT vec_id, embedding, {_CELL_NORM} AS vn FROM embeddings
+),
+scored AS (
+  SELECT v.vec_id, v.embedding, v.vn, s.sid,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY -ROUND(list_sum(list_transform(range(1, 65),
+                      i -> CAST(v.embedding[i] AS DOUBLE)
+                           * CAST(s.sv[i] AS DOUBLE))) / (v.vn * s.sn), 6),
+                    s.sid
+         ) AS rn
+  FROM vec v CROSS JOIN seeds s
+),
+assigned AS (
+  SELECT CAST(sid AS BIGINT) AS cell, vec_id, embedding, vn
+  FROM scored WHERE rn = 1
+)
+SELECT x.cell, x.vec_id AS a, y.vec_id AS b,
+       ROUND(list_sum(list_transform(range(1, 65),
+             i -> CAST(x.embedding[i] AS DOUBLE)
+                  * CAST(y.embedding[i] AS DOUBLE))) / (x.vn * y.vn), 6)
+         AS score
+FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id
+WHERE ROUND(list_sum(list_transform(range(1, 65),
+            i -> CAST(x.embedding[i] AS DOUBLE)
+                 * CAST(y.embedding[i] AS DOUBLE))) / (x.vn * y.vn), 6) >= 0.4
+ORDER BY a, b
+"""
+
+
+@query("semantic_cell_neardup", oracle=_CELL_PAIRS_ORACLE,
+       doc="IVF-style semantic near-dup: coarse-cell assignment (max-"
+           "cosine seed centroid, lowest-id tie-break) then exact cosine "
+           "within cells only — O(n^2/cells) pairs, one cell-keyed "
+           "shuffle, centroids inlined as literals.")
+def semantic_cell_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.cell_bucketed_pairs(emb, n_cells=8, threshold=0.4)
+        .withColumn("cell", F.col("cell").cast("bigint"))
+        .repartition(1).sortWithinPartitions("a", "b")
+    )
