@@ -631,3 +631,60 @@ def test_streaming_session_window(spark, tmp_path):
     got = {(r["user_id"], r["n_events"]) for r in out}
     assert (1, 2) in got   # user 1's two events merged into one session
     assert (2, 1) in got
+
+
+def test_first_seen_transform_with_state(spark, tmp_path):
+    """First-seen detector: a key re-arriving in a later micro-batch
+    stays suppressed (applyInPandasWithState boolean state; run on the
+    RocksDB provider like the stateful merge to mirror production)."""
+    from streamalert_spark.streaming.first_seen import first_seen
+    ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                        "RocksDBStateStoreProvider")
+
+    src_dir = tmp_path / "fs_in"
+    src_dir.mkdir()
+    rows1 = [
+        {"user": "alice", "device": "d1", "ts": "2024-01-01T00:00:05.000Z"},
+        {"user": "alice", "device": "d1", "ts": "2024-01-01T00:00:01.000Z"},
+        {"user": "bob", "device": "d2", "ts": "2024-01-01T00:01:00.000Z"},
+    ]
+    with open(src_dir / "f1.jsonl", "w") as fh:
+        for r in rows1:
+            fh.write(json.dumps(r) + "\n")
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        schema = "user string, device string, ts timestamp"
+        src = spark.readStream.schema(schema).json(str(src_dir))
+        out = first_seen(src, ["user", "device"], ts_col="ts")
+        q = (out.writeStream.format("memory").queryName("fs_out")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt_fs")).start())
+        try:
+            q.processAllAvailable()
+            rows2 = [
+                {"user": "alice", "device": "d1",
+                 "ts": "2024-01-01T00:05:00.000Z"},   # suppressed
+                {"user": "alice", "device": "d3",
+                 "ts": "2024-01-01T00:06:00.000Z"},   # new device -> emit
+            ]
+            with open(src_dir / "f2.jsonl", "w") as fh:
+                for r in rows2:
+                    fh.write(json.dumps(r) + "\n")
+            q.processAllAvailable()
+            got = spark.sql(
+                "SELECT user, device, CAST(ts AS STRING) AS ts FROM fs_out"
+            ).collect()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    seen = {(r["user"], r["device"]): r["ts"] for r in got}
+    assert set(seen) == {("alice", "d1"), ("bob", "d2"), ("alice", "d3")}
+    # earliest row of the first batch won, not the first-in-file one
+    assert seen[("alice", "d1")].startswith("2024-01-01 00:00:01")
