@@ -488,3 +488,69 @@ def moving_day_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------- as-of join
+
+_ASOF_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+l AS (SELECT user_id, event_id, us FROM e WHERE event_type <> 'purchase'),
+r AS (SELECT user_id, event_id, us, value FROM e WHERE event_type = 'purchase'),
+u AS (
+  SELECT user_id, event_id, us, 0 AS is_r,
+         CAST(NULL AS DOUBLE) AS rv, CAST(NULL AS BIGINT) AS rid
+  FROM l
+  UNION ALL
+  SELECT user_id, event_id, us, 1, value, event_id FROM r
+),
+attached AS (
+  SELECT user_id, event_id, us, is_r,
+         last_value(rv IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY us, is_r DESC, CASE WHEN is_r = 1 THEN rid END
+           ROWS UNBOUNDED PRECEDING) AS asof_value,
+         last_value(CASE WHEN is_r = 1 THEN us END IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY us, is_r DESC, CASE WHEN is_r = 1 THEN rid END
+           ROWS UNBOUNDED PRECEDING) AS asof_us
+  FROM u
+)
+SELECT user_id, event_id, CAST(us AS BIGINT) AS us,
+       asof_value, CAST(asof_us AS BIGINT) AS asof_us
+FROM attached WHERE is_r = 0
+ORDER BY user_id, event_id
+"""
+
+
+@query("asof_last_purchase", oracle=_ASOF_ORACLE,
+       doc="Backward as-of join: every non-purchase event gets the most "
+           "recent purchase value/time at-or-before it per user — union + "
+           "keyed window (one hashpartition shuffle, per-key local sort, "
+           "no custom code path).")
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.asof import asof_join_backward
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', ts)").alias("us"))
+    left = ev.filter(F.col("event_type") != "purchase") \
+        .select("user_id", "event_id", "us")
+    right = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "event_id", "us", "value",
+                F.col("us").alias("r_us"))
+    out = asof_join_backward(left, right, key="user_id", ts="us",
+                             order_col="event_id",
+                             value_cols=["value", "r_us"])
+    return (
+        out.select(
+            "user_id", "event_id", "us",
+            F.col("asof_value").alias("asof_value"),
+            F.col("asof_r_us").cast("bigint").alias("asof_us"),
+        )
+        .repartition(1).sortWithinPartitions("user_id", "event_id")
+    )

@@ -164,3 +164,65 @@ def test_pack_sequences_conserves_tokens_and_docs(spark):
     for ids in by_shard.values():
         ids.sort()
         assert ids == list(range(len(ids)))
+
+
+def test_asof_join_tie_and_ordering(spark):
+    from streamalert_spark.ops.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [("k", 1, 10), ("k", 2, 20), ("k", 3, 30)],
+        "key string, id bigint, ts bigint")
+    right = spark.createDataFrame(
+        [("k", 100, 10, 1.0), ("k", 101, 10, 2.0), ("k", 102, 25, 3.0)],
+        "key string, rid bigint, ts bigint, v double")
+    out = {r["id"]: r["asof_v"] for r in asof_join_backward(
+        left, right, key="key", ts="ts", order_col="rid",
+        value_cols=["v"]).collect()}
+    assert out[1] == 2.0   # equal-ts right rows visible; highest rid wins
+    assert out[2] == 2.0   # nothing newer at-or-before 20
+    assert out[3] == 3.0
+
+
+def test_asof_join_matches_duckdb_native_asof(spark):
+    """Cross-validate the union+window composition against DuckDB's
+    native ASOF JOIN on the purchase-attachment query at sf0.001."""
+    import duckdb
+
+    from streamalert_spark.queries import load_all
+
+    s = {(r["user_id"], r["event_id"]): (r["asof_value"], r["asof_us"])
+         for r in load_all()["asof_last_purchase"].fn(
+             spark, "/root/testdata/sf0.001").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/events.parquet')")
+    d = con.execute("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, value,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events
+        ),
+        l AS (SELECT user_id, event_id, us FROM e
+              WHERE event_type <> 'purchase'),
+        r AS (SELECT user_id, us, value FROM e
+              WHERE event_type = 'purchase')
+        SELECT l.user_id, l.event_id, r.value, CAST(r.us AS BIGINT)
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.us >= r.us
+    """).fetchall()
+    mismatches = []
+    for user_id, event_id, v, us in d:
+        got = s[(user_id, event_id)]
+        if got != (v, us):
+            mismatches.append((user_id, event_id, got, (v, us)))
+    # native ASOF picks an arbitrary row among equal-ts matches; the
+    # synthetic data has no equal-ts purchases per user, so exact equality
+    assert not mismatches, mismatches[:5]
+
+
+def test_asof_join_no_global_sort(spark):
+    from streamalert_spark.queries import load_all
+
+    df = load_all()["asof_last_purchase"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan
