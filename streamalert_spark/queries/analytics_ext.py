@@ -554,3 +554,64 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------- range join
+
+# 20 deterministic maintenance windows: day-long, every 2 days from
+# 2024-01-01 (events span ~5 weeks) — literals, identical in the oracle.
+_WINDOW_BASE_US = 1704067200000000  # 2024-01-01T00:00:00Z
+_WINDOW_STEP_US = 2 * 86400000000
+_WINDOW_LEN_US = 86400000000
+
+_RANGE_JOIN_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+w AS (
+  SELECT CAST(i AS BIGINT) AS window_id,
+         {_WINDOW_BASE_US} + i * {_WINDOW_STEP_US} AS lo,
+         {_WINDOW_BASE_US} + i * {_WINDOW_STEP_US} + {_WINDOW_LEN_US} AS hi
+  FROM range(0, 20) AS t(i)
+)
+SELECT w.window_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM e JOIN w ON e.us BETWEEN w.lo AND w.hi
+GROUP BY w.window_id
+ORDER BY w.window_id
+"""
+
+
+@query("range_join_windows", oracle=_RANGE_JOIN_ORACLE,
+       doc="Point-in-interval range join, bucketized: intervals explode "
+           "into day-wide buckets and broadcast, points equi-join on their "
+           "bucket — a hash join instead of the nested-loop plan a raw "
+           "BETWEEN join produces; exact BETWEEN applied post-join.")
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.rangejoin import bucketed_range_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "value",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', ts)").alias("us"))
+    windows = spark.range(20).select(
+        F.col("id").cast("bigint").alias("window_id"),
+        (F.lit(_WINDOW_BASE_US) + F.col("id") * _WINDOW_STEP_US).alias("lo"),
+        (F.lit(_WINDOW_BASE_US) + F.col("id") * _WINDOW_STEP_US
+         + _WINDOW_LEN_US).alias("hi"),
+    )
+    joined = bucketed_range_join(
+        ev, windows, point_col="us", lo_col="lo", hi_col="hi",
+        bucket_width=_WINDOW_LEN_US)
+    return (
+        joined.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             .alias("sum_value"),
+        )
+        .repartition(1).sortWithinPartitions("window_id")
+    )

@@ -226,3 +226,19 @@ def test_asof_join_no_global_sort(spark):
     df = load_all()["asof_last_purchase"].fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_bucketed_range_join_edges(spark):
+    from streamalert_spark.ops.rangejoin import bucketed_range_join
+
+    points = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 20), (4, 21), (5, 35)],
+        "pid bigint, x bigint")
+    intervals = spark.createDataFrame(
+        [(100, 10, 20), (101, 18, 28)], "iid bigint, lo bigint, hi bigint")
+    out = sorted(
+        (r["pid"], r["iid"])
+        for r in bucketed_range_join(points, intervals, "x", "lo", "hi",
+                                     bucket_width=11).collect())
+    # inclusive bounds both ends; overlapping intervals both match
+    assert out == [(2, 100), (3, 100), (3, 101), (4, 101)]

@@ -188,3 +188,13 @@ def test_pii_query_single_scan_no_shuffle_before_sort(spark):
 
     plan = _plan(load_all()["pii_detect_redact"].fn(spark, SF_DIR))
     assert "hashpartitioning" not in plan.lower(), plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The bucketized range join must plan as a broadcast HASH join —
+    a BroadcastNestedLoopJoin means the bucketing didn't take."""
+    from streamalert_spark.queries import load_all
+
+    plan = _plan(load_all()["range_join_windows"].fn(spark, SF_DIR))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
