@@ -202,3 +202,40 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style multi-granularity time rollup (GROUPING SETS)
+# ---------------------------------------------------------------------------
+
+_TIME_ROLLUP_SQL = """
+SELECT
+  CASE WHEN h IS NOT NULL THEN 'hour'
+       WHEN d IS NOT NULL THEN 'day'
+       ELSE 'week' END AS grain,
+  COALESCE(h, d, w) AS bucket_start,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT value,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         date_trunc('week', CAST(ts AS TIMESTAMP)) AS w
+  FROM events
+)
+GROUP BY GROUPING SETS ((h), (d), (w))
+ORDER BY grain, bucket_start
+"""
+
+
+@query("time_rollup_multi", oracle=_TIME_ROLLUP_SQL,
+       doc="Hypertable-style continuous-aggregate shape: hour/day/week "
+           "rollups in ONE scan via GROUPING SETS (identical SQL text "
+           "runs on both engines) — the Expand operator replicates rows "
+           "3x into one partial-aggregated exchange instead of three "
+           "scans.")
+def time_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.queries.sql_surface import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TIME_ROLLUP_SQL)
