@@ -219,3 +219,103 @@ def chunk_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.chunk_context_windows(_docs(spark, sf_dir), window=64, stride=48)
         .repartition(1).sortWithinPartitions("doc_id", "chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (compose the operators)
+# ---------------------------------------------------------------------------
+
+_PIPELINE_ORACLE = r"""
+WITH cleaned AS (
+  SELECT doc_id, source, lang,
+         trim(regexp_replace(
+             regexp_replace(nfc_normalize(text),
+                            '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+             '\s+', ' ', 'g')) AS clean
+  FROM documents
+),
+redacted AS (
+  SELECT doc_id, source, lang,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(clean,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+          '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b|\b\d{16}\b', '<CC>', 'g'),
+        '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS rtext
+  FROM cleaned
+),
+gated AS (
+  SELECT doc_id, source, lang, rtext,
+         len(string_split(rtext, ' ')) AS n_tokens,
+         CAST(len(list_filter(string_split(rtext, ' '),
+              w -> list_contains(['a','the','and','of','to','in','is','it'], w)))
+              AS DOUBLE) / len(string_split(rtext, ' ')) AS stop_ratio,
+         CASE WHEN len(string_split(rtext, ' ')) >= 2 THEN
+           1.0 - CAST(len(list_distinct(list_transform(
+                   range(1, len(string_split(rtext, ' '))),
+                   i -> string_split(rtext, ' ')[i] || ' '
+                        || string_split(rtext, ' ')[i + 1]))) AS DOUBLE)
+                 / (len(string_split(rtext, ' ')) - 1)
+         ELSE 0.0 END AS dup_bigram_frac
+  FROM redacted
+),
+kept AS (
+  SELECT * FROM gated
+  WHERE n_tokens >= 30 AND stop_ratio >= 0.01 AND dup_bigram_frac <= 0.2
+),
+canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(rtext)
+)
+SELECT k.source, k.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(k.n_tokens) AS BIGINT) AS total_tokens
+FROM kept k JOIN canon c ON k.doc_id = c.doc_id
+GROUP BY k.source, k.lang
+ORDER BY k.source, k.lang
+"""
+
+
+@query("curation_pipeline_e2e", oracle=_PIPELINE_ORACLE,
+       doc="Capstone composition: clean_text -> PII redact -> quality "
+           "gates (token count, stopword ratio, dup-bigram repetition) -> "
+           "exact dedup (min-id survivor) -> per-(source, lang) corpus "
+           "stats. One scan through the projection operators, one md5 "
+           "dedup shuffle, one aggregate — the full curation pass a "
+           "training run would consume.")
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops import pii
+
+    docs = _docs(spark, sf_dir)
+    rtext = pii.redact(text.clean_text(F.col("text")))
+    toks = text.tokens(F.col("rtext"))
+    n_tokens = F.size(toks)
+    stop_ratio = (F.size(F.filter(toks, lambda w: w.isin(text.EN_STOPWORDS)))
+                  .cast("double") / n_tokens)
+    # denominator (n_tokens - 1) == bigram count; clamped for 1-token docs
+    dup_frac = (
+        F.lit(1.0)
+        - F.size(F.array_distinct(text.ngram_array(toks, 2))).cast("double")
+        / F.greatest(n_tokens - 1, F.lit(1))
+    )
+    gated = (
+        docs.select("doc_id", "source", "lang", rtext.alias("rtext"))
+        .withColumn("n_tokens", n_tokens.cast("bigint"))
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("dup_bigram_frac",
+                    F.when(F.col("n_tokens") >= 2, dup_frac).otherwise(0.0))
+        .filter((F.col("n_tokens") >= 30) & (F.col("stop_ratio") >= 0.01)
+                & (F.col("dup_bigram_frac") <= 0.2))
+    )
+    canon = (gated.groupBy(F.md5("rtext").alias("h"))
+             .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    return (
+        gated.join(canon, "doc_id", "left_semi")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+        .repartition(1).sortWithinPartitions("source", "lang")
+    )
