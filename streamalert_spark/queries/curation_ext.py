@@ -291,6 +291,14 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     rtext = pii.redact(text.clean_text(F.col("text")))
+    # Generate barrier (same trick as the classifier): projection collapse
+    # would otherwise re-inline the NFC UDF + 6-regex redact chain into
+    # every downstream expression that references rtext — measured 20x
+    # slower at sf0.1 without it
+    docs = docs.select(
+        "doc_id", "source", "lang",
+        F.explode(F.array(rtext)).alias("rtext"),
+    )
     toks = text.tokens(F.col("rtext"))
     n_tokens = F.size(toks)
     stop_ratio = (F.size(F.filter(toks, lambda w: w.isin(text.EN_STOPWORDS)))
@@ -302,7 +310,7 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.greatest(n_tokens - 1, F.lit(1))
     )
     gated = (
-        docs.select("doc_id", "source", "lang", rtext.alias("rtext"))
+        docs
         .withColumn("n_tokens", n_tokens.cast("bigint"))
         .withColumn("stop_ratio", stop_ratio)
         .withColumn("dup_bigram_frac",
@@ -310,10 +318,15 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_tokens") >= 30) & (F.col("stop_ratio") >= 0.01)
                 & (F.col("dup_bigram_frac") <= 0.2))
     )
-    canon = (gated.groupBy(F.md5("rtext").alias("h"))
-             .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+    # survivor election via a hash-partitioned window rather than a
+    # min-per-hash semi join: the join form re-evaluates the whole
+    # clean+redact subtree on BOTH branches (plan-asserted single chain)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.md5("rtext"))
     return (
-        gated.join(canon, "doc_id", "left_semi")
+        gated.withColumn("_min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_min_id"))
         .groupBy("source", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_tokens").cast("bigint").alias("total_tokens"))

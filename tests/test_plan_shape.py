@@ -198,3 +198,14 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     plan = _plan(load_all()["range_join_windows"].fn(spark, SF_DIR))
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_curation_pipeline_single_redact_chain(spark):
+    """The e2e pipeline must evaluate the clean+redact chain ONCE behind
+    its Generate barrier — projection collapse re-inlining it into every
+    downstream expression was a measured 18x regression at sf0.1."""
+    from streamalert_spark.queries import load_all
+
+    plan = load_all()["curation_pipeline_e2e"].fn(spark, SF_DIR) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("<EMAIL>") == 1, plan.count("<EMAIL>")
