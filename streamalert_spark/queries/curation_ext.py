@@ -332,3 +332,75 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_tokens").cast("bigint").alias("total_tokens"))
         .repartition(1).sortWithinPartitions("source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-smoothed mixture sampling
+# ---------------------------------------------------------------------------
+
+_TEMPERATURE_ORACLE = """
+WITH counts AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+  FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source, toks,
+         sqrt(CAST(toks AS DOUBLE) / (SELECT SUM(toks) FROM counts))
+         / (SELECT MAX(sqrt(CAST(toks AS DOUBLE)
+                            / (SELECT SUM(toks) FROM counts))) FROM counts)
+           AS rate
+  FROM counts
+),
+thresholds AS (
+  SELECT source, toks, rate,
+         lpad(lower(hex(CAST(least(floor(rate * 4294967296.0),
+                                   4294967295.0) AS BIGINT))), 8, '0')
+           AS thr
+  FROM rates
+)
+SELECT t.source, t.toks AS stratum_tokens,
+       ROUND(t.rate, 6) AS keep_rate,
+       COUNT(*) FILTER (
+         substr(md5(t.source || ':' || d.doc_id), 1, 8) < t.thr
+       ) AS n_kept,
+       COUNT(*) AS n_docs
+FROM documents d JOIN thresholds t USING (source)
+GROUP BY t.source, t.toks, t.rate
+ORDER BY t.source
+"""
+
+
+@query("temperature_mixture_sample", oracle=_TEMPERATURE_ORACLE,
+       doc="Temperature-smoothed mixture sampling (tau=0.5): per-source "
+           "keep rate proportional to sqrt(token share), normalized so the "
+           "largest stratum keeps everything; the keep decision is the "
+           "deterministic md5 hash-gate. Every arithmetic step (divide, "
+           "sqrt, floor) is correctly-rounded IEEE => thresholds are "
+           "bit-identical across engines. Zero driver collects: rates ride "
+           "a broadcast join.")
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(
+        F.sum(F.size(text.tokens(F.col("text")))).cast("bigint").alias("toks"))
+    tot = counts.agg(F.sum("toks").alias("total"))
+    shares = counts.crossJoin(F.broadcast(tot)) \
+        .withColumn("s", F.sqrt(F.col("toks") / F.col("total")))
+    mx = shares.agg(F.max("s").alias("smax"))
+    rates = shares.crossJoin(F.broadcast(mx)) \
+        .withColumn("rate", F.col("s") / F.col("smax")) \
+        .withColumn("thr", F.lpad(F.lower(F.hex(
+            F.least(F.floor(F.col("rate") * 4294967296.0),
+                    F.lit(4294967295.0)).cast("bigint"))), 8, "0")) \
+        .select("source", "toks", "rate", "thr")
+    key = F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source", F.col("toks").alias("stratum_tokens"),
+                 F.round("rate", 6).alias("keep_rate"))
+        .agg(
+            F.sum(F.when(F.substring(F.md5(key), 1, 8) < F.col("thr"), 1)
+                  .otherwise(0)).cast("bigint").alias("n_kept"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .repartition(1).sortWithinPartitions("source")
+    )
