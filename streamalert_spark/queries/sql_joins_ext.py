@@ -239,3 +239,70 @@ def time_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_TIME_ROLLUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Set operations + ranking-function surface
+# ---------------------------------------------------------------------------
+
+_SETOPS_SQL = """
+SELECT 'active_no_purchase' AS cohort, COUNT(*) AS n_users FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'view'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+UNION ALL
+SELECT 'signup_or_error', COUNT(*) FROM (
+  SELECT user_id FROM events WHERE event_type = 'signup'
+  UNION
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+ORDER BY cohort
+"""
+
+
+@query("set_operations_cohorts", oracle=_SETOPS_SQL,
+       doc="INTERSECT / EXCEPT / UNION cohort algebra (identical SQL text "
+           "both engines) — Catalyst plans the set ops as semi/anti hash "
+           "joins over pre-aggregated distinct keys.")
+def set_operations_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.queries.sql_surface import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SETOPS_SQL)
+
+
+_RANKING_SQL = """
+SELECT user_id, total_value,
+       CAST(RANK() OVER (ORDER BY total_value DESC, user_id) AS BIGINT)
+         AS rnk,
+       CAST(DENSE_RANK() OVER (ORDER BY total_value DESC, user_id)
+            AS BIGINT) AS drnk,
+       CAST(NTILE(4) OVER (ORDER BY total_value DESC, user_id) AS BIGINT)
+         AS quartile,
+       ROUND(PERCENT_RANK() OVER (ORDER BY total_value DESC, user_id), 6)
+         AS pct_rank,
+       ROUND(CUME_DIST() OVER (ORDER BY total_value DESC, user_id), 6)
+         AS cume
+FROM (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY user_id
+)
+ORDER BY rnk
+"""
+
+
+@query("ranking_functions_surface", oracle=_RANKING_SQL,
+       doc="Window ranking surface: RANK / DENSE_RANK / NTILE / "
+           "PERCENT_RANK / CUME_DIST over per-user spend (identical SQL "
+           "text both engines). The global window runs over the AGGREGATED "
+           "per-user rows (users-scale, one partition is fine), never the "
+           "raw event table.")
+def ranking_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.queries.sql_surface import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RANKING_SQL)
