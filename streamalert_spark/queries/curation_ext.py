@@ -404,3 +404,75 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank over a deterministic doc graph
+# ---------------------------------------------------------------------------
+
+_PAGERANK_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT cnt FROM n) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 3 + 7) % (SELECT cnt FROM n) FROM documents
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+m0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS mass FROM nodes),
+c1 AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(floor(m.mass * 85 / (100 * d.deg)) AS BIGINT))
+              AS BIGINT) AS in_mass
+  FROM edges e JOIN m0 m ON e.src = m.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+m1 AS (SELECT n.node,
+              CAST(150000000000 + COALESCE(c.in_mass, 0) AS BIGINT) AS mass
+       FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+c2 AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(floor(m.mass * 85 / (100 * d.deg)) AS BIGINT))
+              AS BIGINT) AS in_mass
+  FROM edges e JOIN m1 m ON e.src = m.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+m2 AS (SELECT n.node,
+              CAST(150000000000 + COALESCE(c.in_mass, 0) AS BIGINT) AS mass
+       FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+c3 AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(floor(m.mass * 85 / (100 * d.deg)) AS BIGINT))
+              AS BIGINT) AS in_mass
+  FROM edges e JOIN m2 m ON e.src = m.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+m3 AS (SELECT n.node,
+              CAST(150000000000 + COALESCE(c.in_mass, 0) AS BIGINT) AS mass
+       FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+SELECT node, mass FROM m3 ORDER BY mass DESC, node LIMIT 25
+"""
+
+
+@query("pagerank_top_nodes", oracle=_PAGERANK_ORACLE,
+       doc="Integer-arithmetic PageRank (3 iterations, floor damping — "
+           "exact, order-independent integer sums both engines) over a "
+           "deterministic 2-out-regular doc graph; top-25 by mass. The "
+           "oracle unrolls the identical three join+aggregate steps.")
+def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.pagerank import integer_pagerank
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()  # driver scalar: node-space size for the modulus
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 2 + 1) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 3 + 7) % n).alias("dst"))
+    edges = e1.unionByName(e2)
+    return (
+        integer_pagerank(edges, iters=3)
+        .orderBy(F.col("mass").desc(), "node")
+        .limit(25)
+    )

@@ -136,3 +136,28 @@ def test_learn_bpe_stops_when_dry(spark):
     merges = learn_bpe(df, 10)
     # every pair occurs once (< 2): no merges learned
     assert merges == []
+
+
+def test_integer_pagerank_matches_python_reference(spark):
+    from streamalert_spark.ops.pagerank import START_MASS, integer_pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 1), (3, 0)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["mass"]
+           for r in integer_pagerank(df, iters=3).collect()}
+
+    # pure-python mirror
+    nodes = sorted({n for e in edges for n in e})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    base = START_MASS * 15 // 100
+    mass = {n: START_MASS for n in nodes}
+    for _ in range(3):
+        incoming = {n: 0 for n in nodes}
+        for s, d in edges:
+            incoming[d] += mass[s] * 85 // (100 * deg[s])
+        mass = {n: base + incoming[n] for n in nodes}
+    assert got == mass
+    # node 3 is a source-only node: teleport term only
+    assert got[3] == base
