@@ -242,3 +242,41 @@ def test_bucketed_range_join_edges(spark):
                                      bucket_width=11).collect())
     # inclusive bounds both ends; overlapping intervals both match
     assert out == [(2, 100), (3, 100), (3, 101), (4, 101)]
+
+
+def test_redaction_is_idempotent_on_generated_corpus(spark):
+    """redact(redact(x)) == redact(x): placeholder tokens contain no
+    digits/@, so a second pass must be a no-op — checked over a
+    deterministic 200-case mixed corpus in one job."""
+    from streamalert_spark.ops.pii import redact
+
+    rows = []
+    for i in range(200):
+        parts = [
+            f"word{i}",
+            f"user{i}@ex{i % 7}.org" if i % 3 == 0 else "",
+            f"10.{i % 256}.{(i * 3) % 256}.{i % 250}" if i % 4 == 0 else "",
+            f"{100 + i % 900}-{10 + i % 90}-{1000 + i % 9000}" if i % 5 == 0 else "",
+            "4111 1111 1111 1111" if i % 7 == 0 else "",
+            f"555-{100 + i % 900}-{1000 + i % 9000}" if i % 2 == 0 else "",
+        ]
+        rows.append((i, " ".join(p for p in parts if p)))
+    df = spark.createDataFrame(rows, "i bigint, text string")
+    out = df.select(
+        redact(F.col("text")).alias("once"),
+    ).select("once", redact(F.col("once")).alias("twice")).collect()
+    for r in out:
+        assert r["once"] == r["twice"], r["once"]
+
+
+def test_ngram_array_counts(spark):
+    from streamalert_spark.ops.text import ngram_array, tokens
+
+    rows = [(i, " ".join(["w"] * i)) for i in range(1, 12)]
+    df = spark.createDataFrame(rows, "n bigint, text string")
+    for k in (2, 3, 5):
+        out = df.select(
+            "n", F.size(ngram_array(tokens(F.col("text")), k)).alias("g")
+        ).collect()
+        for r in out:
+            assert r["g"] == max(0, r["n"] - k + 1), (k, r["n"], r["g"])
