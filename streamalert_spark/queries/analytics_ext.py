@@ -615,3 +615,50 @@ def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("window_id")
     )
+
+
+# ---------------------------------------------------------------- SCD type-2 intervals
+
+_SCD2_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events WHERE event_type = 'signup'
+)
+SELECT user_id, event_id, value,
+       CAST(us AS BIGINT) AS effective_from_us,
+       CAST(LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+            AS BIGINT) AS effective_to_us,
+       CAST(CASE WHEN LEAD(us) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) IS NULL
+            THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM e
+ORDER BY user_id, effective_from_us, event_id
+"""
+
+
+@query("scd2_intervals", oracle=_SCD2_ORACLE,
+       doc="SCD type-2 interval build: each change-log row becomes a "
+           "validity interval [ts, next ts) via LEAD, open-ended + "
+           "is_current on the last — one shuffle keyed user_id; the "
+           "as-of join reads these intervals back.")
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events") \
+        .filter(F.col("event_type") == "signup") \
+        .select(
+            "user_id", "event_id", "value",
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+                   "00:00:00', ts)").alias("us"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    nxt = F.lead("us").over(w)
+    return (
+        ev.select(
+            "user_id", "event_id", "value",
+            F.col("us").alias("effective_from_us"),
+            nxt.alias("effective_to_us"),
+            F.when(nxt.isNull(), 1).otherwise(0).cast("bigint")
+             .alias("is_current"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("user_id", "effective_from_us", "event_id")
+    )
