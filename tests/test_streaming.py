@@ -688,3 +688,48 @@ def test_first_seen_transform_with_state(spark, tmp_path):
     assert set(seen) == {("alice", "d1"), ("bob", "d2"), ("alice", "d3")}
     # earliest row of the first batch won, not the first-in-file one
     assert seen[("alice", "d1")].startswith("2024-01-01 00:00:01")
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """Stream-stream inner join with watermarks + event-time range: only
+    context rows within [alert_ts, alert_ts + 10 min] attach, including
+    across micro-batches."""
+    from streamalert_spark.streaming.join import stream_stream_join
+
+    a_dir = tmp_path / "ssj_alerts"
+    c_dir = tmp_path / "ssj_ctx"
+    a_dir.mkdir(); c_dir.mkdir()
+    with open(a_dir / "a1.jsonl", "w") as fh:
+        fh.write(json.dumps({"user": "u1", "alert_id": 1,
+                             "a_ts": "2024-01-01T00:00:00.000Z"}) + "\n")
+    with open(c_dir / "c1.jsonl", "w") as fh:
+        for ts, cid in (("2024-01-01T00:05:00.000Z", 10),   # in range
+                        ("2024-01-01T00:20:00.000Z", 11)):  # out of range
+            fh.write(json.dumps({"user": "u1", "ctx_id": cid,
+                                 "c_ts": ts}) + "\n")
+
+    alerts = spark.readStream.schema(
+        "user string, alert_id bigint, a_ts timestamp").json(str(a_dir))
+    ctx = spark.readStream.schema(
+        "user string, ctx_id bigint, c_ts timestamp").json(str(c_dir))
+    joined = stream_stream_join(
+        alerts, ctx, on=alerts["user"] == ctx["user"],
+        left_ts="a_ts", right_ts="c_ts",
+        left_watermark="30 minutes", right_watermark="30 minutes",
+        range_after="10 minutes",
+    ).select("alert_id", "ctx_id")
+    q = (joined.writeStream.format("memory").queryName("ssj_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ssj")).start())
+    try:
+        q.processAllAvailable()
+        # second micro-batch: one more in-range context row
+        with open(c_dir / "c2.jsonl", "w") as fh:
+            fh.write(json.dumps({"user": "u1", "ctx_id": 12,
+                                 "c_ts": "2024-01-01T00:09:00.000Z"}) + "\n")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ssj_out").collect()
+    finally:
+        q.stop()
+    got = sorted((r["alert_id"], r["ctx_id"]) for r in rows)
+    assert got == [(1, 10), (1, 12)]
