@@ -215,3 +215,47 @@ def clean_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# UDTF extension surface
+# ---------------------------------------------------------------------------
+
+_UDTF_ORACLE = """
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE doc_id < 50
+),
+indexed AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, toks[i] AS token,
+         len(toks[i]) AS ln
+  FROM toked, UNNEST(range(1, len(toks) + 1)) AS t(i)
+)
+SELECT doc_id, idx, token,
+       CAST(COALESCE(SUM(ln + 1) OVER (
+            PARTITION BY doc_id ORDER BY idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS start
+FROM indexed
+ORDER BY doc_id, idx
+"""
+
+
+@query("udtf_tokenize_offsets", oracle=_UDTF_ORACLE,
+       doc="Python UDTF extension point: LATERAL tokenize_offsets(text) "
+           "yields (idx, token, char offset) per token (docs 0-49). UDTFs "
+           "are the documented slow path — this query exists to exercise "
+           "the registration + LATERAL plumbing, not the tokenizer (whose "
+           "native twin is the token_counts projection).")
+def udtf_tokenize_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.udtfs import register_udtfs
+    from streamalert_spark.queries.sql_surface import register_views
+
+    register_udtfs(spark)
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT d.doc_id, f.idx, f.token, f.start
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id < 50) d,
+             LATERAL tokenize_offsets(d.text) f
+        ORDER BY d.doc_id, f.idx
+    """).repartition(1).sortWithinPartitions("doc_id", "idx")
