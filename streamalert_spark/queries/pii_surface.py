@@ -259,3 +259,40 @@ def udtf_tokenize_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL tokenize_offsets(d.text) f
         ORDER BY d.doc_id, f.idx
     """).repartition(1).sortWithinPartitions("doc_id", "idx")
+
+
+# ---------------------------------------------------------------------------
+# UDAF extension surface
+# ---------------------------------------------------------------------------
+
+_UDAF_ORACLE = """
+SELECT event_type,
+       CAST(list_sort(list(CAST(value * 100 AS BIGINT)))
+            [CAST(floor((COUNT(*) - 1) / 2) AS INT) + 1] AS BIGINT)
+         AS median_cents,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("udaf_lower_median", oracle=_UDAF_ORACLE,
+       doc="Python UDAF extension point: Arrow grouped-agg pandas UDF "
+           "computing the integer lower median of value-cents per "
+           "event_type (order-statistic semantics — integer-exact across "
+           "engines where float UDAFs are not). Documented slow path: "
+           "each group's column materializes per task.")
+def udaf_lower_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.udafs import group_count_agg, lower_median_agg
+    from streamalert_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    return (
+        ev.groupBy("event_type")
+        .agg(lower_median_agg(F.col("cents")).alias("median_cents"),
+             group_count_agg(F.col("cents")).alias("n"))
+        .repartition(1).sortWithinPartitions("event_type")
+    )
