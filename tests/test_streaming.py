@@ -733,3 +733,28 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
         q.stop()
     got = sorted((r["alert_id"], r["ctx_id"]) for r in rows)
     assert got == [(1, 10), (1, 12)]
+
+
+def test_available_now_trigger_drains_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow: the batch-backfill mode — process everything
+    currently in the source, then terminate on its own (the way a
+    historical catch-up run drains a backlog through the SAME streaming
+    query, checkpoint-compatible with the live run)."""
+    src_dir = tmp_path / "an_in"
+    src_dir.mkdir()
+    with open(src_dir / "a.jsonl", "w") as fh:
+        for i in range(5):
+            fh.write(json.dumps({"k": f"k{i}", "v": i}) + "\n")
+    src = spark.readStream.schema("k string, v bigint").json(str(src_dir))
+    q = (
+        src.groupBy("k").count()
+        .writeStream.format("memory").queryName("an_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_an"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive  # drained and self-terminated
+    rows = spark.sql("SELECT * FROM an_out").collect()
+    assert len(rows) == 5 and all(r["count"] == 1 for r in rows)
