@@ -13,6 +13,12 @@ tolerance maps to a post-filter on the attached timestamp.
 Ties: a right row at exactly left.ts IS visible to that left row (<=
 semantics, matching DuckDB/kdb ASOF); multiple right rows at the same
 (key, ts) resolve to the one with the highest order_col.
+
+Atomicity: ALL value columns are attached from the SAME right row — the
+right payload travels as a single struct through one last(ignorenulls),
+so a right row with a NULL in one value column cannot mix with an older
+row's value for that column (matching native ASOF JOIN semantics, where
+a NULL field in the matched row stays NULL).
 """
 
 from __future__ import annotations
@@ -34,11 +40,12 @@ def asof_join_backward(
     ties among right rows (highest wins) and must order left rows
     uniquely within a key."""
     l_tag = left.withColumn("_r", F.lit(0))
-    for v in value_cols:
-        l_tag = l_tag.withColumn(f"_rv_{v}", F.lit(None).cast(dict(right.dtypes)[v]))
+    # the whole right payload rides as ONE struct so a single
+    # last(ignorenulls) attaches every value column from the same right
+    # row; left rows get a NULL struct via allowMissingColumns
     r_tag = right.select(
         key, ts, order_col,
-        *[F.col(v).alias(f"_rv_{v}") for v in value_cols],
+        F.struct(*[F.col(v).alias(v) for v in value_cols]).alias("_rv"),
     ).withColumn("_r", F.lit(1))
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
     # right rows sort BEFORE left rows at equal ts (asof <= semantics);
@@ -49,12 +56,11 @@ def asof_join_backward(
                  F.when(F.col("_r") == 1, F.col(order_col)).otherwise(F.lit(None)))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    attached = u.select(
-        "*",
-        *[F.last(f"_rv_{v}", ignorenulls=True).over(w).alias(f"asof_{v}")
-          for v in value_cols],
-    )
+    attached = u.select("*", F.last("_rv", ignorenulls=True).over(w).alias("_asof"))
     return (
         attached.filter(F.col("_r") == 0)
-        .drop("_r", *[f"_rv_{v}" for v in value_cols])
+        .select(
+            *left.columns,
+            *[F.col(f"_asof.{v}").alias(f"asof_{v}") for v in value_cols],
+        )
     )

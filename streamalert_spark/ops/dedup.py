@@ -20,6 +20,13 @@ from pyspark.sql import functions as F
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BAND_SIZE = 4
 
+# Max candidate-pair rows that may be broadcast in the LSH verify path.
+# ~24 bytes/pair -> <=~50 MB at the cap, far under Spark's 8 GB broadcast
+# hard limit and any sane driver heap. A near-dup-heavy 100 TB corpus can
+# exceed this; beyond the cap the joins fall back to shuffle (AQE still
+# converts to broadcast at runtime when the built side turns out small).
+BROADCAST_PAIR_LIMIT = 2_000_000
+
 # last cached frame per operator (see _swap_cache) — bounds the footprint
 # to one cached copy per op per process
 _OP_CACHE: dict[str, "DataFrame"] = {}
@@ -270,12 +277,18 @@ def lsh_verified_pairs(
     """
     cands = minhash_lsh_candidates(df, text_col, id_col, n, num_hashes, band_size)
     cands = _swap_cache("lsh_verified_cands", cands)
+    # Size-gate the broadcast hints: the count materializes the cache (which
+    # both joins below reuse anyway), and an unconditional F.broadcast on a
+    # near-dup-heavy corpus could exceed the 8 GB broadcast cap / driver
+    # memory and fail the job. Above the cap, plain shuffle joins — AQE
+    # still picks broadcast at runtime if the built side is actually small.
+    hint = F.broadcast if cands.count() <= BROADCAST_PAIR_LIMIT else (lambda d: d)
     cand_ids = (
         cands.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
     )
-    subset = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    subset = df.join(hint(cand_ids), id_col, "left_semi")
     verified = ngram_jaccard_pairs(subset, text_col, id_col, n, threshold)
-    return verified.join(F.broadcast(cands), ["a", "b"], "left_semi")
+    return verified.join(hint(cands), ["a", "b"], "left_semi")
 
 
 def simhash_bits(

@@ -5,9 +5,10 @@ Greedy global first-fit packing is inherently sequential, so the
 distributed form packs within deterministic shards: docs are sharded by
 (source, doc_id % n_shards), ordered by doc_id inside the shard, and a
 running token total assigns each doc to the pack whose window its FIRST
-token falls in (document-concatenation packing: a doc that crosses the
-boundary starts a new pack, matching the common "no document straddles a
-pack unless it must" variant).
+token falls in (document-concatenation packing: a doc whose tokens cross
+the window boundary stays assigned to the pack its first token falls in
+and straddles into the next window — the concat-then-slice variant,
+locked by test_pack_boundary_doc_starts_new_pack).
 
 Scale: one shuffle keyed by (source, shard) — shard count scales
 parallelism with the corpus, not with the number of sources — then a

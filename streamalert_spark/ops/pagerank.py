@@ -3,12 +3,13 @@ graph (duplicate clusters, link graphs, citation webs): which node is
 the natural canonical representative.
 
 All arithmetic is INTEGER: every node starts with mass S = 10^12; each
-iteration a node sends floor(mass * d_num / (d_den * out_degree)) to
-every out-neighbor and keeps the teleport term floor(S * (d_den -
-d_num) / d_den). Floors replace float damping so the result is exact —
-integer sums are order-independent, which makes a fixed-iteration run
-bit-identical across engines (float PageRank hangs cross-engine equality
-on summation order). The trade: mass is not perfectly conserved (floor
+iteration a node sends (mass * d_num) DIV (d_den * out_degree) to
+every out-neighbor and keeps the teleport term (S * (d_den - d_num))
+DIV d_den. The damping step is TRUE integer division (Spark `DIV`,
+never a double round-trip), so the result is exact at any mass/degree
+magnitude — integer sums are order-independent, which makes a
+fixed-iteration run bit-identical across engines (float PageRank hangs
+cross-engine equality on summation order). The trade: mass is not perfectly conserved (floor
 truncation), which affects no ranking use case.
 
 Scale per iteration: one join of masses onto edges (keyed src) + one
@@ -50,8 +51,9 @@ def integer_pagerank(
             .join(degrees, src_col)
             .select(
                 F.col(dst_col).alias("node"),
-                F.floor(F.col("mass") * damping_num
-                        / (F.lit(damping_den) * F.col("deg")))
+                # bigint DIV bigint — exact beyond 2^53, where a
+                # floor(double-division) could round the quotient
+                F.expr(f"(mass * {damping_num}) DIV ({damping_den} * deg)")
                  .cast("bigint").alias("c"),
             )
             .groupBy("node").agg(F.sum("c").alias("in_mass"))

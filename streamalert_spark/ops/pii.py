@@ -66,7 +66,7 @@ def redact(text: Column) -> Column:
 def luhn_valid(digits: Column) -> Column:
     """Luhn checksum over a digits-only string — expression-only (no
     UDF): reverse, double every second digit with the >9 fold, aggregate
-    the sum, test mod 10. Null/empty input yields false."""
+    the sum, test mod 10. NULL and empty input both yield false."""
     rev = F.reverse(digits)
     idx = F.sequence(F.lit(1), F.greatest(F.length(rev), F.lit(1)))
     terms = F.transform(
@@ -74,7 +74,8 @@ def luhn_valid(digits: Column) -> Column:
         lambda i: _luhn_term(F.ascii(F.substr(rev, i, F.lit(1))) - 48, i),
     )
     total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
-    return (F.length(digits) > 0) & (total % 10 == 0)
+    # coalesce pins NULL input to false (null & ... would propagate NULL)
+    return F.coalesce((F.length(digits) > 0) & (total % 10 == 0), F.lit(False))
 
 
 def _luhn_fold(doubled: Column) -> Column:

@@ -226,8 +226,12 @@ def ivf_topk(
     collects. Python-side probe ranking reproduces engine arithmetic
     exactly (sequential double accumulation + half-away-from-zero rounding).
     """
-    seeds_rows = df.filter(F.col(id_col) < n_cells).select(id_col, vec_col).collect()
+    # TRUE lowest-id seeds (orderBy + limit), robust to sparse or
+    # non-zero-based id spaces where `id < n_cells` could find none
+    seeds_rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     seeds = sorted((int(r[0]), [float(v) for v in r[1]]) for r in seeds_rows)
+    if not seeds:
+        raise ValueError("ivf_topk: input has no vectors to seed centroids from")
     q = [float(v) for v in df.filter(F.col(id_col) == query_id).select(vec_col).head()[0]]
     qn = _pynorm(q)
     ranked = sorted((-_half_up6(_pydot(q, sv) / (qn * _pynorm(sv))), sid) for sid, sv in seeds)
@@ -361,8 +365,14 @@ def cell_bucketed_pairs(
     boundaries exactly like IVF search. Centroids inline as literals
     (metadata-scale driver traffic); the corpus shuffles once on cell id.
     """
-    seeds_rows = df.filter(F.col(id_col) < n_cells).select(id_col, vec_col).collect()
+    # TRUE lowest-id seeds (orderBy + limit), robust to sparse or
+    # non-zero-based id spaces where `id < n_cells` could find none —
+    # an empty seed set would null out the array_min cell assignment
+    # and silently return zero pairs
+    seeds_rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     seeds = sorted((int(r[0]), [float(v) for v in r[1]]) for r in seeds_rows)
+    if not seeds:
+        raise ValueError("cell_bucketed_pairs: input has no vectors to seed cells from")
     vn = norm(F.col(vec_col))
     cell_structs = F.array(*[
         F.struct(

@@ -424,7 +424,7 @@ deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
 m0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS mass FROM nodes),
 c1 AS (
   SELECT e.dst AS node,
-         CAST(SUM(CAST(floor(m.mass * 85 / (100 * d.deg)) AS BIGINT))
+         CAST(SUM((m.mass * 85) // (100 * d.deg))
               AS BIGINT) AS in_mass
   FROM edges e JOIN m0 m ON e.src = m.node JOIN deg d ON e.src = d.src
   GROUP BY e.dst
@@ -434,7 +434,7 @@ m1 AS (SELECT n.node,
        FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
 c2 AS (
   SELECT e.dst AS node,
-         CAST(SUM(CAST(floor(m.mass * 85 / (100 * d.deg)) AS BIGINT))
+         CAST(SUM((m.mass * 85) // (100 * d.deg))
               AS BIGINT) AS in_mass
   FROM edges e JOIN m1 m ON e.src = m.node JOIN deg d ON e.src = d.src
   GROUP BY e.dst
@@ -444,7 +444,7 @@ m2 AS (SELECT n.node,
        FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
 c3 AS (
   SELECT e.dst AS node,
-         CAST(SUM(CAST(floor(m.mass * 85 / (100 * d.deg)) AS BIGINT))
+         CAST(SUM((m.mass * 85) // (100 * d.deg))
               AS BIGINT) AS in_mass
   FROM edges e JOIN m2 m ON e.src = m.node JOIN deg d ON e.src = d.src
   GROUP BY e.dst
@@ -457,8 +457,8 @@ SELECT node, mass FROM m3 ORDER BY mass DESC, node LIMIT 25
 
 
 @query("pagerank_top_nodes", oracle=_PAGERANK_ORACLE,
-       doc="Integer-arithmetic PageRank (3 iterations, floor damping — "
-           "exact, order-independent integer sums both engines) over a "
+       doc="Integer-arithmetic PageRank (3 iterations, integer-DIV damping "
+           "— exact, order-independent integer sums both engines) over a "
            "deterministic 2-out-regular doc graph; top-25 by mass. The "
            "oracle unrolls the identical three join+aggregate steps.")
 def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:

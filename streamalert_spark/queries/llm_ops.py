@@ -665,7 +665,7 @@ _CELL_NORM = ("sqrt(list_sum(list_transform(embedding, "
 _CELL_PAIRS_ORACLE = f"""
 WITH seeds AS (
   SELECT vec_id AS sid, embedding AS sv, {_CELL_NORM} AS sn
-  FROM embeddings WHERE vec_id < 8
+  FROM embeddings ORDER BY vec_id LIMIT 8
 ),
 vec AS (
   SELECT vec_id, embedding, {_CELL_NORM} AS vn FROM embeddings

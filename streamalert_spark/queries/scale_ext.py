@@ -70,7 +70,7 @@ ROUND(
 """
 
 _IVF_ORACLE = f"""
-WITH seeds AS (SELECT vec_id AS seed_id, embedding AS sv FROM embeddings WHERE vec_id < 8),
+WITH seeds AS (SELECT vec_id AS seed_id, embedding AS sv FROM embeddings ORDER BY vec_id LIMIT 8),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 assign AS (
   SELECT vec_id, cell FROM (
