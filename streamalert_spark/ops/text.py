@@ -112,6 +112,62 @@ def token_frequency_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+def _zlib_udf(level: int):
+    """Arrow-batched zlib sizer: (raw_bytes, compressed_bytes) per text.
+    zlib has no Spark builtin; the DEFLATE output for a fixed level and
+    strategy is deterministic for a given zlib build, so results are
+    stable within an engine but carry no cross-engine oracle (rows-only
+    check; semantics pinned against the Python zlib reference in
+    tests/test_training_ext.py)."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def sizes(s):
+        raw, comp = [], []
+        for x in s:
+            if x is None:
+                raw.append(None)
+                comp.append(None)
+            else:
+                b = x.encode("utf-8")
+                raw.append(len(b))
+                comp.append(len(zlib.compress(b, level)))
+        return pd.DataFrame({"raw_bytes": raw, "compressed_bytes": comp})
+
+    # real annotation objects: the module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # signature inference cannot resolve
+    sizes.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(sizes, "raw_bytes bigint, compressed_bytes bigint")
+
+
+def compression_signals(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", level: int = 6) -> DataFrame:
+    """Per-doc zlib compression ratio — the standard corpus-quality signal
+    for boilerplate/repetition (highly compressible text is low-entropy:
+    templated pages, repeated spans, generator output). One Arrow-batched
+    projection inside the scan partition — zero shuffle at any scale.
+
+    Output: (id, raw_bytes, compressed_bytes, compression_ratio) with
+    ratio = compressed/raw rounded to 6 places (higher = closer to
+    incompressible; typical prose lands ~0.4-0.6, degenerate repetition
+    far below)."""
+    sized = df.select(
+        F.col(id_col), _zlib_udf(level)(F.col(text_col)).alias("_z")
+    )
+    return sized.select(
+        id_col,
+        F.col("_z.raw_bytes").alias("raw_bytes"),
+        F.col("_z.compressed_bytes").alias("compressed_bytes"),
+        F.round(
+            F.col("_z.compressed_bytes").cast("double")
+            / F.greatest(F.col("_z.raw_bytes"), F.lit(1)), 6,
+        ).alias("compression_ratio"),
+    )
+
+
 def _nfc_udf():
     """Arrow-batched NFC normalizer. Unicode NFC has no Spark builtin, so
     this is the one deliberate Python step in the text-hygiene path — a

@@ -14,6 +14,15 @@ Spark strategy: ``from_csv`` into an all-string struct. Column-count
 strictness uses PERMISSIVE mode's corrupt-record column for over-width rows
 plus a last-field-null check for under-width rows; nested CSV columns chain
 a second from_csv. All JVM-native.
+
+Escapechar schemas (reference: cloudwatch:rds_aurora, the only shipped one)
+take an Arrow-batched csv.reader kernel instead: univocity's escape applies
+only around quote characters, so it diverges from csv.reader on escaped
+delimiters (``a\\,b`` is ONE field to csv.reader), escape collapse in
+unquoted values, and doubled-quote handling when an escapechar is set —
+value- and split-level deltas no post-parse projection can reconcile.
+csv.reader (C implementation, vectorized batch transfer) IS the reference
+semantics, and escapechar schemas are the rare path by construction.
 """
 
 from __future__ import annotations
@@ -114,7 +123,57 @@ class CsvParser(ParserBase):
         # (parsers.py:732-740 — a dict token in a csv schema) re-parse during
         # coercion (classify._coerce_field with fmt='csv'). The _sa_corrupt
         # helper field stays in the struct so valid_expr never re-parses.
+        if schema.configuration.get("escapechar"):
+            return self._py_reader_udf(schema)(raw)
         return F.from_csv(raw, self._ddl(schema), _options(schema))
+
+    def _py_reader_udf(self, schema: LogSchema):
+        """csv.reader-exact struct parser for escapechar schemas
+        (parsers.py:630-645) — one Arrow-batched pandas UDF producing the
+        same struct shape as from_csv (all fields + _sa_corrupt), so
+        valid_expr and coercion are path-agnostic. Count-mismatched or
+        unparseable lines set _sa_corrupt and null fields (strict count:
+        parsers.py:726-728)."""
+        import csv as _csv
+        import io as _io
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        names = list(schema.schema)
+        conf = schema.configuration
+        delim = conf.get("delimiter", ",")
+        quote = conf.get("quotechar", '"')
+        esc = conf.get("escapechar")
+        ncols = len(names)
+
+        def parse(s):
+            out = {c: [] for c in [*names, _CORRUPT]}
+            for line in s:
+                vals, corrupt = None, None
+                if line is not None:
+                    try:
+                        rows_ = list(_csv.reader(
+                            _io.StringIO(line), delimiter=delim,
+                            quotechar=quote, escapechar=esc,
+                        ))
+                        got = rows_[0] if rows_ else []
+                    except _csv.Error:
+                        got = []
+                    if len(got) == ncols:
+                        vals = got
+                    else:
+                        corrupt = line
+                for i, c in enumerate(names):
+                    out[c].append(vals[i] if vals is not None else None)
+                out[_CORRUPT].append(corrupt)
+            return pd.DataFrame(out)
+
+        # real annotation objects: the module's `from __future__ import
+        # annotations` stringifies inline hints, which pandas_udf's
+        # signature inference cannot resolve
+        parse.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+        return pandas_udf(parse, self._ddl(schema))
 
     def valid_expr(self, schema: LogSchema, raw: Column, parsed: Column) -> Column:
         names = list(schema.schema)

@@ -72,6 +72,7 @@ _VERIFY_FIRST = [
     "tfidf_top_terms",
     "bpe_merge_pairs",
     "bpe_learned_merges",
+    "compression_ratio_signal",
     # operators touched in round 4 — re-verify next
     "lsh_verified_pairs",
     "dedup_resolution",

@@ -267,3 +267,19 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(i, pair, count) for i, (pair, count) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "merge_idx bigint, pair string, pair_count bigint")
+
+
+@query("compression_ratio_signal", oracle=None,
+       doc="Per-doc zlib compression ratio — the standard corpus-quality "
+           "signal for boilerplate/repetition. Arrow-batched zlib kernel "
+           "in the scan projection, zero shuffle. DEFLATE output has no "
+           "DuckDB twin (rows-only check); byte counts and ratio are "
+           "pinned against the Python zlib reference in "
+           "tests/test_training_ext.py::test_compression_signals_match_zlib.")
+def compression_ratio_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.text import compression_signals
+
+    return (
+        compression_signals(_docs(spark, sf_dir))
+        .repartition(1).sortWithinPartitions("doc_id")
+    )

@@ -95,6 +95,14 @@ class QueryPackRepository:
 
 STREAMQUERY_SCHEMA_VERSION = "1.0.0"
 
+# Feedback records ride the ingest stream as single messages, so each pack's
+# payload must respect transport record limits — the reference's Kinesis
+# put_records enforces 1 MB/record implicitly (kinesis.py:69-77 would fail
+# the put); here the bound is pinned in code. MAX_FEEDBACK_ROWS also bounds
+# the driver-side collect itself (the limit is pushed into the plan).
+MAX_FEEDBACK_ROWS = 10_000
+MAX_FEEDBACK_BYTES = 1_000_000
+
 
 class ScheduledQueryRunner:
     """One schedule tick: run due packs, collect results + execution
@@ -127,23 +135,49 @@ class ScheduledQueryRunner:
             for pack in self.repository.get_packs(tags)
         }
 
-    def to_streamquery_records(self, results: dict[str, tuple[DataFrame, dict]]) -> DataFrame:
+    def to_streamquery_records(self, results: dict[str, tuple[DataFrame, dict]],
+                               max_rows: int = MAX_FEEDBACK_ROWS,
+                               max_bytes: int = MAX_FEEDBACK_BYTES) -> DataFrame:
         """Serialize results as streamquery-log-shaped JSON rows
         (conf/schemas/streamquery.json: streamquery_schema_version,
         execution{...}, data{headers, rows, count}) for union back into the
-        ingest stream. Row payloads are bounded (aggregate outputs), so the
-        local collect per pack mirrors the reference's Kinesis put."""
+        ingest stream. Row payloads are expected to be aggregate-scale, but
+        the bound is enforced, not assumed: the collect is LIMITed to
+        max_rows + 1 (pushed into the plan — an unbounded result never
+        reaches the driver) and the serialized record is trimmed from the
+        tail to max_bytes, mirroring the transport's 1 MB record cap. A
+        trimmed record carries data.truncated = true and data.count =
+        rows kept (the schema's `data` map is open, so the extra key does
+        not affect classification)."""
         rows = []
         for name, (df, execution) in results.items():
             headers = df.columns
             data_rows = [
                 {k: ("" if v is None else str(v)) for k, v in r.asDict().items()}
-                for r in df.collect()
+                for r in df.limit(max_rows + 1).collect()
             ]
-            rows.append((json.dumps({
-                "streamquery_schema_version": STREAMQUERY_SCHEMA_VERSION,
-                "execution": {k: (v if isinstance(v, (str, int, list)) else str(v))
-                              for k, v in execution.items()},
-                "data": {"headers": headers, "rows": data_rows, "count": len(data_rows)},
-            }),))
+            truncated = len(data_rows) > max_rows
+            data_rows = data_rows[:max_rows]
+
+            def record(kept: list[dict], truncated: bool) -> str:
+                data = {"headers": headers, "rows": kept, "count": len(kept)}
+                if truncated:
+                    data["truncated"] = True
+                return json.dumps({
+                    "streamquery_schema_version": STREAMQUERY_SCHEMA_VERSION,
+                    "execution": {k: (v if isinstance(v, (str, int, list)) else str(v))
+                                  for k, v in execution.items()},
+                    "data": data,
+                })
+
+            payload = record(data_rows, truncated)
+            while len(payload.encode()) > max_bytes and data_rows:
+                # drop ~the overage's worth of tail rows per pass (>=1), so
+                # trimming is O(passes), deterministic, and always terminates
+                overshoot = len(payload.encode()) - max_bytes
+                per_row = max(1, len(payload.encode()) // max(1, len(data_rows)))
+                data_rows = data_rows[:-max(1, overshoot // per_row)]
+                truncated = True
+                payload = record(data_rows, truncated)
+            rows.append((payload,))
         return self.spark.createDataFrame(rows, "value string")

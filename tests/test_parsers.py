@@ -407,9 +407,50 @@ def test_csv_escapechar_boundary_split(spark):
         'd\\\\,half\ne,2',          # escaped escape: still two records
     ])
     rows = sorted(r["record"]["a"] for r in batch.by_log_type["t:csvesc"].collect())
-    # 'd\\\\' (two literal backslashes): the boundary split matches
-    # csv.reader exactly; field-level unescaping of UNQUOTED values is a
-    # known value delta (univocity leaves them as-is where csv.reader
-    # collapses '\\\\' to '\\') — documented in COVERAGE.md
-    assert rows == ["a\\\nb", "c", "d\\\\", "e", "r1", "r2"]
+    # csv.reader-EXACT values (the escapechar path runs the Arrow-batched
+    # csv.reader kernel): the escaped newline collapses to a literal
+    # newline and 'd\\\\' collapses to one backslash, exactly as
+    # csv.reader emits them
+    assert rows == ["a\nb", "c", "d\\", "e", "r1", "r2"]
     assert batch.invalid.count() == 0
+
+
+def test_csv_escapechar_reader_value_parity(spark):
+    """conf/schemas/cloudwatch.json:191 (cloudwatch:rds_aurora — the one
+    shipped escapechar schema) + parsers.py:630-645: escapechar schemas
+    must match csv.reader VALUE-level, including escaped delimiters in
+    unquoted fields, escape collapse inside quoted fields, and
+    doubled-quote handling — all cases where univocity diverges."""
+    import csv as _csv
+    import io as _io
+
+    schema = LogSchema(
+        name="t:aurora",
+        schema={"timestamp": "string", "serverhost": "string",
+                "username": "string", "host": "string",
+                "connectionid": "string", "queryid": "string",
+                "operation": "string", "database": "string",
+                "object": "string", "retcode": "string"},
+        parser="csv",
+        configuration={"quotechar": "'", "escapechar": "\\"},
+    )
+    payloads = [
+        # MySQL-audit-shaped: escaped quote + escaped backslash in the query
+        r"20171104 21:51:12,ip-172-31-27-31,rdsadmin,localhost,4,0,QUERY,"
+        r"mysql,'SELECT \'a\\b\' AS x, 1',0",
+        # escaped delimiter in an UNQUOTED field (csv.reader: ONE field)
+        r"t2,host\,name,u,h,1,2,QUERY,db,'q',0",
+        # doubled quote inside a quoted field
+        "t3,s,u,h,1,2,QUERY,db,'it''s',0",
+    ]
+    batch = _classify_one(spark, schema, payloads)
+    got = {r["record"]["timestamp"]: [r["record"][c] for c in schema.schema]
+           for r in batch.by_log_type["t:aurora"].collect()}
+    for p in payloads:
+        expect = next(_csv.reader(_io.StringIO(p), quotechar="'", escapechar="\\"))
+        assert got[expect[0]] == expect, p
+    assert batch.invalid.count() == 0
+    # strict count still enforced on the reader path
+    bad = _classify_one(spark, schema, ["only,three,fields"])
+    assert "t:aurora" not in bad.by_log_type or bad.by_log_type["t:aurora"].count() == 0
+    assert bad.invalid.count() == 1

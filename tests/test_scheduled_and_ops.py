@@ -295,3 +295,43 @@ def test_connected_components_matches_union_find(spark):
                for r in connected_components(pairs).collect()}
         want = union_find_components(edges, nodes)
         assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_streamquery_feedback_row_and_byte_caps(spark):
+    """kinesis.py:69-77 — the transport's 1 MB record cap, pinned in code:
+    oversized result sets truncate deterministically (bounded collect via
+    LIMIT max_rows+1; tail-trim to max_bytes) and flag data.truncated."""
+    repo = QueryPackRepository()
+    repo.register(QueryPack(
+        name="big", description="d",
+        query="SELECT id, repeat('x', 50) AS pad FROM range(1000) ORDER BY id",
+        tags=["hourly"],
+    ))
+    runner = ScheduledQueryRunner(spark, repo)
+    results = runner.run(tags=["hourly"])
+
+    # row cap: only max_rows rows survive, record flags truncation
+    rec = json.loads(
+        runner.to_streamquery_records(results, max_rows=10).collect()[0]["value"]
+    )
+    assert rec["data"]["count"] == 10
+    assert rec["data"]["truncated"] is True
+    assert len(rec["data"]["rows"]) == 10
+
+    # byte cap: serialized record fits max_bytes, trimming from the tail
+    results = runner.run(tags=["hourly"])
+    raw = runner.to_streamquery_records(
+        results, max_rows=1000, max_bytes=5000
+    ).collect()[0]["value"]
+    assert len(raw.encode()) <= 5000
+    rec = json.loads(raw)
+    assert rec["data"]["truncated"] is True
+    assert rec["data"]["count"] == len(rec["data"]["rows"]) > 0
+    # kept rows are the PREFIX of the result (tail-trimmed)
+    assert [r["id"] for r in rec["data"]["rows"]] == [str(i) for i in range(rec["data"]["count"])]
+
+    # under both caps: record unchanged, no truncated key
+    results = runner.run(tags=["hourly"])
+    rec = json.loads(runner.to_streamquery_records(results).collect()[0]["value"])
+    assert rec["data"]["count"] == 1000
+    assert "truncated" not in rec["data"]

@@ -161,3 +161,36 @@ def test_integer_pagerank_matches_python_reference(spark):
     assert got == mass
     # node 3 is a source-only node: teleport term only
     assert got[3] == base
+
+
+def test_compression_signals_match_zlib(spark):
+    """The zlib kernel's byte counts and ratio equal the Python zlib
+    reference exactly (same library, level 6), including multi-byte
+    UTF-8 and None text; and the op is a zero-Exchange scan projection."""
+    import zlib
+
+    from streamalert_spark.ops.text import compression_signals
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),      # degenerate
+        (2, "héllo wörld — naïve façade é́"),        # multi-byte
+        (3, ""),                                                # empty
+        (4, None),                                              # null text
+        (5, "x " * 500),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r.asDict() for r in compression_signals(df).collect()}
+    for doc_id, text in rows:
+        if text is None:
+            assert got[doc_id]["raw_bytes"] is None
+            assert got[doc_id]["compression_ratio"] is None
+            continue
+        b = text.encode("utf-8")
+        assert got[doc_id]["raw_bytes"] == len(b)
+        assert got[doc_id]["compressed_bytes"] == len(zlib.compress(b, 6))
+        assert got[doc_id]["compression_ratio"] == pytest.approx(
+            round(len(zlib.compress(b, 6)) / max(len(b), 1), 6))
+    # degenerate repetition compresses far better than prose
+    assert got[1]["compression_ratio"] < got[0]["compression_ratio"]
+    assert "Exchange" not in _plan(compression_signals(df)), _plan(compression_signals(df))
