@@ -436,6 +436,39 @@ def simhash_neardup_pairs(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond'): over the symmetrized neighborhood of every
+    node u, connect each strictly-larger neighbor v > u to
+    m = min(N(u) + {u}). One keyed-window shuffle, no join."""
+    from pyspark.sql import Window
+
+    sym = edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    m = F.least(F.col("a"), F.min("b").over(Window.partitionBy("a")))
+    return (
+        sym.select("a", "b", m.alias("m"))
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: with edges oriented (a=big, b=small), every
+    node a and each of its smaller neighbors connect to
+    m = min(smaller-neighbors); self-loops drop."""
+    from pyspark.sql import Window
+
+    m = F.min("b").over(Window.partitionBy("a"))
+    withm = edges.select("a", "b", m.alias("m"))
+    out = withm.select(F.col("b").alias("a"), F.col("m").alias("b")).union(
+        withm.select("a", F.col("m").alias("b"))
+    )
+    return out.filter(F.col("a") != F.col("b")).distinct()
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",
@@ -449,45 +482,45 @@ def connected_components(
     election the greedy single-pass resolution skips (a chain a~b~c
     collapses to one component here).
 
-    Iterative min-label propagation: each round every node takes the
-    minimum of its own label and its neighbors' labels; rounds stop at
-    fixpoint (or max_iterations). One shuffle per round on the edge key;
-    convergence is O(graph diameter), and near-dup clusters are
-    shallow — 3-5 rounds in practice. Each round's result is
-    localCheckpoint()ed to truncate lineage so the plan stays flat
-    across iterations (the standard Spark iterative-algorithm pattern;
-    at extreme scale swap in large-star/small-star for O(log n) rounds).
-    Only nodes that appear in some pair are returned (everything else is
-    a singleton by definition).
+    Alternating large-star/small-star (Kiveris et al.) — converges in
+    O(log n) rounds regardless of graph DIAMETER, where plain min-label
+    propagation needs O(diameter) rounds (a 1M-node chain: ~20 rounds vs
+    1M). Each round is two keyed-window shuffles + distincts; the edge
+    set only shrinks toward the star forest, and every round
+    localCheckpoint()s to truncate lineage (the standard Spark iterative
+    pattern). Convergence = the canonical (big, small) edge set reaches
+    a fixpoint, checked exactly with a count + exceptAll. At the
+    fixpoint edges form stars rooted at component minima; labels read
+    straight off the final edges. Only nodes that appear in some pair
+    are returned (everything else is a singleton by definition).
     """
-    sym = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    nodes = (
+        pairs.select(F.col(a_col).alias("id"))
+        .union(pairs.select(F.col(b_col).alias("id")))
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        sym.select(F.col("src").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
+    # canonical orientation (big, small); drop self-loops
+    edges = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("a"),
+            F.least(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
         .localCheckpoint()
     )
+    prev_count = edges.count()
     for _ in range(max_iterations):
-        neighbor = (
-            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .select(F.col("src").alias("id"), "label")
-        )
-        proposed = (
-            labels.union(neighbor)
-            .groupBy("id")
-            .agg(F.min("label").alias("new_label"))
-        )
-        merged = (
-            labels.join(proposed, "id")
-            .select("id", "label", "new_label")
-            .localCheckpoint()
-        )
-        changed = merged.filter(F.col("new_label") < F.col("label")).count()
-        labels = merged.select("id", F.col("new_label").alias("label"))
-        if changed == 0:
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_count = new_edges.count()
+        if new_count == prev_count and new_edges.exceptAll(edges).count() == 0:
+            edges = new_edges
             break
+        edges, prev_count = new_edges, new_count
+    labels = (
+        nodes.join(edges.withColumnRenamed("a", "id"), "id", "left")
+        .groupBy("id")
+        .agg(F.min(F.coalesce(F.col("b"), F.col("id"))).alias("label"))
+    )
     return labels.select(F.col("id").alias(id_out), F.col("label").alias(label_out))

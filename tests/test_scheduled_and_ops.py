@@ -199,13 +199,16 @@ def test_connected_components_chain_and_islands(spark):
 
 
 def test_connected_components_long_chain_converges(spark):
+    """Large-star/small-star round bound: a 65-node chain (diameter 64)
+    must converge within 8 rounds — min-label propagation would need 64,
+    so the O(log n) alternating algorithm is what makes this pass."""
     from streamalert_spark.ops.dedup import connected_components
 
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(12)], "a bigint, b bigint")
-    got = connected_components(pairs).collect()
+        [(i, i + 1) for i in range(64)], "a bigint, b bigint")
+    got = connected_components(pairs, max_iterations=8).collect()
     assert {r["component_id"] for r in got} == {0}
-    assert len(got) == 13
+    assert len(got) == 65
 
 
 def test_ngram_overlap_flags_semantics(spark):
