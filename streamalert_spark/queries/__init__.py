@@ -73,6 +73,18 @@ _VERIFY_FIRST = [
     "bpe_merge_pairs",
     "bpe_learned_merges",
     "compression_ratio_signal",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_shipping_priority_counts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q20_excess_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
     # operators touched in round 4 — re-verify next
     "lsh_verified_pairs",
     "dedup_resolution",
@@ -101,6 +113,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         sources_surface,
         sql_joins_ext,
         sql_surface,
+        sql_tpch_ext,
         surface_ext,
         training_ext,
     )

@@ -209,3 +209,38 @@ def test_curation_pipeline_single_redact_chain(spark):
     plan = load_all()["curation_pipeline_e2e"].fn(spark, SF_DIR) \
         ._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("<EMAIL>") == 1, plan.count("<EMAIL>")
+
+
+def test_q6_all_predicates_push_to_scan(spark):
+    """Q6 is the canonical pushdown query: every predicate must appear in
+    PushedFilters and the plan must contain no join at all."""
+    from streamalert_spark.queries import load_all
+
+    plan = _plan(load_all()["q6_forecast_revenue"].fn(spark, SF_DIR))
+    pushed = plan[plan.index("PushedFilters"):].splitlines()[0]
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert col in pushed, pushed
+    assert "Join" not in plan, plan
+
+
+def test_q7_q8_dimensions_all_broadcast(spark):
+    """The Q7/Q8 star joins must broadcast every dimension — the only
+    SortMergeJoin candidates are fact-fact joins on orderkey."""
+    from streamalert_spark.queries import load_all
+
+    for name in ["q7_volume_shipping", "q8_market_share"]:
+        plan = _plan(load_all()[name].fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan
+        # lineitem-orders is the one allowed shuffle join
+        assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_q11_q15_scalar_rides_broadcast_not_collect(spark):
+    """Scalar total/max thresholds must join back as a 1-row broadcast
+    (BroadcastNestedLoopJoin over the scalar), never via driver collect —
+    the plan proves no eager evaluation happened at build time."""
+    from streamalert_spark.queries import load_all
+
+    for name in ["q11_important_parts", "q15_top_supplier"]:
+        plan = _plan(load_all()[name].fn(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
