@@ -1,0 +1,138 @@
+"""Sketch / statistics operators with CROSS-ENGINE-EXACT semantics.
+
+Motivation: the built-in approximate aggregates (approx_count_distinct's
+HLL++, percentile_approx's KLL) are engine-specific sketches — their
+results can never be oracle-checked against another engine. These
+operators get sublinear-sketch behavior from portable primitives:
+
+- KMV (k-minimum-values) cardinality: the k smallest md5(value) hashes
+  determine the estimate (k-1)/frac(kth_min). md5 is identical
+  everywhere, lexicographic hex order IS numeric order, and the
+  hex->fraction conversion is a fixed-order 13-digit sum (52 bits —
+  exact in a double), so the estimate is bit-identical across engines.
+  Memory is O(k) per group at any cardinality — the same scaling story
+  as HLL with a checkable answer.
+- Rate-spike detection: mean + 3-sigma thresholds derived ONLY from
+  integer sums (n, sum, sum-of-squares are exact bigints), compared via
+  the algebraic rearrangement  (c*n - s) > 3*sqrt(n*ss - s*s)  so the
+  single sqrt/multiply are the only float ops — each correctly-rounded
+  IEEE, hence identical on both engines.
+
+Scale: both are one groupBy over the scan (partial-aggregated); KMV
+additionally windows within the small per-group hash set. No driver
+collects, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+KMV_K = 32
+# 13 hex digits = 52 bits: the largest prefix exactly representable in a
+# double, so the fixed-order digit sum is bit-identical across engines
+KMV_HEX_DIGITS = 13
+
+
+def hex_fraction(h: Column) -> Column:
+    """md5-hex prefix as a fraction of the hash space in [0, 1): a
+    fixed-order sum of digit_i * 16^-(i+1) over the first 13 digits."""
+    frac = F.lit(0.0)
+    for i in range(KMV_HEX_DIGITS):
+        digit = (F.position(F.substring(h, i + 1, 1),
+                            F.lit("0123456789abcdef")) - 1).cast("double")
+        frac = frac + digit * F.lit(float(16.0 ** -(i + 1)))
+    return frac
+
+
+def hex_fraction_sql(col: str) -> str:
+    """The identical fixed-order digit sum as engine-portable SQL text."""
+    terms = [
+        f"(CAST(STRPOS('0123456789abcdef', SUBSTRING({col}, {i + 1}, 1)) - 1 "
+        f"AS DOUBLE)) * {16.0 ** -(i + 1)!r}"
+        for i in range(KMV_HEX_DIGITS)
+    ]
+    # left-to-right chain matches the Column fold above exactly
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate next to the exact count.
+
+    Output: (group, kth_min_hash, kmv_estimate, exact_distinct). When a
+    group has fewer than k distinct values the estimate IS the exact
+    count (standard KMV fallback). One shuffle on (group, value) for the
+    distinct, then a window over the per-group k-minimum hash set.
+    """
+    hashed = (
+        df.select(F.col(group_col), F.col(value_col).cast("string").alias("v"))
+        .distinct()
+        .select(group_col, F.md5(F.col("v")).alias("h"))
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    ranked = hashed.select(
+        group_col, "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("n_exact"),
+    )
+    kth = ranked.filter(
+        (F.col("rn") == F.least(F.lit(k), F.col("n_exact")))
+    )
+    est = F.when(
+        F.col("n_exact") < k, F.col("n_exact").cast("double")
+    ).otherwise(F.round(F.lit(float(k - 1)) / hex_fraction(F.col("h")), 4))
+    return kth.select(
+        F.col(group_col),
+        F.col("h").alias("kth_min_hash"),
+        est.alias("kmv_estimate"),
+        F.col("n_exact").cast("bigint").alias("exact_distinct"),
+    )
+
+
+def rate_spikes(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    sigma: float = 3.0,
+) -> DataFrame:
+    """Hours whose event count exceeds the key's mean + sigma*stddev_pop
+    over all its hours — the rate-based anomaly primitive under
+    threshold/alert rules.
+
+    Exactness: per-key n, sum, sum-of-squares are integer-exact; the
+    comparison is the rearranged  (c*n - s) > sigma*sqrt(n*ss - s*s),
+    whose only float ops are one sqrt and one multiply (correctly
+    rounded, identical both engines). Two shuffles: (key, hour) count,
+    then key-window stats over the (small) per-key hour set.
+    """
+    hourly = (
+        df.select(F.col(key_col), F.date_trunc("hour", F.col(ts_col)).alias("hour"))
+        .groupBy(key_col, "hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(key_col)
+    stats = hourly.select(
+        key_col, "hour", "cnt",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("ss"),
+    )
+    dev_num = (F.col("cnt") * F.col("n") - F.col("s")).cast("double")
+    disc = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    return (
+        stats.filter(dev_num > F.lit(sigma) * F.sqrt(disc))
+        .select(
+            key_col, "hour",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            (F.col("cnt") * F.col("n") - F.col("s")).cast("bigint").alias("dev_num"),
+            F.round(F.lit(sigma) * F.sqrt(disc), 6).alias("threshold"),
+        )
+    )

@@ -85,6 +85,10 @@ _VERIFY_FIRST = [
     "q20_excess_volume_suppliers",
     "q21_waiting_suppliers",
     "q22_sales_opportunity",
+    "kmv_distinct_users",
+    "event_value_percentiles",
+    "event_rate_spikes",
+    "boilerplate_ngram_spans",
     # operators touched in round 4 — re-verify next
     "lsh_verified_pairs",
     "dedup_resolution",
@@ -102,6 +106,7 @@ def load_all() -> dict[str, RegisteredQuery]:
     registry, ordered verify-first (see _VERIFY_FIRST) then by registration."""
     from streamalert_spark.queries import (  # noqa: F401
         analytics_ext,
+        analytics_sketch,
         curation_ext,
         llm_ops,
         multimodal_surface,

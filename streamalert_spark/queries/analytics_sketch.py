@@ -1,0 +1,188 @@
+"""Sketch / exact-statistics analytics over the events and documents
+tables: KMV cardinality (the oracle-checkable distinct sketch), exact
+percentiles, integer-exact rate-spike detection, and boilerplate n-gram
+span discovery.
+
+These complete the security-analytics floor implied by the reference's
+rate/threshold rule patterns (rules fire on aggregates the scheduled
+queries produce — SURVEY §2.6) and the standard corpus-boilerplate sweep
+of a training-data pipeline.
+
+Scale notes: every query is one or two partial-aggregated shuffles over
+the scan; the KMV window operates on O(k) rows per group; no driver
+collects; no UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamalert_spark.ops.sketch import KMV_K, hex_fraction_sql, kmv_distinct, rate_spikes
+from streamalert_spark.queries import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.session import read_table
+
+    return read_table(spark, sf_dir, "events")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.session import read_table
+
+    return read_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch — the cross-engine-exact alternative to HLL.
+# ---------------------------------------------------------------------------
+
+_KMV_ORACLE = f"""
+WITH hashed AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM (SELECT DISTINCT event_type, user_id FROM events)
+),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+  FROM hashed
+)
+SELECT event_type, h AS kth_min_hash,
+       CASE WHEN n_exact < {KMV_K} THEN CAST(n_exact AS DOUBLE)
+            ELSE ROUND({float(KMV_K - 1)!r} / ({hex_fraction_sql('h')}), 4)
+       END AS kmv_estimate,
+       CAST(n_exact AS BIGINT) AS exact_distinct
+FROM ranked
+WHERE rn = LEAST({KMV_K}, n_exact)
+ORDER BY event_type
+"""
+
+
+@query("kmv_distinct_users", oracle=_KMV_ORACLE,
+       doc="KMV (k-minimum-values) distinct-user sketch per event type, "
+           "next to the exact count: md5 order is engine-portable and the "
+           "hex->fraction conversion is a fixed-order 52-bit digit sum, so "
+           "the ESTIMATE itself is bit-identical across engines — the "
+           "oracle-checkable alternative to HLL. O(k) memory per group at "
+           "any cardinality.")
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        kmv_distinct(_events(spark, sf_dir), "event_type", "user_id")
+        .repartition(1).sortWithinPartitions("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (sort-based, linear interpolation on both engines).
+# ---------------------------------------------------------------------------
+
+_PCT_ORACLE = """
+SELECT event_type,
+       CAST(ROUND(quantile_cont(value, 0.5), 6) AS DOUBLE) AS p50,
+       CAST(ROUND(quantile_cont(value, 0.9), 6) AS DOUBLE) AS p90,
+       CAST(ROUND(quantile_cont(value, 0.99), 6) AS DOUBLE) AS p99,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("event_value_percentiles", oracle=_PCT_ORACLE,
+       doc="Exact per-type value percentiles (p50/p90/p99): Spark's "
+           "sort-based percentile and DuckDB's quantile_cont share the "
+           "rank = p*(n-1) linear-interpolation definition; round(6) "
+           "absorbs any final-operation ulp. The per-group sort is the "
+           "exact-percentile cost — percentile_approx's KLL sketch is the "
+           "scale fallback but is not engine-portable.")
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9D)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .repartition(1).sortWithinPartitions("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rate-spike detection — integer-derived 3-sigma thresholds.
+# ---------------------------------------------------------------------------
+
+_SPIKES_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, hour, cnt,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(cnt) OVER (PARTITION BY event_type) AS s,
+         SUM(cnt * cnt) OVER (PARTITION BY event_type) AS ss
+  FROM h
+)
+SELECT event_type, hour, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * n - s AS BIGINT) AS dev_num,
+       ROUND(3.0 * sqrt(CAST(n * ss - s * s AS DOUBLE)), 6) AS threshold
+FROM st
+WHERE CAST(cnt * n - s AS DOUBLE) > 3.0 * sqrt(CAST(n * ss - s * s AS DOUBLE))
+ORDER BY event_type, hour
+"""
+
+
+@query("event_rate_spikes", oracle=_SPIKES_ORACLE,
+       doc="Hourly rate-spike detection per event type (count > mean + "
+           "3*stddev_pop): thresholds derive ONLY from integer sums via "
+           "(c*n - s) > 3*sqrt(n*ss - s*s), so the single sqrt+multiply "
+           "are the only float ops — bit-identical across engines. The "
+           "rate-based anomaly primitive under threshold alert rules.")
+def event_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        rate_spikes(_events(spark, sf_dir), "event_type", "ts", sigma=3.0)
+        .repartition(1).sortWithinPartitions("event_type", "hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate span discovery — high-document-frequency n-grams.
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+)
+SELECT shingle, COUNT(*) AS df, MIN(doc_id) AS first_doc
+FROM sh
+GROUP BY shingle
+HAVING COUNT(*) >= 5
+ORDER BY df DESC, shingle
+"""
+
+
+@query("boilerplate_ngram_spans", oracle=_BOILERPLATE_ORACLE,
+       doc="Boilerplate discovery: n-gram spans shared by >= 5 distinct "
+           "docs (the repeated-span sweep that precedes span-level dedup "
+           "in a training-data pipeline; production corpora use longer "
+           "n and higher floors — the plan shape is identical). One "
+           "explode + two partial-aggregated shuffles; the HAVING floor "
+           "keeps the output at boilerplate scale.")
+def boilerplate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.dedup import shingles
+
+    sh = shingles(_docs(spark, sf_dir), n=3)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"),
+             F.min("doc_id").alias("first_doc"))
+        .filter(F.col("df") >= 5)
+        .repartition(1).sortWithinPartitions(F.col("df").desc(), "shingle")
+    )
