@@ -1,0 +1,99 @@
+"""Unit tests for the cross-engine-exact sketch operators (KMV
+cardinality, rate spikes) — semantics pinned against pure-Python
+references, plan shapes against .explain."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _py_kmv(values, k=32):
+    """Pure-Python KMV reference: (kth_min_hash, estimate, exact)."""
+    hashes = sorted(hashlib.md5(str(v).encode()).hexdigest() for v in set(values))  # noqa: S324
+    n = len(hashes)
+    kth = hashes[min(k, n) - 1]
+    if n < k:
+        return kth, float(n), n
+    frac = 0.0
+    for i, c in enumerate(kth[:13]):
+        frac = frac + int(c, 16) * 16.0 ** -(i + 1)
+    return kth, round((k - 1) / frac, 4), n
+
+
+def test_kmv_matches_python_reference_above_k(spark):
+    from streamalert_spark.ops.sketch import kmv_distinct
+
+    # duplicates must not affect the sketch; offset chosen as a TYPICAL
+    # hash draw (range(0,500) happens to be a ~3.8-sigma outlier of the
+    # unbiased estimator — verified by sweeping 40 disjoint windows)
+    values = list(range(1000, 1500)) * 2
+    df = spark.createDataFrame([("g", v) for v in values], "g string, v bigint")
+    row = kmv_distinct(df, "g", "v").collect()[0]
+    kth, est, n = _py_kmv(values)
+    assert row["kth_min_hash"] == kth
+    assert row["kmv_estimate"] == est
+    assert row["exact_distinct"] == n == 500
+    # sanity: within 4 relative stderr (stderr ~ n/sqrt(k-2))
+    assert abs(est - 500) / 500 < 4 / math.sqrt(30)
+
+
+def test_kmv_exact_fallback_below_k(spark):
+    """Groups with fewer than k distinct values report the EXACT count."""
+    from streamalert_spark.ops.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("small", v % 5) for v in range(50)], "g string, v bigint")
+    row = kmv_distinct(df, "g", "v").collect()[0]
+    assert row["kmv_estimate"] == 5.0
+    assert row["exact_distinct"] == 5
+
+
+def test_rate_spikes_flags_known_outlier(spark):
+    """A constructed series (47 quiet hours + one burst) must flag exactly
+    the burst hour, with the integer deviation and threshold matching the
+    Python reference."""
+    from streamalert_spark.ops.sketch import rate_spikes
+
+    rows = []
+    for h in range(48):
+        cnt = 50 if h == 13 else 2
+        for i in range(cnt):
+            rows.append((f"2024-01-01 {h % 24:02d}:00:{i % 60:02d}", h // 24))
+    df = spark.createDataFrame(rows, "t string, d bigint").select(
+        F.lit("k").alias("key"),
+        (F.to_timestamp("t") + F.make_interval(days=F.col("d"))).alias("ts"),
+    )
+    out = rate_spikes(df, "key", "ts").collect()
+    assert len(out) == 1
+    counts = [50 if h == 13 else 2 for h in range(48)]
+    n, s, ss = len(counts), sum(counts), sum(c * c for c in counts)
+    assert out[0]["cnt"] == 50
+    assert out[0]["dev_num"] == 50 * n - s
+    assert out[0]["threshold"] == round(3.0 * math.sqrt(float(n * ss - s * s)), 6)
+
+
+def test_rate_spikes_constant_series_flags_nothing(spark):
+    from streamalert_spark.ops.sketch import rate_spikes
+
+    rows = [(f"2024-01-01 {h:02d}:00:00",) for h in range(24)]
+    df = spark.createDataFrame(rows, "t string").select(
+        F.lit("k").alias("key"), F.to_timestamp("t").alias("ts"))
+    assert rate_spikes(df, "key", "ts").count() == 0
+
+
+def test_kmv_no_global_sort(spark):
+    """The KMV window must hash-partition by group, never range-sort the
+    whole relation."""
+    from streamalert_spark.ops.sketch import kmv_distinct
+
+    df = spark.createDataFrame([("g", v) for v in range(100)], "g string, v bigint")
+    plan = _plan(kmv_distinct(df, "g", "v"))
+    assert "RangePartitioning" not in plan, plan
