@@ -85,8 +85,17 @@ class HistoricalStore:
         writer.format("parquet").saveAsTable(name)
         return name
 
-    def read(self, spark, log_type: str) -> DataFrame:
-        return spark.read.parquet(self.table_path(log_type))
+    def read(self, spark, log_type: str, merge_schema: bool = False) -> DataFrame:
+        """Read a log type's historical table. ``merge_schema=True`` unions
+        the schemas of every Parquet footer (added columns backfill NULL in
+        older files) — the schema-evolution behavior the reference gets from
+        Athena reading evolved Firehose output against the latest Glue
+        schema. Off by default: the footer union costs one extra pass over
+        file metadata, which matters at 100 TB partition counts."""
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self.table_path(log_type))
 
 
 # ---------------------------------------------------------------------------

@@ -182,6 +182,27 @@ def test_historical_store_roundtrip(spark, tmp_path):
     assert back.filter(F.col("dt") == "2024-01-01-00").count() == 1
 
 
+def test_historical_store_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across batches (the reference's Firehose output
+    read by Athena against the latest Glue schema): a later batch with an
+    added column must union with earlier files under merge_schema=True,
+    backfilling NULL; the default read keeps the cheap single-footer
+    path."""
+    store = HistoricalStore(str(tmp_path / "store"))
+    v1 = spark.createDataFrame([("a", "2024-01-01-00")], ["msg", "dt"])
+    store.write_batch(v1, "app:log")
+    v2 = spark.createDataFrame(
+        [("b", 7, "2024-01-01-01")], ["msg", "severity", "dt"])
+    store.write_batch(v2, "app:log")
+
+    merged = store.read(spark, "app:log", merge_schema=True)
+    assert set(merged.columns) == {"msg", "severity", "dt"}
+    rows = {r["msg"]: r["severity"] for r in merged.collect()}
+    assert rows == {"a": None, "b": 7}
+    # partition pruning still applies to the merged read
+    assert merged.filter(F.col("dt") == "2024-01-01-01").count() == 1
+
+
 def test_alert_dispatcher_retry_semantics(spark, tmp_path):
     """alert_processor/main.py:76-115 — per-output success tracking."""
     attempts = {"n": 0}
