@@ -89,6 +89,8 @@ _VERIFY_FIRST = [
     "event_value_percentiles",
     "event_rate_spikes",
     "boilerplate_ngram_spans",
+    "graph_triangles",
+    "inverted_index_terms",
     # operators touched in round 4 — re-verify next
     "lsh_verified_pairs",
     "dedup_resolution",

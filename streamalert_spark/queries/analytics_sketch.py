@@ -186,3 +186,97 @@ def boilerplate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= 5)
         .repartition(1).sortWithinPartitions(F.col("df").desc(), "shingle")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle enumeration — the ordered-wedge join (each triangle found
+# exactly once via a < b < c orientation).
+# ---------------------------------------------------------------------------
+
+_TRIANGLES_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+raw AS (
+  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT cnt FROM n) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 3 + 7) % (SELECT cnt FROM n) FROM documents
+),
+edges AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst
+)
+SELECT e1.a AS a, e1.b AS b, e2.b AS c
+FROM edges e1
+JOIN edges e2 ON e2.a = e1.b
+JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+ORDER BY a, b, c
+"""
+
+
+@query("graph_triangles", oracle=_TRIANGLES_ORACLE,
+       doc="Triangle enumeration over the deterministic doc graph via the "
+           "ordered-wedge join (a<b<c orientation finds each triangle "
+           "once): two hash joins on edge endpoints — the standard "
+           "distributed triangle algorithm; wedge fan-out is bounded by "
+           "orienting edges low->high so hubs don't explode.")
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n = docs.count()  # driver scalar: node-space size for the modulus
+    raw = docs.select(F.col("doc_id").alias("src"),
+                      ((F.col("doc_id") * 2 + 1) % n).alias("dst")) \
+        .unionByName(docs.select(F.col("doc_id").alias("src"),
+                                 ((F.col("doc_id") * 3 + 7) % n).alias("dst")))
+    edges = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    e1 = edges.select(F.col("a").alias("a"), F.col("b").alias("w"))
+    e2 = edges.select(F.col("a").alias("w"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "w").select("a", F.col("w").alias("b"), "c")
+    closing = edges.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    return (
+        wedges.join(closing, ["a", "c"], "left_semi")
+        .select("a", "b", "c")
+        .repartition(1).sortWithinPartitions("a", "b", "c")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index over n-gram terms — posting lists as sorted arrays.
+# ---------------------------------------------------------------------------
+
+_INVINDEX_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS term
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+)
+SELECT term, COUNT(*) AS df,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM sh
+GROUP BY term
+HAVING COUNT(*) >= 5 AND COUNT(*) <= 8
+ORDER BY term
+"""
+
+
+@query("inverted_index_terms", oracle=_INVINDEX_ORACLE,
+       doc="Inverted-index build over n-gram terms: sorted posting-list "
+           "arrays per term with a df band keeping output bounded. One "
+           "explode + one partial-aggregated groupBy; at 100 TB the "
+           "posting arrays shard by term hash and high-df terms are "
+           "banded out exactly as here.")
+def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.dedup import shingles
+
+    sh = shingles(_docs(spark, sf_dir), n=3).withColumnRenamed("shingle", "term")
+    return (
+        sh.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"),
+             F.array_sort(F.collect_list("doc_id")).alias("postings"))
+        .filter((F.col("df") >= 5) & (F.col("df") <= 8))
+        .repartition(1).sortWithinPartitions("term")
+    )
