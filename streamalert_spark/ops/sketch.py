@@ -74,6 +74,10 @@ def kmv_distinct(
     """
     hashed = (
         df.select(F.col(group_col), F.col(value_col).cast("string").alias("v"))
+        # NULL values are excluded (COUNT DISTINCT semantics) — also keeps
+        # the hash ordering engine-portable (Spark sorts NULL first,
+        # DuckDB last)
+        .filter(F.col("v").isNotNull())
         .distinct()
         .select(group_col, F.md5(F.col("v")).alias("h"))
     )

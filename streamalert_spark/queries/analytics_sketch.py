@@ -41,7 +41,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_ORACLE = f"""
 WITH hashed AS (
   SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
-  FROM (SELECT DISTINCT event_type, user_id FROM events)
+  FROM (SELECT DISTINCT event_type, user_id FROM events
+        WHERE user_id IS NOT NULL)
 ),
 ranked AS (
   SELECT event_type, h,
