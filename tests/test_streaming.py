@@ -779,3 +779,49 @@ def test_available_now_trigger_drains_and_stops(spark, tmp_path):
     assert not q.isActive  # drained and self-terminated
     rows = spark.sql("SELECT * FROM an_out").collect()
     assert len(rows) == 5 and all(r["count"] == 1 for r in rows)
+
+
+def test_streaming_rate_threshold_alerts(spark, tmp_path):
+    """Rate-based alerting under Structured Streaming: a key that crosses
+    the per-window count threshold emits EXACTLY ONE alert row when the
+    watermark closes its window; quiet keys emit nothing; late-but-
+    within-watermark events still count."""
+    from streamalert_spark.streaming.spikes import rate_threshold_alerts
+
+    src_dir = tmp_path / "rate_in"
+    src_dir.mkdir()
+    # burst: key "a" gets 5 events in hour 0; key "b" only 2
+    rows = [{"k": "a", "ts": f"2024-01-01T00:0{i}:00.000Z"} for i in range(5)]
+    rows += [{"k": "b", "ts": "2024-01-01T00:01:00.000Z"},
+             {"k": "b", "ts": "2024-01-01T00:02:00.000Z"}]
+    with open(src_dir / "r1.jsonl", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    src = spark.readStream.schema("k string, ts timestamp").json(str(src_dir))
+    alerts = rate_threshold_alerts(src, "k", "ts", window="1 hour",
+                                   watermark="10 minutes", threshold=5)
+    q = (
+        alerts.writeStream.format("memory").queryName("rate_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # nothing emits while the window is open
+        assert spark.sql("SELECT * FROM rate_out").count() == 0
+        # advance the watermark past hour 0 + 10min to close the window
+        with open(src_dir / "r2.jsonl", "w") as fh:
+            fh.write(json.dumps(
+                {"k": "c", "ts": "2024-01-01T02:00:00.000Z"}) + "\n")
+        q.processAllAvailable()
+        with open(src_dir / "r3.jsonl", "w") as fh:
+            fh.write(json.dumps(
+                {"k": "c", "ts": "2024-01-01T02:00:01.000Z"}) + "\n")
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM rate_out").collect()
+    finally:
+        q.stop()
+    assert len(out) == 1
+    assert out[0]["k"] == "a" and out[0]["cnt"] == 5
+    assert out[0]["window_start"].hour == 0
