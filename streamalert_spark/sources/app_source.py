@@ -1,41 +1,52 @@
 """App-source pollers as a native Spark Python DataSource — the last
 SURVEY §2.1 row, re-expressed Spark-first.
 
-The reference runs each third-party API poller (duo, slack, box, ...) as
-a scheduled Lambda: `AppIntegration.gather()` loops `_gather_logs()`
-against the service API, checkpoints `_last_timestamp` in the parameter
-store, re-invokes itself while `_more_to_poll`, and ships batches to the
-classifier (reference: streamalert/apps/app_base.py:65-390,
-apps/_apps/duo.py:86-161, apps/_apps/__init__.py StreamAlertApp
-registry). On Spark the SAME loop is a streaming SOURCE: each microbatch
-is one poll, the engine's offset log replaces the parameter-store
-checkpoint (restart resumes from the committed last_timestamp), and
-`more_to_poll` simply means the next microbatch has data waiting.
+The reference runs each third-party API poller (duo, slack, aliyun, box,
+...) as a scheduled Lambda: `AppIntegration.gather()` loops
+`_gather_logs()` against the service API, checkpoints `_last_timestamp`
+in the parameter store, re-invokes itself while `_more_to_poll`, and
+ships batches to the classifier (reference: streamalert/apps/
+app_base.py:65-390, apps/_apps/duo.py:86-161, slack.py:25-270,
+aliyun.py:30-160, apps/_apps/__init__.py StreamAlertApp registry). On
+Spark the SAME loop is a streaming SOURCE: each microbatch is one poll,
+the engine's offset log replaces the parameter-store checkpoint (restart
+resumes from the committed state), and `more_to_poll` simply means the
+next microbatch has data waiting.
 
 Implemented with the Spark 4 Python DataSource API:
 - `AppPollerDataSource` registers as format "streamalert_app";
-- batch reads run the gather loop to exhaustion (backfill);
+- batch reads run the gather loop to exhaustion (backfill — the
+  reference's successive-invocation chain in one bounded loop);
 - streaming reads use SimpleDataSourceStreamReader — designed for
   low-volume driver-side sources exactly like an API poller: offsets are
-  {"last_timestamp": ...} dicts, `read(start)` performs ONE poll
-  (mirroring one Lambda invocation), and `readBetweenOffsets` replays a
-  committed range by re-querying the API for that time window (the same
-  replay duo/box support via their mintime/created_after parameters).
+  the app's opaque state dicts ({"last_timestamp": ..., "next_page":
+  ...}), `read(start)` performs ONE poll (one Lambda invocation), and
+  `readBetweenOffsets` replays a committed range by re-querying the API
+  for that window (the replay every timestamp-paginated API supports).
 
 HTTP transports stay injectable exactly like the output connectors
-(`streaming/outputs.py`): the request SHAPE (duo's signed-header
-construction, pagination, checkpoint advance) is ported and unit-tested;
-the network call is a pluggable fetch function, env-dependent by design.
+(`streaming/outputs.py`): the request SHAPE (duo's signed headers,
+slack's bearer + page/before pagination, aliyun's StartTime/EndTime/
+NextToken protocol, checkpoint advance) is ported and unit-tested; the
+network call is a pluggable fetch function, env-dependent by design.
+Transport-requiring apps register their fetchers in ``TRANSPORTS`` (the
+stream reader runs driver-side, so closures are fine; batch backfill of
+a transport app additionally requires the fetcher to be picklable).
 """
 
 from __future__ import annotations
 
 import json
 import re
+import time as _time
 from abc import ABC, abstractmethod
 from collections.abc import Callable, Iterator
 
 APP_REGISTRY: dict[str, type["AppIntegration"]] = {}
+
+# app_type -> constructor kwargs (fetch=..., clock=...) for apps that need
+# an HTTP transport; populated by the deployment (or tests)
+TRANSPORTS: dict[str, dict] = {}
 
 
 def streamalert_app(cls: type["AppIntegration"]) -> type["AppIntegration"]:
@@ -48,8 +59,10 @@ def streamalert_app(cls: type["AppIntegration"]) -> type["AppIntegration"]:
 class AppIntegration(ABC):
     """Transport-free port of apps/app_base.py:65-390.
 
-    State is EXPLICIT (passed in, returned out) instead of living on the
-    instance + parameter store: Spark's offset log owns the checkpoint.
+    State is an EXPLICIT dict (passed in, returned out) instead of living
+    on the instance + parameter store: Spark's offset log owns the
+    checkpoint, and per-run pagination cursors (slack's next_page /
+    before) ride in the same dict.
     """
 
     # duo returns at most 1000 logs per request (duo.py:34); subclasses
@@ -78,9 +91,8 @@ class AppIntegration(ABC):
 
     @classmethod
     def validate_auth(cls, auth: dict[str, str]) -> None:
-        """Auth-key presence + format validation (app_base.py:218,
-        config validate_auth): raises ValueError on a missing key or a
-        format mismatch."""
+        """Auth-key presence + format validation (app_base.py:218):
+        raises ValueError on a missing key or a format mismatch."""
         for key, info in cls.required_auth_info().items():
             if key not in auth:
                 raise ValueError(f"{cls.app_type()}: missing auth key '{key}'")
@@ -93,26 +105,38 @@ class AppIntegration(ABC):
         form this maps to the query trigger interval; kept for parity."""
         return 0
 
-    @abstractmethod
-    def poll(self, last_timestamp: int) -> tuple[list[dict], int, bool]:
-        """ONE poll against the service from (exclusive) last_timestamp.
+    def initial_state(self, options: dict) -> dict:
+        """First offset for a fresh checkpoint."""
+        return {"last_timestamp": int(options.get("start_timestamp", 0))}
 
-        Returns (records, new_last_timestamp, more_to_poll) — the triple
-        the reference tracks as (logs, self._last_timestamp,
+    @classmethod
+    def record_timestamp(cls, record: dict) -> int:
+        """Epoch seconds of one record, for the source's event_timestamp
+        column. Default: the 'timestamp' field (duo-shaped)."""
+        return int(record.get("timestamp", 0))
+
+    @abstractmethod
+    def poll(self, state: dict) -> tuple[list[dict], dict, bool]:
+        """ONE poll against the service from ``state``.
+
+        Returns (records, new_state, more_to_poll) — the triple the
+        reference tracks as (logs, self._last_timestamp,
         self._more_to_poll) in duo.py:129-161.
         """
 
-    def poll_between(self, start_ts: int, end_ts: int) -> list[dict]:
-        """Replay a committed window [start_ts+1, end_ts] for streaming
-        recovery — re-query by time range, the capability every
-        timestamp-paginated API in the reference has (duo mintime, box
-        created_after). Default: iterate poll() and clip."""
+    def poll_between(self, start_state: dict, end_state: dict) -> list[dict]:
+        """Replay a committed window for streaming recovery — re-query by
+        range, the capability every timestamp-paginated API in the
+        reference has (duo mintime, slack before, aliyun Start/EndTime).
+        Default: iterate poll() from start and clip at the end state's
+        last_timestamp."""
+        end_ts = int(end_state.get("last_timestamp", 0))
         out: list[dict] = []
-        ts = start_ts
+        state = dict(start_state)
         more = True
-        while more and ts < end_ts:
-            records, ts, more = self.poll(ts)
-            out.extend(r for r in records if r.get("timestamp", 0) <= end_ts)
+        while more and int(state.get("last_timestamp", 0)) < end_ts:
+            records, state, more = self.poll(state)
+            out.extend(r for r in records if self.record_timestamp(r) <= end_ts)
         return out
 
 
@@ -142,10 +166,11 @@ class SyntheticApp(AppIntegration):
     def app_type(cls) -> str:
         return "synthetic"
 
-    def poll(self, last_timestamp: int) -> tuple[list[dict], int, bool]:
-        start = int(last_timestamp) + 1  # mintime = last + 1 (duo.py:131)
+    def poll(self, state: dict) -> tuple[list[dict], dict, bool]:
+        last = int(state.get("last_timestamp", 0))
+        start = last + 1  # mintime = last + 1 (duo.py:131)
         if start > self.end_timestamp:
-            return [], int(last_timestamp), False
+            return [], {"last_timestamp": last}, False
         end = min(start + self.MAX_RESPONSE_LOGS - 1, self.end_timestamp)
         records = [
             {"timestamp": ts, "event_id": f"ev-{ts}", "result": "SUCCESS"}
@@ -153,7 +178,7 @@ class SyntheticApp(AppIntegration):
         ]
         # last = final record's timestamp (duo.py:156); more when the page
         # filled (duo.py:161)
-        return records, end, len(records) >= self.MAX_RESPONSE_LOGS
+        return records, {"last_timestamp": end}, len(records) >= self.MAX_RESPONSE_LOGS
 
 
 # ---------------------------------------------------------------------------
@@ -225,15 +250,16 @@ class DuoAdminApp(AppIntegration):
     def sleep_seconds(self) -> int:
         return 1  # duo rate limit parity
 
-    def poll(self, last_timestamp: int) -> tuple[list[dict], int, bool]:
+    def poll(self, state: dict) -> tuple[list[dict], dict, bool]:
         if self.fetch is None:
             raise NotImplementedError(
                 "duo_admin requires an HTTP transport; inject fetch=... "
                 "(env-dependent by design — see streaming/outputs.py)")
         from datetime import datetime, timezone
 
+        last = int(state.get("last_timestamp", 0))
         hostname = self.auth["api_hostname"]
-        params = {"mintime": str(int(last_timestamp) + 1)}  # duo.py:131
+        params = {"mintime": str(last + 1)}  # duo.py:131
         date = datetime.now(timezone.utc).strftime("%a, %d %b %Y %H:%M:%S -0000")
         headers = duo_signed_headers(
             hostname, self._ENDPOINT, params,
@@ -241,8 +267,236 @@ class DuoAdminApp(AppIntegration):
         response = self.fetch(f"https://{hostname}{self._ENDPOINT}", headers, params)
         logs = response.get("response") or []
         if not logs:
-            return [], int(last_timestamp), False
-        return logs, logs[-1]["timestamp"], len(logs) >= self.MAX_RESPONSE_LOGS
+            return [], {"last_timestamp": last}, False
+        return (logs, {"last_timestamp": logs[-1]["timestamp"]},
+                len(logs) >= self.MAX_RESPONSE_LOGS)
+
+
+# ---------------------------------------------------------------------------
+# Slack apps — bearer auth, count/page pagination, value-level filtering.
+# ---------------------------------------------------------------------------
+
+
+class SlackApp(AppIntegration):
+    """slack.py:25-131 SlackApp: POST form data with count/page, bearer
+    token, per-endpoint response filtering (slack provides no server-side
+    mintime, so new-record filtering happens on date fields client-side);
+    last_timestamp advances to the poll's wall clock (slack.py:128-130).
+    ``clock`` is injectable so checkpoint advance is testable."""
+
+    MAX_ENTRY_COUNT = 1000   # slack.py:40
+    MAX_PAGE_COUNT = 100     # slack.py:41
+    _BASE_URL = "https://slack.com/api/"
+
+    def __init__(self, auth: dict[str, str],
+                 fetch: Callable[[str, dict, dict], dict] | None = None,
+                 clock: Callable[[], float] = _time.time):
+        super().__init__(auth)
+        self.fetch = fetch
+        self.clock = clock
+
+    @classmethod
+    def service(cls) -> str:
+        return "slack"
+
+    @classmethod
+    def required_auth_info(cls) -> dict[str, dict]:
+        # slack.py:72-80
+        return {"auth_token": {"format": re.compile(r"^xoxp-[a-zA-Z0-9-]+$")}}
+
+    @classmethod
+    def endpoint(cls) -> str:
+        raise NotImplementedError
+
+    def request_data(self, state: dict) -> dict:
+        # slack.py:92-99
+        return {"count": self.MAX_ENTRY_COUNT, "page": int(state.get("next_page", 1))}
+
+    def filter_response_entries(self, response: dict, last_timestamp: int) -> list[dict]:
+        raise NotImplementedError
+
+    def check_for_more(self, response: dict, state: dict) -> tuple[dict, bool]:
+        """slack.py:82-85 base pagination: advance the page; more unless
+        the response says we're on the last one."""
+        new_state = dict(state)
+        new_state["next_page"] = int(state.get("next_page", 1)) + 1
+        paging = response.get("paging")
+        more = not (paging is not None and paging["pages"] == paging["page"])
+        return new_state, more
+
+    def poll(self, state: dict) -> tuple[list[dict], dict, bool]:
+        if self.fetch is None:
+            raise NotImplementedError(
+                "slack apps require an HTTP transport; inject fetch=...")
+        headers = {
+            "Content-Type": "application/x-www-form-urlencoded",
+            "Authorization": f"Bearer {self.auth['auth_token']}",  # slack.py:106-110
+        }
+        response = self.fetch(self._BASE_URL + self.endpoint(), headers,
+                              self.request_data(state))
+        if not response.get("ok"):
+            # slack.py:121-124: error/warning ends the gather run
+            return [], dict(state), False
+        last = int(state.get("last_timestamp", 0))
+        new_state, more = self.check_for_more(response, state)
+        results = self.filter_response_entries(response, last)
+        new_state["last_timestamp"] = int(self.clock())  # slack.py:128-130
+        if not more:
+            # gather run complete: reset the pagination cursors, exactly
+            # like the reference's fresh instance per Lambda invocation
+            # (slack.py:43-46 __init__ next_page=1, before=None)
+            new_state["next_page"] = 1
+            new_state.pop("before", None)
+        return results, new_state, more
+
+
+@streamalert_app
+class SlackAccessApp(SlackApp):
+    """slack.py:134-221 team.accessLogs: entries keyed (user, ip, agent)
+    with date_first/date_last; filtered on date_last > checkpoint; page
+    exhaustion at the API cap resets to page 1 with before=oldest
+    date_first (slack.py:183-205)."""
+
+    @classmethod
+    def app_type(cls) -> str:
+        return "slack_access"
+
+    @classmethod
+    def endpoint(cls) -> str:
+        return "team.accessLogs"
+
+    @classmethod
+    def record_timestamp(cls, record: dict) -> int:
+        return int(record.get("date_last", 0))
+
+    def request_data(self, state: dict) -> dict:
+        data = super().request_data(state)
+        if state.get("before"):
+            data["before"] = state["before"]  # slack.py:195-204
+        return data
+
+    def filter_response_entries(self, response: dict, last_timestamp: int) -> list[dict]:
+        # slack.py:178-181
+        return [x for x in response.get("logins", [])
+                if x["date_last"] > last_timestamp]
+
+    def check_for_more(self, response: dict, state: dict) -> tuple[dict, bool]:
+        # slack.py:183-193: at the API's page cap, restart from page 1
+        # bounded above by the oldest entry seen
+        paging = response.get("paging", {})
+        new_state = dict(state)
+        if (paging.get("page", 0) >= self.MAX_PAGE_COUNT
+                and paging.get("count", 0) >= self.MAX_ENTRY_COUNT):
+            new_state["before"] = response["logins"][-1]["date_first"]
+            new_state["next_page"] = 1
+            return new_state, True
+        new_state["next_page"] = int(state.get("next_page", 1)) + 1
+        return new_state, paging.get("pages", 1) > paging.get("page", 1)
+
+
+@streamalert_app
+class SlackIntegrationsApp(SlackApp):
+    """slack.py:223-270 team.integrationLogs: entries filtered on
+    date > checkpoint; base pagination."""
+
+    @classmethod
+    def app_type(cls) -> str:
+        return "slack_integration"
+
+    @classmethod
+    def endpoint(cls) -> str:
+        return "team.integrationLogs"
+
+    @classmethod
+    def record_timestamp(cls, record: dict) -> int:
+        return int(record.get("date", 0))
+
+    def filter_response_entries(self, response: dict, last_timestamp: int) -> list[dict]:
+        # slack.py:256-259
+        return [x for x in response.get("logs", [])
+                if int(x["date"]) > last_timestamp]
+
+
+# ---------------------------------------------------------------------------
+# Aliyun ActionTrail — StartTime/EndTime window + NextToken pagination.
+# ---------------------------------------------------------------------------
+
+
+@streamalert_app
+class AliyunActionTrailApp(AppIntegration):
+    """aliyun.py:30-160 AliyunApp: LookupEvents over a [StartTime,
+    EndTime] window with NextToken pagination; the checkpoint advances to
+    the response's EndTime (aliyun.py:146-152). The reference delegates
+    wire signing to the public aliyun SDK (AcsClient), so the transport
+    here is the injected ``fetch(params) -> response-dict`` — request
+    parameters and pagination semantics are the ported surface."""
+
+    MAX_RESULTS = 50  # aliyun.py:52
+
+    def __init__(self, auth: dict[str, str],
+                 fetch: Callable[[dict], dict] | None = None,
+                 now_fn: Callable[[], str] | None = None):
+        super().__init__(auth)
+        self.fetch = fetch
+        self.now_fn = now_fn
+
+    @classmethod
+    def service(cls) -> str:
+        return "aliyun"
+
+    @classmethod
+    def app_type(cls) -> str:
+        return "aliyun_actiontrail"
+
+    @classmethod
+    def date_formatter(cls) -> str:
+        return "%Y-%m-%dT%H:%M:%SZ"  # aliyun.py:93
+
+    @classmethod
+    def required_auth_info(cls) -> dict[str, dict]:
+        # aliyun.py:161+ — access keys + region
+        return {
+            "access_key_id": {"format": re.compile(r"^[a-zA-Z0-9]+$")},
+            "access_key_secret": {"format": re.compile(r"^[a-zA-Z0-9]+$")},
+            "region_id": {"format": re.compile(r"^[a-z0-9-]+$")},
+        }
+
+    def initial_state(self, options: dict) -> dict:
+        return {"last_timestamp": options.get("start_time", "1970-01-01T00:00:00Z")}
+
+    @classmethod
+    def record_timestamp(cls, record: dict) -> int:
+        import calendar
+        from datetime import datetime
+
+        et = record.get("eventTime")
+        if not et:
+            return 0
+        return calendar.timegm(
+            datetime.strptime(et, "%Y-%m-%dT%H:%M:%SZ").timetuple())
+
+    def poll(self, state: dict) -> tuple[list[dict], dict, bool]:
+        if self.fetch is None:
+            raise NotImplementedError(
+                "aliyun_actiontrail requires a transport (the reference "
+                "uses the public aliyun SDK's AcsClient); inject fetch=...")
+        from datetime import datetime, timezone
+
+        now = (self.now_fn() if self.now_fn else
+               datetime.now(timezone.utc).strftime(self.date_formatter()))
+        params = {
+            "MaxResults": str(self.MAX_RESULTS),
+            "StartTime": state.get("last_timestamp", "1970-01-01T00:00:00Z"),
+            "EndTime": now,  # aliyun.py:74
+        }
+        if state.get("next_token"):
+            params["NextToken"] = state["next_token"]  # aliyun.py:148-150
+        response = self.fetch(params)
+        new_state = {"last_timestamp": response["EndTime"]}  # aliyun.py:146
+        more = "NextToken" in response
+        if more:
+            new_state["next_token"] = response["NextToken"]
+        return response.get("Events", []), new_state, more
 
 
 # ---------------------------------------------------------------------------
@@ -252,14 +506,17 @@ class DuoAdminApp(AppIntegration):
 APP_SOURCE_SCHEMA = "record string, log_type string, event_timestamp bigint"
 
 
-def _build_app(options: dict) -> AppIntegration:
+def _build_app(options: dict, transports: dict | None = None) -> AppIntegration:
     app_type = options.get("app", "synthetic")
     if app_type not in APP_REGISTRY:
         raise ValueError(f"unknown app type: {app_type!r} "
                          f"(registered: {sorted(APP_REGISTRY)})")
     cls = APP_REGISTRY[app_type]
     auth = {k[5:]: v for k, v in options.items() if k.startswith("auth_")}
-    kwargs = {}
+    # transports captured at DataSource construction (driver) win over the
+    # module registry, which is empty in a fresh python worker process
+    reg = TRANSPORTS if transports is None else transports
+    kwargs = dict(reg.get(app_type, {}))
     if "end_timestamp" in options and cls is SyntheticApp:
         kwargs["end_timestamp"] = int(options["end_timestamp"])
     return cls(auth, **kwargs)
@@ -268,7 +525,7 @@ def _build_app(options: dict) -> AppIntegration:
 def _rows(app: AppIntegration, records: list[dict]) -> Iterator[tuple]:
     log_type = f"{app.service()}:{app.app_type()}"
     for r in records:
-        yield (json.dumps(r, sort_keys=True), log_type, int(r.get("timestamp", 0)))
+        yield (json.dumps(r, sort_keys=True), log_type, app.record_timestamp(r))
 
 
 def make_app_poller_datasource():
@@ -286,51 +543,73 @@ def make_app_poller_datasource():
         successive-invocation chain (app_base.py:236-258 _finalize ->
         _invoke_successive_app) collapsed into one bounded loop."""
 
-        def __init__(self, options):
+        def __init__(self, options, transports):
             self.options = dict(options)
+            self.transports = transports
 
         def partitions(self):
             return [InputPartition(0)]
 
         def read(self, partition):
-            app = _build_app(self.options)
-            ts = int(self.options.get("start_timestamp", 0))
+            app = _build_app(self.options, self.transports)
+            state = app.initial_state(self.options)
             more = True
             while more:
-                records, ts, more = app.poll(ts)
+                records, state, more = app.poll(state)
                 yield from _rows(app, records)
 
     class AppStreamReader(SimpleDataSourceStreamReader):
         """One poll per microbatch; Spark's offset log is the
         parameter-store checkpoint (app_base.py:222-247)."""
 
-        def __init__(self, options):
+        def __init__(self, options, transports):
             self.options = dict(options)
+            self.transports = transports
             self._app = None
+
+        def __getstate__(self):
+            # the cached app may hold unpicklable live handles; the
+            # captured transports (closures via cloudpickle) are enough
+            # to rebuild it on the other side
+            state = dict(self.__dict__)
+            state["_app"] = None
+            return state
 
         def _get_app(self) -> AppIntegration:
             if self._app is None:
-                self._app = _build_app(self.options)
+                self._app = _build_app(self.options, self.transports)
             return self._app
 
         def initialOffset(self) -> dict:
-            return {"last_timestamp": int(self.options.get("start_timestamp", 0))}
+            return self._get_app().initial_state(self.options)
 
         def read(self, start: dict):
             app = self._get_app()
-            records, new_ts, _more = app.poll(int(start["last_timestamp"]))
-            return iter(list(_rows(app, records))), {"last_timestamp": int(new_ts)}
+            records, new_state, more = app.poll(dict(start))
+            rows = list(_rows(app, records))
+            if not rows and not more:
+                # no data and nothing pending: hold the offset STABLE so
+                # the engine can see quiescence (a mutating offset would
+                # make processAllAvailable spin forever)
+                return iter([]), dict(start)
+            return iter(rows), new_state
 
         def readBetweenOffsets(self, start: dict, end: dict):
             app = self._get_app()
-            records = app.poll_between(
-                int(start["last_timestamp"]), int(end["last_timestamp"]))
-            return iter(list(_rows(app, records)))
+            return iter(list(_rows(app, app.poll_between(dict(start), dict(end)))))
 
         def commit(self, end: dict) -> None:
             pass  # the engine's offset log is the durable checkpoint
 
     class AppPollerDataSource(DataSource):
+        def __init__(self, options):
+            super().__init__(options)
+            # snapshot the transport registry NOW (driver-side): the
+            # instance pickles to the streaming python worker with the
+            # fetch closures serialized by value (cloudpickle), where the
+            # module-level TRANSPORTS dict would be empty
+            self._transports = {k: dict(v) for k, v in TRANSPORTS.items()}
+
         @classmethod
         def name(cls) -> str:
             return "streamalert_app"
@@ -339,10 +618,10 @@ def make_app_poller_datasource():
             return APP_SOURCE_SCHEMA
 
         def reader(self, schema) -> AppBatchReader:
-            return AppBatchReader(self.options)
+            return AppBatchReader(self.options, self._transports)
 
         def simpleStreamReader(self, schema) -> AppStreamReader:
-            return AppStreamReader(self.options)
+            return AppStreamReader(self.options, self._transports)
 
     return AppPollerDataSource
 

@@ -74,27 +74,27 @@ def test_duo_poll_with_injected_transport():
         ]}
 
     app = DuoAdminApp(DUO_AUTH, fetch=fetch)
-    records, last, more = app.poll(100)
+    records, state, more = app.poll({"last_timestamp": 100})
     assert seen["params"] == {"mintime": "101"}
     assert seen["url"].endswith("/admin/v1/logs/administrator")
     assert [r["timestamp"] for r in records] == [120, 130]
-    assert last == 130
+    assert state == {"last_timestamp": 130}
     assert more is False  # 2 < MAX_RESPONSE_LOGS
 
     with pytest.raises(NotImplementedError):
-        DuoAdminApp(DUO_AUTH).poll(0)
+        DuoAdminApp(DUO_AUTH).poll({"last_timestamp": 0})
 
 
 def test_synthetic_poll_pagination():
     app = SyntheticApp({}, end_timestamp=250)
-    records, last, more = app.poll(0)
-    assert len(records) == 100 and last == 100 and more
-    records, last, more = app.poll(last)
-    assert len(records) == 100 and last == 200 and more
-    records, last, more = app.poll(last)
-    assert len(records) == 50 and last == 250 and not more
-    records, last, more = app.poll(last)
-    assert records == [] and last == 250 and not more
+    records, st, more = app.poll({"last_timestamp": 0})
+    assert len(records) == 100 and st["last_timestamp"] == 100 and more
+    records, st, more = app.poll(st)
+    assert len(records) == 100 and st["last_timestamp"] == 200 and more
+    records, st, more = app.poll(st)
+    assert len(records) == 50 and st["last_timestamp"] == 250 and not more
+    records, st, more = app.poll(st)
+    assert records == [] and st["last_timestamp"] == 250 and not more
 
 
 def test_batch_backfill_reads_all(spark):
@@ -170,3 +170,148 @@ def test_app_source_feeds_classifier(spark):
     out = batch.by_log_type["synthetic:synthetic"]
     assert out.count() == 50
     assert batch.invalid.count() == 0
+
+
+def test_slack_access_pagination_and_filtering():
+    """slack.py:82-205: bearer header, count/page form data, date_last
+    client-side filtering, page-cap reset with before=oldest date_first,
+    last_timestamp advances to the poll's wall clock."""
+    from streamalert_spark.sources.app_source import SlackAccessApp
+
+    auth = {"auth_token": "xoxp-abc-123"}
+    calls = []
+
+    def fetch(url, headers, data):
+        calls.append((url, dict(headers), dict(data)))
+        return {
+            "ok": True,
+            "logins": [
+                {"user_id": "U1", "date_first": 90, "date_last": 150},
+                {"user_id": "U2", "date_first": 80, "date_last": 100},  # old
+            ],
+            "paging": {"count": 1000, "page": 1, "pages": 3},
+        }
+
+    app = SlackAccessApp(auth, fetch=fetch, clock=lambda: 777.9)
+    records, state, more = app.poll({"last_timestamp": 120, "next_page": 1})
+    url, headers, data = calls[0]
+    assert url.endswith("team.accessLogs")
+    assert headers["Authorization"] == "Bearer xoxp-abc-123"
+    assert data == {"count": 1000, "page": 1}
+    assert [r["user_id"] for r in records] == ["U1"]  # date_last filter
+    assert more is True and state["next_page"] == 2
+    assert state["last_timestamp"] == 777  # clock checkpoint (slack.py:128)
+
+    # page-cap reset: page 100 full -> before = oldest date_first, page 1
+    def fetch_cap(url, headers, data):
+        return {
+            "ok": True,
+            "logins": [{"user_id": "U9", "date_first": 55, "date_last": 60}],
+            "paging": {"count": 1000, "page": 100, "pages": 200},
+        }
+
+    app = SlackAccessApp(auth, fetch=fetch_cap, clock=lambda: 888)
+    _, state, more = app.poll({"last_timestamp": 0, "next_page": 100})
+    assert more is True
+    assert state["next_page"] == 1 and state["before"] == 55
+
+    # API error ends the run (slack.py:121-124)
+    app = SlackAccessApp(auth, fetch=lambda u, h, d: {"ok": False, "error": "ratelimited"})
+    records, state, more = app.poll({"last_timestamp": 5})
+    assert records == [] and more is False and state["last_timestamp"] == 5
+
+
+def test_slack_integrations_filtering():
+    """slack.py:256-259: team.integrationLogs filters on date field."""
+    from streamalert_spark.sources.app_source import SlackIntegrationsApp
+
+    def fetch(url, headers, data):
+        assert url.endswith("team.integrationLogs")
+        return {
+            "ok": True,
+            "logs": [{"date": "200", "service_type": "bot"},
+                     {"date": "90", "service_type": "bot"}],
+            "paging": {"count": 1000, "page": 1, "pages": 1},
+        }
+
+    app = SlackIntegrationsApp({"auth_token": "xoxp-1"}, fetch=fetch, clock=lambda: 300)
+    records, state, more = app.poll({"last_timestamp": 100})
+    assert [r["date"] for r in records] == ["200"]
+    assert more is False
+
+
+def test_aliyun_window_and_next_token():
+    """aliyun.py:129-155: StartTime from the checkpoint, EndTime = now,
+    NextToken continuation; checkpoint advances to response EndTime."""
+    from streamalert_spark.sources.app_source import AliyunActionTrailApp
+
+    auth = {"access_key_id": "LTAI4Fabc", "access_key_secret": "s3cr3t",
+            "region_id": "cn-hangzhou"}
+    calls = []
+
+    def fetch(params):
+        calls.append(dict(params))
+        resp = {
+            "EndTime": "2024-02-01T00:00:00Z",
+            "StartTime": params["StartTime"],
+            "Events": [{"eventId": "e1", "eventTime": "2024-01-15T10:00:00Z"}],
+        }
+        if "NextToken" not in params:
+            resp["NextToken"] = "2"
+        return resp
+
+    app = AliyunActionTrailApp(auth, fetch=fetch,
+                               now_fn=lambda: "2024-02-01T00:00:00Z")
+    state = app.initial_state({"start_time": "2024-01-01T00:00:00Z"})
+    records, state, more = app.poll(state)
+    assert calls[0]["StartTime"] == "2024-01-01T00:00:00Z"
+    assert calls[0]["EndTime"] == "2024-02-01T00:00:00Z"
+    assert more is True and state["next_token"] == "2"
+    assert state["last_timestamp"] == "2024-02-01T00:00:00Z"
+    # continuation carries NextToken; completion clears it
+    records, state, more = app.poll(state)
+    assert calls[1]["NextToken"] == "2"
+    assert more is False and "next_token" not in state
+    # eventTime -> epoch for the source's event_timestamp column
+    assert AliyunActionTrailApp.record_timestamp(records[0]) == 1705312800
+
+
+def test_transport_registry_streaming(spark, tmp_path):
+    """TRANSPORTS injection: a transport app streams through the
+    DataSource with its fetcher registered (driver-side reads)."""
+    from streamalert_spark.sources import app_source
+
+    def fetch(url, headers, data):
+        return {
+            "ok": True,
+            "logs": [{"date": "150", "service_type": "bot"}],
+            "paging": {"count": 1000, "page": 1, "pages": 1},
+        }
+
+    app_source.TRANSPORTS["slack_integration"] = {
+        "fetch": fetch, "clock": lambda: 500}
+    try:
+        register_app_source(spark)
+        src = (
+            spark.readStream.format("streamalert_app")
+            .option("app", "slack_integration")
+            .option("auth_auth_token", "xoxp-test-1")
+            .load()
+        )
+        q = (
+            src.writeStream.format("memory").queryName("slack_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_slack"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM slack_out").collect()
+        finally:
+            q.stop()
+    finally:
+        del app_source.TRANSPORTS["slack_integration"]
+    assert len(rows) >= 1
+    assert rows[0]["log_type"] == "slack:slack_integration"
+    assert json.loads(rows[0]["record"])["date"] == "150"
+    assert rows[0]["event_timestamp"] == 150
