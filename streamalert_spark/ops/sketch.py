@@ -111,11 +111,14 @@ def rate_spikes(
     over all its hours — the rate-based anomaly primitive under
     threshold/alert rules.
 
-    Exactness: per-key n, sum, sum-of-squares are integer-exact; the
-    comparison is the rearranged  (c*n - s) > sigma*sqrt(n*ss - s*s),
-    whose only float ops are one sqrt and one multiply (correctly
-    rounded, identical both engines). Two shuffles: (key, hour) count,
-    then key-window stats over the (small) per-key hour set.
+    Exactness: per-key n, sum, sum-of-squares are integer-exact bigints;
+    the comparison is the rearranged  (c*n - s) > sigma*sqrt(n*ss - s*s)
+    with every product computed in DOUBLE (cast the exact integers first,
+    then multiply — a bigint product n*ss or s*s would silently wrap past
+    2^63 on a key with billions of events, NaN the sqrt, and suppress all
+    its spikes). Each double op is correctly-rounded IEEE over identical
+    operands, hence identical on both engines. Two shuffles: (key, hour)
+    count, then key-window stats over the (small) per-key hour set.
     """
     hourly = (
         df.select(F.col(key_col), F.date_trunc("hour", F.col(ts_col)).alias("hour"))
@@ -129,14 +132,15 @@ def rate_spikes(
         F.sum("cnt").over(w).alias("s"),
         F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("ss"),
     )
-    dev_num = (F.col("cnt") * F.col("n") - F.col("s")).cast("double")
-    disc = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dev = d("cnt") * d("n") - d("s")
+    disc = d("n") * d("ss") - d("s") * d("s")
     return (
-        stats.filter(dev_num > F.lit(sigma) * F.sqrt(disc))
+        stats.filter(dev > F.lit(sigma) * F.sqrt(disc))
         .select(
             key_col, "hour",
             F.col("cnt").cast("bigint").alias("cnt"),
-            (F.col("cnt") * F.col("n") - F.col("s")).cast("bigint").alias("dev_num"),
+            F.round(dev, 6).alias("dev"),
             F.round(F.lit(sigma) * F.sqrt(disc), 6).alias("threshold"),
         )
     )

@@ -129,10 +129,13 @@ st AS (
   FROM h
 )
 SELECT event_type, hour, CAST(cnt AS BIGINT) AS cnt,
-       CAST(cnt * n - s AS BIGINT) AS dev_num,
-       ROUND(3.0 * sqrt(CAST(n * ss - s * s AS DOUBLE)), 6) AS threshold
+       ROUND(CAST(cnt AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s AS DOUBLE), 6) AS dev,
+       ROUND(3.0 * sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS threshold
 FROM st
-WHERE CAST(cnt * n - s AS DOUBLE) > 3.0 * sqrt(CAST(n * ss - s * s AS DOUBLE))
+WHERE CAST(cnt AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s AS DOUBLE)
+      > 3.0 * sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
 ORDER BY event_type, hour
 """
 
@@ -140,8 +143,9 @@ ORDER BY event_type, hour
 @query("event_rate_spikes", oracle=_SPIKES_ORACLE,
        doc="Hourly rate-spike detection per event type (count > mean + "
            "3*stddev_pop): thresholds derive ONLY from integer sums via "
-           "(c*n - s) > 3*sqrt(n*ss - s*s), so the single sqrt+multiply "
-           "are the only float ops — bit-identical across engines. The "
+           "(c*n - s) > 3*sqrt(n*ss - s*s) computed in DOUBLE from exact "
+           "integer sums (no bigint product overflow) — bit-identical "
+           "across engines. The "
            "rate-based anomaly primitive under threshold alert rules.")
 def event_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (

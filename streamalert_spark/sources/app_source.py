@@ -317,11 +317,14 @@ class SlackApp(AppIntegration):
 
     def check_for_more(self, response: dict, state: dict) -> tuple[dict, bool]:
         """slack.py:82-85 base pagination: advance the page; more unless
-        the response says we're on the last one."""
+        the response says we're on the last one. Deliberate delta: a
+        response with no/partial paging info terminates the run (the
+        reference would loop until the Lambda timeout killed it — a
+        bounded engine must not busy-poll forever)."""
         new_state = dict(state)
         new_state["next_page"] = int(state.get("next_page", 1)) + 1
-        paging = response.get("paging")
-        more = not (paging is not None and paging["pages"] == paging["page"])
+        paging = response.get("paging") or {}
+        more = bool(paging) and paging.get("pages", 1) != paging.get("page", 1)
         return new_state, more
 
     def poll(self, state: dict) -> tuple[list[dict], dict, bool]:
@@ -340,11 +343,18 @@ class SlackApp(AppIntegration):
         last = int(state.get("last_timestamp", 0))
         new_state, more = self.check_for_more(response, state)
         results = self.filter_response_entries(response, last)
-        new_state["last_timestamp"] = int(self.clock())  # slack.py:128-130
-        if not more:
-            # gather run complete: reset the pagination cursors, exactly
-            # like the reference's fresh instance per Lambda invocation
-            # (slack.py:43-46 __init__ next_page=1, before=None)
+        if more:
+            # mid-pagination: KEEP filtering against the run-start
+            # checkpoint. Deliberate delta from slack.py:128-130, which
+            # advances _last_timestamp to the wall clock after EVERY page —
+            # making pages 2..N filter against "now" and silently drop
+            # (the reference loses them too; we don't replicate data loss).
+            new_state["last_timestamp"] = last
+        else:
+            # gather run complete: advance the checkpoint to this run's
+            # wall clock and reset the pagination cursors, like the
+            # reference's fresh instance per invocation (slack.py:43-46)
+            new_state["last_timestamp"] = int(self.clock())
             new_state["next_page"] = 1
             new_state.pop("before", None)
         return results, new_state, more
@@ -382,12 +392,15 @@ class SlackAccessApp(SlackApp):
 
     def check_for_more(self, response: dict, state: dict) -> tuple[dict, bool]:
         # slack.py:183-193: at the API's page cap, restart from page 1
-        # bounded above by the oldest entry seen
-        paging = response.get("paging", {})
+        # bounded above by the oldest entry seen (guarded: an empty logins
+        # list at the cap terminates instead of KeyErroring)
+        paging = response.get("paging") or {}
+        logins = response.get("logins") or []
         new_state = dict(state)
-        if (paging.get("page", 0) >= self.MAX_PAGE_COUNT
+        if (logins
+                and paging.get("page", 0) >= self.MAX_PAGE_COUNT
                 and paging.get("count", 0) >= self.MAX_ENTRY_COUNT):
-            new_state["before"] = response["logins"][-1]["date_first"]
+            new_state["before"] = logins[-1]["date_first"]
             new_state["next_page"] = 1
             return new_state, True
         new_state["next_page"] = int(state.get("next_page", 1)) + 1
@@ -476,27 +489,57 @@ class AliyunActionTrailApp(AppIntegration):
             datetime.strptime(et, "%Y-%m-%dT%H:%M:%SZ").timetuple())
 
     def poll(self, state: dict) -> tuple[list[dict], dict, bool]:
+        """One LookupEvents page. The [StartTime, EndTime] window is FIXED
+        across a NextToken continuation (the reference builds the request
+        object once per run, aliyun.py:66-77 — a token is only valid for
+        the window that issued it); the checkpoint advances to the
+        window's EndTime only when its final page arrives. Deliberate
+        delta: the reference moves last_timestamp to EndTime on the FIRST
+        page (aliyun.py:140-152) and its own comment admits the remaining
+        pages are lost on a crash — holding the checkpoint until the
+        window completes makes recovery at-least-once instead."""
+        if state.get("next_token"):
+            end_t = state["window_end"]  # continue the SAME window
+        else:
+            from datetime import datetime, timezone
+
+            end_t = (self.now_fn() if self.now_fn else
+                     datetime.now(timezone.utc).strftime(self.date_formatter()))
+        return self._poll_window(state, end_t)
+
+    def _poll_window(self, state: dict, end_t: str) -> tuple[list[dict], dict, bool]:
         if self.fetch is None:
             raise NotImplementedError(
                 "aliyun_actiontrail requires a transport (the reference "
                 "uses the public aliyun SDK's AcsClient); inject fetch=...")
-        from datetime import datetime, timezone
-
-        now = (self.now_fn() if self.now_fn else
-               datetime.now(timezone.utc).strftime(self.date_formatter()))
+        start_t = state.get("last_timestamp", "1970-01-01T00:00:00Z")
         params = {
             "MaxResults": str(self.MAX_RESULTS),
-            "StartTime": state.get("last_timestamp", "1970-01-01T00:00:00Z"),
-            "EndTime": now,  # aliyun.py:74
+            "StartTime": start_t,
+            "EndTime": end_t,  # aliyun.py:74
         }
         if state.get("next_token"):
             params["NextToken"] = state["next_token"]  # aliyun.py:148-150
         response = self.fetch(params)
-        new_state = {"last_timestamp": response["EndTime"]}  # aliyun.py:146
-        more = "NextToken" in response
-        if more:
-            new_state["next_token"] = response["NextToken"]
-        return response.get("Events", []), new_state, more
+        if "NextToken" in response:
+            new_state = {"last_timestamp": start_t, "window_end": end_t,
+                         "next_token": response["NextToken"]}
+            return response.get("Events", []), new_state, True
+        return response.get("Events", []), {"last_timestamp": end_t}, False
+
+    def poll_between(self, start_state: dict, end_state: dict) -> list[dict]:
+        """Replay the committed window exactly: EndTime pinned to the end
+        offset's timestamp (ISO strings — the generic int() loop does not
+        apply), NextToken pages until exhausted."""
+        state = dict(start_state)
+        end_t = state.get("window_end") or end_state.get("last_timestamp")
+        out: list[dict] = []
+        more = True
+        while more:
+            records, state, more = self._poll_window(
+                state, state.get("window_end", end_t))
+            out.extend(records)
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -554,7 +597,16 @@ def make_app_poller_datasource():
             app = _build_app(self.options, self.transports)
             state = app.initial_state(self.options)
             more = True
+            polls = 0
             while more:
+                # bounded backfill: a paginating app that never reports
+                # completion must fail loudly, not hang the Spark task
+                polls += 1
+                if polls > 100_000:
+                    raise RuntimeError(
+                        f"app backfill exceeded 100k polls without "
+                        f"completing (app={app.app_type()}); the service "
+                        f"is not terminating its pagination")
                 records, state, more = app.poll(state)
                 yield from _rows(app, records)
 

@@ -179,5 +179,16 @@ class ScheduledQueryRunner:
                 data_rows = data_rows[:-max(1, overshoot // per_row)]
                 truncated = True
                 payload = record(data_rows, truncated)
+            if len(payload.encode()) > max_bytes:
+                # the ENVELOPE alone (execution metadata incl. the full SQL
+                # text) exceeds the record cap — no row trimming can fix
+                # that; refuse deterministically rather than emit a record
+                # the transport would reject (the reference's put_records
+                # would fail the same way)
+                raise ValueError(
+                    f"streamquery feedback record for pack '{name}' exceeds "
+                    f"{max_bytes} bytes with zero data rows "
+                    f"({len(payload.encode())} bytes of envelope); shorten "
+                    f"the pack query/description or raise max_bytes")
             rows.append((payload,))
         return self.spark.createDataFrame(rows, "value string")

@@ -200,7 +200,25 @@ def test_slack_access_pagination_and_filtering():
     assert data == {"count": 1000, "page": 1}
     assert [r["user_id"] for r in records] == ["U1"]  # date_last filter
     assert more is True and state["next_page"] == 2
+    # mid-pagination the checkpoint HOLDS at the run-start value so pages
+    # 2..N still filter against it (deliberate delta from slack.py:128-130,
+    # which clock-advances after every page and silently drops later pages)
+    assert state["last_timestamp"] == 120
+
+    # a completed (single-page) run advances the checkpoint to the clock
+    def fetch_one_page(url, headers, data):
+        return {
+            "ok": True,
+            "logins": [{"user_id": "U3", "date_first": 130, "date_last": 140}],
+            "paging": {"count": 1000, "page": 1, "pages": 1},
+        }
+
+    app_done = SlackAccessApp(auth, fetch=fetch_one_page, clock=lambda: 777.9)
+    records, state, more = app_done.poll({"last_timestamp": 120})
+    assert [r["user_id"] for r in records] == ["U3"]
+    assert more is False
     assert state["last_timestamp"] == 777  # clock checkpoint (slack.py:128)
+    assert state["next_page"] == 1  # cursors reset for the next run
 
     # page-cap reset: page 100 full -> before = oldest date_first, page 1
     def fetch_cap(url, headers, data):
@@ -267,13 +285,28 @@ def test_aliyun_window_and_next_token():
     assert calls[0]["StartTime"] == "2024-01-01T00:00:00Z"
     assert calls[0]["EndTime"] == "2024-02-01T00:00:00Z"
     assert more is True and state["next_token"] == "2"
-    assert state["last_timestamp"] == "2024-02-01T00:00:00Z"
-    # continuation carries NextToken; completion clears it
+    # mid-pagination the checkpoint HOLDS at the window start (a crash
+    # replays the window — at-least-once; a NextToken is only valid for
+    # the window that issued it, so the window is pinned in the state)
+    assert state["last_timestamp"] == "2024-01-01T00:00:00Z"
+    assert state["window_end"] == "2024-02-01T00:00:00Z"
+    # continuation carries NextToken against the SAME fixed window
     records, state, more = app.poll(state)
     assert calls[1]["NextToken"] == "2"
+    assert calls[1]["StartTime"] == "2024-01-01T00:00:00Z"
+    assert calls[1]["EndTime"] == "2024-02-01T00:00:00Z"
+    # completion advances the checkpoint to the window end, clears token
     assert more is False and "next_token" not in state
+    assert state["last_timestamp"] == "2024-02-01T00:00:00Z"
     # eventTime -> epoch for the source's event_timestamp column
     assert AliyunActionTrailApp.record_timestamp(records[0]) == 1705312800
+    # streaming replay of the committed window re-pages it exactly
+    calls.clear()
+    replay = app.poll_between({"last_timestamp": "2024-01-01T00:00:00Z"},
+                              {"last_timestamp": "2024-02-01T00:00:00Z"})
+    assert len(replay) == 2  # both pages
+    assert calls[0]["EndTime"] == "2024-02-01T00:00:00Z"
+    assert calls[1]["EndTime"] == "2024-02-01T00:00:00Z"
 
 
 def test_transport_registry_streaming(spark, tmp_path):

@@ -338,3 +338,20 @@ def test_streamquery_feedback_row_and_byte_caps(spark):
     rec = json.loads(runner.to_streamquery_records(results).collect()[0]["value"])
     assert rec["data"]["count"] == 1000
     assert "truncated" not in rec["data"]
+
+
+def test_streamquery_oversized_envelope_refuses(spark):
+    """A pack whose execution metadata alone exceeds max_bytes cannot be
+    fixed by row trimming — the serializer must refuse deterministically
+    (the transport's put would reject the record anyway)."""
+    repo = QueryPackRepository()
+    repo.register(QueryPack(
+        name="huge_envelope",
+        description="d" * 6000,  # envelope > max_bytes by itself
+        query="SELECT 1 AS one",
+        tags=["hourly"],
+    ))
+    runner = ScheduledQueryRunner(spark, repo)
+    results = runner.run(tags=["hourly"])
+    with pytest.raises(ValueError, match="exceeds 5000 bytes"):
+        runner.to_streamquery_records(results, max_bytes=5000)

@@ -76,8 +76,9 @@ def test_rate_spikes_flags_known_outlier(spark):
     counts = [50 if h == 13 else 2 for h in range(48)]
     n, s, ss = len(counts), sum(counts), sum(c * c for c in counts)
     assert out[0]["cnt"] == 50
-    assert out[0]["dev_num"] == 50 * n - s
-    assert out[0]["threshold"] == round(3.0 * math.sqrt(float(n * ss - s * s)), 6)
+    assert out[0]["dev"] == round(50.0 * float(n) - float(s), 6)
+    assert out[0]["threshold"] == round(
+        3.0 * math.sqrt(float(n) * float(ss) - float(s) * float(s)), 6)
 
 
 def test_rate_spikes_constant_series_flags_nothing(spark):
