@@ -543,6 +543,182 @@ class AliyunActionTrailApp(AppIntegration):
 
 
 # ---------------------------------------------------------------------------
+# OneLogin events — client-credentials token per run, next_link pagination.
+# ---------------------------------------------------------------------------
+
+
+@streamalert_app
+class OneLoginEventsApp(AppIntegration):
+    """onelogin.py:28-255 OneLoginApp: a fresh OAuth2 client-credentials
+    token per gather run (onelogin.py:77-109), GET /api/1/events with
+    server-side ``since`` filtering, pagination via the response's
+    pagination.next_link (onelogin.py:181-223); the checkpoint advances
+    to the last event's created_at per page — safe here because the
+    ``since`` filter is server-side and only applies to fresh runs.
+
+    Injectables: ``token_fetch(token_url, client_id, client_secret) ->
+    access_token`` (the grant_type=client_credentials POST) and
+    ``fetch(url, headers, params) -> response dict``."""
+
+    MAX_RESPONSE_LOGS = 50  # onelogin.py:31
+
+    def __init__(self, auth: dict[str, str],
+                 fetch: Callable[[str, dict, dict | None], dict] | None = None,
+                 token_fetch: Callable[[str, str, str], str] | None = None):
+        super().__init__(auth)
+        self.fetch = fetch
+        self.token_fetch = token_fetch
+
+    @classmethod
+    def service(cls) -> str:
+        return "onelogin"
+
+    @classmethod
+    def app_type(cls) -> str:
+        return "onelogin_events"
+
+    @classmethod
+    def required_auth_info(cls) -> dict[str, dict]:
+        # onelogin.py:225-250
+        return {
+            "region": {"format": re.compile(r"^(en|us)$")},
+            "client_secret": {"format": re.compile(r"^[a-z0-9]{64}$")},
+            "client_id": {"format": re.compile(r"^[a-z0-9]{64}$")},
+        }
+
+    def initial_state(self, options: dict) -> dict:
+        return {"last_timestamp": options.get("start_time", "1970-01-01T00:00:00Z")}
+
+    @classmethod
+    def record_timestamp(cls, record: dict) -> int:
+        import calendar
+        from datetime import datetime
+
+        ca = record.get("created_at")
+        if not ca:
+            return 0
+        # onelogin.py:49-50 date format; tolerate fractional seconds
+        for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+            try:
+                return calendar.timegm(datetime.strptime(ca, fmt).timetuple())
+            except ValueError:
+                continue
+        return 0
+
+    def _token_url(self) -> str:
+        return f"https://api.{self.auth['region']}.onelogin.com/auth/oauth2/v2/token"
+
+    def _events_url(self) -> str:
+        return f"https://api.{self.auth['region']}.onelogin.com/api/1/events"
+
+    def poll(self, state: dict) -> tuple[list[dict], dict, bool]:
+        if self.fetch is None or self.token_fetch is None:
+            raise NotImplementedError(
+                "onelogin_events requires HTTP transports; inject "
+                "fetch=... and token_fetch=...")
+        token = self.token_fetch(
+            self._token_url(), self.auth["client_id"], self.auth["client_secret"])
+        headers = {"Authorization": f"bearer:{token}"}  # onelogin.py:106-107
+        if state.get("next_page_url"):
+            url, params = state["next_page_url"], None  # onelogin.py:187-189
+        else:
+            url, params = self._events_url(), {"since": state["last_timestamp"]}
+        response = self.fetch(url, headers, params)
+        next_link = (response.get("pagination") or {}).get("next_link")
+        data = response.get("data") or []
+        new_state = {"last_timestamp": state["last_timestamp"]}
+        if data:
+            new_state["last_timestamp"] = data[-1]["created_at"]  # onelogin.py:218
+        more = bool(next_link) and bool(data)
+        if more:
+            new_state["next_page_url"] = next_link
+        return data, new_state, more
+
+    def poll_between(self, start_state: dict, end_state: dict) -> list[dict]:
+        """ISO-string checkpoints (the generic int() loop does not apply):
+        re-poll since the start checkpoint, clip at the committed end
+        (lexicographic compare == chronological for this format)."""
+        end_ts = end_state.get("last_timestamp", "")
+        state = dict(start_state)
+        out: list[dict] = []
+        more = True
+        while more:
+            records, state, more = self.poll(state)
+            out.extend(r for r in records if r.get("created_at", "") <= end_ts)
+            if state.get("last_timestamp", "") >= end_ts:
+                break
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Intercom admin activity logs — bearer token, pages.next pagination.
+# ---------------------------------------------------------------------------
+
+
+@streamalert_app
+class IntercomAdminApp(AppIntegration):
+    """intercom.py:25-104 IntercomApp: GET admin activity_logs with
+    created_at_before=now / created_at_after=checkpoint, pagination via
+    pages.next, value-level created_at filtering, checkpoint = max
+    created_at seen (intercom.py:54-104). Deliberate delta: during
+    pagination the filter stays at the RUN-START checkpoint (the
+    reference filters each page against the previous page's max, which
+    drops out-of-order entries across pages); the checkpoint advances to
+    the run's max only when the run completes."""
+
+    def __init__(self, auth: dict[str, str],
+                 fetch: Callable[[str, dict, dict | None], dict] | None = None,
+                 clock: Callable[[], float] = _time.time):
+        super().__init__(auth)
+        self.fetch = fetch
+        self.clock = clock
+
+    _LOGS_URL = "https://api.intercom.io/admins/activity_logs"
+
+    @classmethod
+    def service(cls) -> str:
+        return "intercom"
+
+    @classmethod
+    def app_type(cls) -> str:
+        return "intercom_admin"
+
+    @classmethod
+    def required_auth_info(cls) -> dict[str, dict]:
+        # intercom.py:30-36
+        return {"token": {"format": re.compile(r"^dG9r([0-9A-Za-z+/=]*)$")}}
+
+    @classmethod
+    def record_timestamp(cls, record: dict) -> int:
+        return int(record.get("created_at", 0))
+
+    def poll(self, state: dict) -> tuple[list[dict], dict, bool]:
+        if self.fetch is None:
+            raise NotImplementedError(
+                "intercom_admin requires an HTTP transport; inject fetch=...")
+        headers = {"Authorization": f"Bearer {self.auth['token']}",
+                   "Accept": "application/json"}  # intercom.py:55-56
+        last = int(state.get("last_timestamp", 0))
+        if state.get("next_page_url"):
+            url, params = state["next_page_url"], None  # intercom.py:62-65
+        else:
+            url = self._LOGS_URL
+            params = {"created_at_before": int(self.clock()),
+                      "created_at_after": last}  # intercom.py:67-68
+        response = self.fetch(url, headers, params)
+        activities = [a for a in response.get("activity_logs", [])
+                      if int(a["created_at"]) > last]  # intercom.py:82-86
+        run_max = max(
+            [int(state.get("run_max", last))]
+            + [int(a["created_at"]) for a in activities])
+        next_page = (response.get("pages") or {}).get("next")
+        if next_page and activities:
+            return activities, {"last_timestamp": last, "run_max": run_max,
+                                "next_page_url": next_page}, True
+        return activities, {"last_timestamp": run_max}, False
+
+
+# ---------------------------------------------------------------------------
 # The Spark DataSource
 # ---------------------------------------------------------------------------
 

@@ -348,3 +348,73 @@ def test_transport_registry_streaming(spark, tmp_path):
     assert rows[0]["log_type"] == "slack:slack_integration"
     assert json.loads(rows[0]["record"])["date"] == "150"
     assert rows[0]["event_timestamp"] == 150
+
+
+def test_onelogin_token_pagination_and_checkpoint():
+    """onelogin.py:77-223: client-credentials token per run, since param
+    on fresh queries, next_link pagination with params=None, checkpoint =
+    last event's created_at."""
+    from streamalert_spark.sources.app_source import OneLoginEventsApp
+
+    auth = {"region": "us", "client_secret": "a" * 64, "client_id": "b" * 64}
+    tokens, gets = [], []
+
+    def token_fetch(url, cid, secret):
+        tokens.append((url, cid, secret))
+        return "tok-123"
+
+    def fetch(url, headers, params):
+        gets.append((url, dict(headers), params))
+        if params is not None:  # fresh query
+            return {"data": [{"id": 1, "created_at": "2024-01-01T00:10:00Z"}],
+                    "pagination": {"next_link": "https://api.us.onelogin.com/api/1/events?after=x"}}
+        return {"data": [{"id": 2, "created_at": "2024-01-01T00:20:00Z"}],
+                "pagination": {"next_link": None}}
+
+    app = OneLoginEventsApp(auth, fetch=fetch, token_fetch=token_fetch)
+    state = app.initial_state({"start_time": "2024-01-01T00:00:00Z"})
+    records, state, more = app.poll(state)
+    assert tokens[0][0] == "https://api.us.onelogin.com/auth/oauth2/v2/token"
+    assert gets[0][1]["Authorization"] == "bearer:tok-123"  # onelogin.py:106
+    assert gets[0][2] == {"since": "2024-01-01T00:00:00Z"}
+    assert more is True and state["next_page_url"].endswith("after=x")
+    assert state["last_timestamp"] == "2024-01-01T00:10:00Z"
+    records, state, more = app.poll(state)
+    assert gets[1][0].endswith("after=x") and gets[1][2] is None
+    assert more is False and state == {"last_timestamp": "2024-01-01T00:20:00Z"}
+    assert OneLoginEventsApp.record_timestamp(records[0]) == 1704068400
+
+
+def test_intercom_filter_and_run_max_checkpoint():
+    """intercom.py:54-104: created_at window params, pages.next
+    continuation, value-level created_at filter; checkpoint advances to
+    the run's max created_at on completion (filter held at run start
+    during pagination — deliberate delta from the per-page max)."""
+    from streamalert_spark.sources.app_source import IntercomAdminApp
+
+    auth = {"token": "dG9rABC123=="}
+    calls = []
+
+    def fetch(url, headers, params):
+        calls.append((url, params))
+        if params is not None:
+            return {"activity_logs": [
+                        {"id": "a", "created_at": 500},
+                        {"id": "b", "created_at": 90},   # older than checkpoint
+                    ],
+                    "pages": {"next": "https://api.intercom.io/admins/activity_logs?page=2"}}
+        return {"activity_logs": [{"id": "c", "created_at": 300}],
+                "pages": {"next": None}}
+
+    app = IntercomAdminApp(auth, fetch=fetch, clock=lambda: 1000)
+    records, state, more = app.poll({"last_timestamp": 100})
+    assert calls[0][1] == {"created_at_before": 1000, "created_at_after": 100}
+    assert [r["id"] for r in records] == ["a"]  # 90 filtered out
+    assert more is True
+    assert state["last_timestamp"] == 100  # held during pagination
+    assert state["run_max"] == 500
+    records, state, more = app.poll(state)
+    assert calls[1][1] is None and calls[1][0].endswith("page=2")
+    assert [r["id"] for r in records] == ["c"]  # 300 > run-start 100
+    assert more is False
+    assert state == {"last_timestamp": 500}  # run max committed
