@@ -28,8 +28,10 @@ HTTP transports stay injectable exactly like the output connectors
 (`streaming/outputs.py`): the request SHAPE (duo's signed headers,
 slack's bearer + page/before pagination, aliyun's StartTime/EndTime/
 NextToken protocol, checkpoint advance) is ported and unit-tested; the
-network call is a pluggable fetch function, env-dependent by design.
-Transport-requiring apps register their fetchers in ``TRANSPORTS`` (the
+network call is a pluggable fetch function, env-dependent by design —
+ported bodies: duo_admin, slack_access, slack_integration,
+aliyun_actiontrail, onelogin_events, intercom_admin, box_admin_events,
+gsuite_admin (+ the synthetic test app). Transport-requiring apps register their fetchers in ``TRANSPORTS`` (the
 stream reader runs driver-side, so closures are fine; batch backfill of
 a transport app additionally requires the fetcher to be picklable).
 """
@@ -716,6 +718,173 @@ class IntercomAdminApp(AppIntegration):
             return activities, {"last_timestamp": last, "run_max": run_max,
                                 "next_page_url": next_page}, True
         return activities, {"last_timestamp": run_max}, False
+
+
+# ---------------------------------------------------------------------------
+# Box admin events — stream_position cursor within a run, chunk_size gate.
+# ---------------------------------------------------------------------------
+
+
+@streamalert_app
+class BoxAdminEventsApp(AppIntegration):
+    """box.py:30-195 BoxApp: admin_events with created_after on a fresh
+    run, stream_position continuation within a run, more_to_poll while
+    chunk_size fills (box.py:108-195). The JWT-RS256 client is the
+    boxsdk even in the reference — transport injected as
+    ``fetch(params) -> response dict``; the keyfile rides in auth."""
+
+    MAX_CHUNK_SIZE = 500  # box.py:32
+
+    def __init__(self, auth: dict[str, str],
+                 fetch: Callable[[dict], dict] | None = None):
+        super().__init__(auth)
+        self.fetch = fetch
+
+    @classmethod
+    def service(cls) -> str:
+        return "box"
+
+    @classmethod
+    def app_type(cls) -> str:
+        return "box_admin_events"
+
+    @classmethod
+    def required_auth_info(cls) -> dict[str, dict]:
+        # box.py:197+ — a JSON service-account keyfile (validated for
+        # presence; its inner shape is the boxsdk's contract)
+        return {"keyfile": {}}
+
+    def initial_state(self, options: dict) -> dict:
+        return {"last_timestamp": options.get("start_time", "1970-01-01T00:00:00Z")}
+
+    @classmethod
+    def record_timestamp(cls, record: dict) -> int:
+        import calendar
+        from datetime import datetime
+
+        ca = record.get("created_at")
+        if not ca:
+            return 0
+        for fmt in ("%Y-%m-%dT%H:%M:%S%z", "%Y-%m-%dT%H:%M:%SZ"):
+            try:
+                return calendar.timegm(
+                    datetime.strptime(ca, fmt).utctimetuple())
+            except ValueError:
+                continue
+        return 0
+
+    def poll(self, state: dict) -> tuple[list[dict], dict, bool]:
+        if self.fetch is None:
+            raise NotImplementedError(
+                "box_admin_events requires the boxsdk JWT client (external "
+                "lib even in the reference); inject fetch=...")
+        params = {"limit": self.MAX_CHUNK_SIZE}  # box.py:108
+        if state.get("stream_position"):
+            params["stream_position"] = state["stream_position"]  # box.py:114-115
+        else:
+            params["created_after"] = state["last_timestamp"]  # box.py:116-117
+        response = self.fetch(params)
+        entries = response.get("entries") or []
+        if not entries:
+            return [], {"last_timestamp": state["last_timestamp"]}, False
+        more = int(response.get("chunk_size", 0)) >= self.MAX_CHUNK_SIZE  # box.py:184
+        new_state = {"last_timestamp": entries[-1]["created_at"]}  # box.py:191
+        if more:
+            # the cursor is run-scoped, like the reference's instance attr
+            new_state["stream_position"] = response["next_stream_position"]
+        return entries, new_state, more
+
+
+# ---------------------------------------------------------------------------
+# G Suite admin reports — reverse-chronological pages, boundary-id dedup.
+# ---------------------------------------------------------------------------
+
+
+@streamalert_app
+class GSuiteAdminReportsApp(AppIntegration):
+    """gsuite.py:30-245 GSuiteReportsApp (applicationName='admin'; the
+    reference's other application types are one-line subclasses of the
+    same base): activities.list with startTime held for the whole run,
+    nextPageToken pagination, results in REVERSE chronological order so
+    the new checkpoint is the FIRST page's first item; events at exactly
+    the boundary timestamp carry their uniqueQualifiers in the state to
+    de-duplicate the next run (gsuite.py:132-195 — the reference stores
+    them in the app context). The googleapiclient service is external
+    even in the reference — transport injected as
+    ``fetch(application, start_time, page_token) -> results dict``."""
+
+    def __init__(self, auth: dict[str, str],
+                 fetch: Callable[[str, str, str | None], dict] | None = None):
+        super().__init__(auth)
+        self.fetch = fetch
+
+    @classmethod
+    def service(cls) -> str:
+        return "gsuite"
+
+    @classmethod
+    def app_type(cls) -> str:
+        return "gsuite_admin"
+
+    @classmethod
+    def application_name(cls) -> str:
+        return "admin"
+
+    @classmethod
+    def required_auth_info(cls) -> dict[str, dict]:
+        # gsuite.py keyfile + delegation email
+        return {"keyfile": {}, "delegation_email": {}}
+
+    def initial_state(self, options: dict) -> dict:
+        return {"last_timestamp": options.get("start_time", "1970-01-01T00:00:00Z"),
+                "event_ids": []}
+
+    @classmethod
+    def record_timestamp(cls, record: dict) -> int:
+        import calendar
+        from datetime import datetime
+
+        t = (record.get("id") or {}).get("time", "")
+        for fmt in ("%Y-%m-%dT%H:%M:%S.%fZ", "%Y-%m-%dT%H:%M:%SZ"):
+            try:
+                return calendar.timegm(datetime.strptime(t, fmt).timetuple())
+            except ValueError:
+                continue
+        return 0
+
+    def poll(self, state: dict) -> tuple[list[dict], dict, bool]:
+        if self.fetch is None:
+            raise NotImplementedError(
+                "gsuite_admin requires the googleapiclient service "
+                "(external lib even in the reference); inject fetch=...")
+        # startTime holds for the whole run (gsuite.py:142-144)
+        query_start = state.get("query_start", state["last_timestamp"])
+        results = self.fetch(self.application_name(), query_start,
+                             state.get("next_page_token"))
+        prev_ids = set(state.get("event_ids", []))
+        activities = [a for a in results.get("items", [])
+                      if a["id"]["uniqueQualifier"] not in prev_ids]  # gsuite.py:169-172
+        token = results.get("nextPageToken")
+        # reverse-chronological: the FIRST page's first item is the run's
+        # newest event (gsuite.py:179-187); later pages carry it through
+        if activities and not state.get("next_page_token"):
+            pending_last = activities[0]["id"]["time"]
+            pending_ids = [a["id"]["uniqueQualifier"] for a in activities
+                           if a["id"]["time"] == pending_last]
+        else:
+            pending_last = state.get("pending_last", state["last_timestamp"])
+            pending_ids = state.get("pending_ids", state.get("event_ids", []))
+        if token:
+            return activities, {
+                "last_timestamp": state["last_timestamp"],
+                "event_ids": sorted(prev_ids),
+                "query_start": query_start,
+                "next_page_token": token,
+                "pending_last": pending_last,
+                "pending_ids": pending_ids,
+            }, True
+        return activities, {"last_timestamp": pending_last,
+                            "event_ids": pending_ids}, False
 
 
 # ---------------------------------------------------------------------------

@@ -418,3 +418,79 @@ def test_intercom_filter_and_run_max_checkpoint():
     assert [r["id"] for r in records] == ["c"]  # 300 > run-start 100
     assert more is False
     assert state == {"last_timestamp": 500}  # run max committed
+
+
+def test_box_stream_position_and_chunk_gate():
+    """box.py:108-195: created_after on fresh runs, stream_position
+    continuation, more while chunk_size fills, checkpoint = last entry's
+    created_at."""
+    from streamalert_spark.sources.app_source import BoxAdminEventsApp
+
+    calls = []
+
+    def fetch(params):
+        calls.append(dict(params))
+        if "stream_position" not in params:
+            return {"chunk_size": 500, "next_stream_position": "sp-2",
+                    "entries": [{"event_id": "e1",
+                                 "created_at": "2024-01-10T00:00:00Z"}] * 500}
+        return {"chunk_size": 1, "next_stream_position": "sp-3",
+                "entries": [{"event_id": "e2",
+                             "created_at": "2024-01-11T00:00:00Z"}]}
+
+    app = BoxAdminEventsApp({"keyfile": "{}"}, fetch=fetch)
+    state = app.initial_state({"start_time": "2024-01-01T00:00:00Z"})
+    records, state, more = app.poll(state)
+    assert calls[0] == {"limit": 500, "created_after": "2024-01-01T00:00:00Z"}
+    assert more is True and state["stream_position"] == "sp-2"
+    assert state["last_timestamp"] == "2024-01-10T00:00:00Z"
+    records, state, more = app.poll(state)
+    assert calls[1] == {"limit": 500, "stream_position": "sp-2"}
+    assert more is False and "stream_position" not in state
+    assert state["last_timestamp"] == "2024-01-11T00:00:00Z"
+    # empty response holds the checkpoint
+    app2 = BoxAdminEventsApp({"keyfile": "{}"},
+                             fetch=lambda p: {"chunk_size": 0, "entries": []})
+    records, st, more = app2.poll({"last_timestamp": "2024-01-11T00:00:00Z"})
+    assert records == [] and more is False
+    assert st == {"last_timestamp": "2024-01-11T00:00:00Z"}
+
+
+def test_gsuite_reverse_chron_and_boundary_dedup():
+    """gsuite.py:132-195: startTime held for the run, nextPageToken
+    pagination, checkpoint from the FIRST page (reverse-chron), boundary
+    uniqueQualifiers carried to de-duplicate the next run."""
+    from streamalert_spark.sources.app_source import GSuiteAdminReportsApp
+
+    calls = []
+
+    def fetch(application, start_time, page_token):
+        calls.append((application, start_time, page_token))
+        if page_token is None:
+            return {"items": [
+                {"id": {"time": "2024-01-20T00:00:00.000Z", "uniqueQualifier": "q9"}},
+                {"id": {"time": "2024-01-19T00:00:00.000Z", "uniqueQualifier": "q8"}},
+                # boundary event from the LAST run — must be filtered
+                {"id": {"time": "2024-01-15T00:00:00.000Z", "uniqueQualifier": "q1"}},
+            ], "nextPageToken": "tok2"}
+        return {"items": [
+            {"id": {"time": "2024-01-16T00:00:00.000Z", "uniqueQualifier": "q5"}},
+        ]}
+
+    app = GSuiteAdminReportsApp(
+        {"keyfile": "{}", "delegation_email": "a@b.c"}, fetch=fetch)
+    state = {"last_timestamp": "2024-01-15T00:00:00.000Z", "event_ids": ["q1"]}
+    records, state, more = app.poll(state)
+    assert calls[0] == ("admin", "2024-01-15T00:00:00.000Z", None)
+    assert [r["id"]["uniqueQualifier"] for r in records] == ["q9", "q8"]  # q1 deduped
+    assert more is True and state["next_page_token"] == "tok2"
+    # checkpoint not yet advanced; pending carries the first page's newest
+    assert state["last_timestamp"] == "2024-01-15T00:00:00.000Z"
+    assert state["pending_last"] == "2024-01-20T00:00:00.000Z"
+    assert state["pending_ids"] == ["q9"]
+    records, state, more = app.poll(state)
+    assert calls[1] == ("admin", "2024-01-15T00:00:00.000Z", "tok2")
+    assert [r["id"]["uniqueQualifier"] for r in records] == ["q5"]
+    assert more is False
+    assert state == {"last_timestamp": "2024-01-20T00:00:00.000Z",
+                     "event_ids": ["q9"]}
