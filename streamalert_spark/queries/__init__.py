@@ -91,6 +91,7 @@ _VERIFY_FIRST = [
     "boilerplate_ngram_spans",
     "graph_triangles",
     "inverted_index_terms",
+    "app_source_backfill",
     # operators touched in round 4 — re-verify next
     "lsh_verified_pairs",
     "dedup_resolution",

@@ -121,3 +121,31 @@ def source_s3_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec["k"].cast("bigint").alias("c_custkey"),
         rec["name"].alias("c_name"),
     ).repartition(1).sortWithinPartitions("c_custkey")
+
+
+_APP_BACKFILL_ORACLE = """
+SELECT '{"event_id": "ev-' || i || '", "result": "SUCCESS", "timestamp": '
+         || i || '}' AS record,
+       'synthetic:synthetic' AS log_type,
+       CAST(i AS BIGINT) AS event_timestamp
+FROM range(1, 251) t(i)
+ORDER BY event_timestamp
+"""
+
+
+@query("app_source_backfill", oracle=_APP_BACKFILL_ORACLE,
+       doc="App-source poller batch backfill through the Spark Python "
+           "DataSource (format streamalert_app): the reference's "
+           "successive-invocation gather chain (apps/app_base.py:236-258) "
+           "run to exhaustion in one bounded loop; the deterministic "
+           "synthetic app makes the records oracle-checkable.")
+def app_source_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.sources.app_source import register_app_source
+
+    register_app_source(spark)
+    df = (
+        spark.read.format("streamalert_app")
+        .option("app", "synthetic").option("end_timestamp", "250")
+        .load()
+    )
+    return df.repartition(1).sortWithinPartitions("event_timestamp")
