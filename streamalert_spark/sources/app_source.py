@@ -51,6 +51,26 @@ APP_REGISTRY: dict[str, type["AppIntegration"]] = {}
 TRANSPORTS: dict[str, dict] = {}
 
 
+def _iso_epoch(value: str, *formats: str) -> int:
+    """Epoch seconds of an ISO-8601-ish timestamp, trying each format in
+    order; 0 for empty/unparseable input. One shared helper — the per-app
+    created_at shapes differ only in their strptime format list."""
+    import calendar
+    from datetime import datetime
+
+    if not value:
+        return 0
+    for fmt in formats:
+        try:
+            if "%z" in fmt:
+                return calendar.timegm(
+                    datetime.strptime(value, fmt).utctimetuple())
+            return calendar.timegm(datetime.strptime(value, fmt).timetuple())
+        except ValueError:
+            continue
+    return 0
+
+
 def streamalert_app(cls: type["AppIntegration"]) -> type["AppIntegration"]:
     """Mirror of the reference's StreamAlertApp registry decorator
     (apps/_apps/__init__.py): registers the app under its type name."""
@@ -317,6 +337,23 @@ class SlackApp(AppIntegration):
     def filter_response_entries(self, response: dict, last_timestamp: int) -> list[dict]:
         raise NotImplementedError
 
+    def poll_between(self, start_state: dict, end_state: dict) -> list[dict]:
+        """Replay = one full gather run from the start checkpoint.
+        Slack's checkpoint is the poll's WALL CLOCK (not event time), so a
+        replayed window cannot be clipped exactly — recovery is
+        at-least-once: the run re-fetches everything newer than the start
+        checkpoint, which is a superset of the committed records."""
+        state = {"last_timestamp": int(start_state.get("last_timestamp", 0)),
+                 "next_page": int(start_state.get("next_page", 1))}
+        if start_state.get("before"):
+            state["before"] = start_state["before"]
+        out: list[dict] = []
+        more = True
+        while more:
+            records, state, more = self.poll(state)
+            out.extend(records)
+        return out
+
     def check_for_more(self, response: dict, state: dict) -> tuple[dict, bool]:
         """slack.py:82-85 base pagination: advance the page; more unless
         the response says we're on the last one. Deliberate delta: a
@@ -481,14 +518,7 @@ class AliyunActionTrailApp(AppIntegration):
 
     @classmethod
     def record_timestamp(cls, record: dict) -> int:
-        import calendar
-        from datetime import datetime
-
-        et = record.get("eventTime")
-        if not et:
-            return 0
-        return calendar.timegm(
-            datetime.strptime(et, "%Y-%m-%dT%H:%M:%SZ").timetuple())
+        return _iso_epoch(record.get("eventTime", ""), "%Y-%m-%dT%H:%M:%SZ")
 
     def poll(self, state: dict) -> tuple[list[dict], dict, bool]:
         """One LookupEvents page. The [StartTime, EndTime] window is FIXED
@@ -570,6 +600,7 @@ class OneLoginEventsApp(AppIntegration):
         super().__init__(auth)
         self.fetch = fetch
         self.token_fetch = token_fetch
+        self._token: str | None = None
 
     @classmethod
     def service(cls) -> str:
@@ -593,19 +624,9 @@ class OneLoginEventsApp(AppIntegration):
 
     @classmethod
     def record_timestamp(cls, record: dict) -> int:
-        import calendar
-        from datetime import datetime
-
-        ca = record.get("created_at")
-        if not ca:
-            return 0
         # onelogin.py:49-50 date format; tolerate fractional seconds
-        for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
-            try:
-                return calendar.timegm(datetime.strptime(ca, fmt).timetuple())
-            except ValueError:
-                continue
-        return 0
+        return _iso_epoch(record.get("created_at", ""),
+                          "%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ")
 
     def _token_url(self) -> str:
         return f"https://api.{self.auth['region']}.onelogin.com/auth/oauth2/v2/token"
@@ -618,9 +639,15 @@ class OneLoginEventsApp(AppIntegration):
             raise NotImplementedError(
                 "onelogin_events requires HTTP transports; inject "
                 "fetch=... and token_fetch=...")
-        token = self.token_fetch(
-            self._token_url(), self.auth["client_id"], self.auth["client_secret"])
-        headers = {"Authorization": f"bearer:{token}"}  # onelogin.py:106-107
+        if not state.get("next_page_url"):
+            # fresh gather run: request a new token; continuation pages
+            # reuse it (onelogin.py:86-88 caches per run the same way)
+            self._token = None
+        if self._token is None:
+            self._token = self.token_fetch(
+                self._token_url(), self.auth["client_id"],
+                self.auth["client_secret"])
+        headers = {"Authorization": f"bearer:{self._token}"}  # onelogin.py:106-107
         if state.get("next_page_url"):
             url, params = state["next_page_url"], None  # onelogin.py:187-189
         else:
@@ -638,16 +665,21 @@ class OneLoginEventsApp(AppIntegration):
 
     def poll_between(self, start_state: dict, end_state: dict) -> list[dict]:
         """ISO-string checkpoints (the generic int() loop does not apply):
-        re-poll since the start checkpoint, clip at the committed end
-        (lexicographic compare == chronological for this format)."""
-        end_ts = end_state.get("last_timestamp", "")
+        re-poll since the start checkpoint, clip at the committed end.
+        Comparison is on PARSED epochs — raw string compare would misorder
+        fractional-second timestamps against whole-second ones."""
+        end_epoch = _iso_epoch(end_state.get("last_timestamp", ""),
+                               "%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ")
         state = dict(start_state)
         out: list[dict] = []
         more = True
         while more:
             records, state, more = self.poll(state)
-            out.extend(r for r in records if r.get("created_at", "") <= end_ts)
-            if state.get("last_timestamp", "") >= end_ts:
+            out.extend(r for r in records
+                       if self.record_timestamp(r) <= end_epoch)
+            if _iso_epoch(state.get("last_timestamp", ""),
+                          "%Y-%m-%dT%H:%M:%SZ",
+                          "%Y-%m-%dT%H:%M:%S.%fZ") >= end_epoch:
                 break
         return out
 
@@ -719,6 +751,22 @@ class IntercomAdminApp(AppIntegration):
                                 "next_page_url": next_page}, True
         return activities, {"last_timestamp": run_max}, False
 
+    def poll_between(self, start_state: dict, end_state: dict) -> list[dict]:
+        """Replay = one full run from the start checkpoint, clipped at the
+        committed end's newest event (run_max while mid-pagination). The
+        generic loop cannot be used: mid-run end offsets hold
+        last_timestamp at the run start, which would skip the replay and
+        silently drop the committed records."""
+        end_ts = int(end_state.get("run_max",
+                                   end_state.get("last_timestamp", 0)))
+        state = {"last_timestamp": int(start_state.get("last_timestamp", 0))}
+        out: list[dict] = []
+        more = True
+        while more:
+            records, state, more = self.poll(state)
+            out.extend(r for r in records if int(r["created_at"]) <= end_ts)
+        return out
+
 
 # ---------------------------------------------------------------------------
 # Box admin events — stream_position cursor within a run, chunk_size gate.
@@ -759,19 +807,8 @@ class BoxAdminEventsApp(AppIntegration):
 
     @classmethod
     def record_timestamp(cls, record: dict) -> int:
-        import calendar
-        from datetime import datetime
-
-        ca = record.get("created_at")
-        if not ca:
-            return 0
-        for fmt in ("%Y-%m-%dT%H:%M:%S%z", "%Y-%m-%dT%H:%M:%SZ"):
-            try:
-                return calendar.timegm(
-                    datetime.strptime(ca, fmt).utctimetuple())
-            except ValueError:
-                continue
-        return 0
+        return _iso_epoch(record.get("created_at", ""),
+                          "%Y-%m-%dT%H:%M:%S%z", "%Y-%m-%dT%H:%M:%SZ")
 
     def poll(self, state: dict) -> tuple[list[dict], dict, bool]:
         if self.fetch is None:
@@ -793,6 +830,22 @@ class BoxAdminEventsApp(AppIntegration):
             # the cursor is run-scoped, like the reference's instance attr
             new_state["stream_position"] = response["next_stream_position"]
         return entries, new_state, more
+
+    def poll_between(self, start_state: dict, end_state: dict) -> list[dict]:
+        """ISO-string checkpoints (the generic int() loop does not apply):
+        replay = re-query created_after = start checkpoint, follow the
+        stream cursor, clip at the committed end's epoch (box created_at
+        can carry a UTC offset, so compare parsed epochs, never strings)."""
+        end_epoch = _iso_epoch(end_state.get("last_timestamp", ""),
+                               "%Y-%m-%dT%H:%M:%S%z", "%Y-%m-%dT%H:%M:%SZ")
+        state = {"last_timestamp": start_state.get("last_timestamp")}
+        out: list[dict] = []
+        more = True
+        while more:
+            records, state, more = self.poll(state)
+            out.extend(r for r in records
+                       if self.record_timestamp(r) <= end_epoch)
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -841,16 +894,8 @@ class GSuiteAdminReportsApp(AppIntegration):
 
     @classmethod
     def record_timestamp(cls, record: dict) -> int:
-        import calendar
-        from datetime import datetime
-
-        t = (record.get("id") or {}).get("time", "")
-        for fmt in ("%Y-%m-%dT%H:%M:%S.%fZ", "%Y-%m-%dT%H:%M:%SZ"):
-            try:
-                return calendar.timegm(datetime.strptime(t, fmt).timetuple())
-            except ValueError:
-                continue
-        return 0
+        return _iso_epoch((record.get("id") or {}).get("time", ""),
+                          "%Y-%m-%dT%H:%M:%S.%fZ", "%Y-%m-%dT%H:%M:%SZ")
 
     def poll(self, state: dict) -> tuple[list[dict], dict, bool]:
         if self.fetch is None:
@@ -885,6 +930,25 @@ class GSuiteAdminReportsApp(AppIntegration):
             }, True
         return activities, {"last_timestamp": pending_last,
                             "event_ids": pending_ids}, False
+
+    def poll_between(self, start_state: dict, end_state: dict) -> list[dict]:
+        """ISO-string checkpoints (the generic int() loop does not apply),
+        and mid-run end offsets hold last_timestamp at the run start:
+        replay = one full run from the start checkpoint (boundary ids
+        filtered as usual), clipped at the committed end's newest event
+        (pending_last while mid-pagination)."""
+        end_epoch = _iso_epoch(
+            end_state.get("pending_last", end_state.get("last_timestamp", "")),
+            "%Y-%m-%dT%H:%M:%S.%fZ", "%Y-%m-%dT%H:%M:%SZ")
+        state = {"last_timestamp": start_state.get("last_timestamp"),
+                 "event_ids": list(start_state.get("event_ids", []))}
+        out: list[dict] = []
+        more = True
+        while more:
+            records, state, more = self.poll(state)
+            out.extend(r for r in records
+                       if self.record_timestamp(r) <= end_epoch)
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -494,3 +494,82 @@ def test_gsuite_reverse_chron_and_boundary_dedup():
     assert more is False
     assert state == {"last_timestamp": "2024-01-20T00:00:00.000Z",
                      "event_ids": ["q9"]}
+
+
+def test_replay_paths_for_string_and_held_checkpoints():
+    """Streaming-recovery regressions: mid-run end offsets hold the
+    checkpoint (intercom/gsuite) and several apps use ISO-string
+    checkpoints (box/gsuite/onelogin) — poll_between must re-page the
+    committed window instead of returning [] or crashing on int()."""
+    from streamalert_spark.sources.app_source import (
+        BoxAdminEventsApp,
+        GSuiteAdminReportsApp,
+        IntercomAdminApp,
+    )
+
+    # intercom: committed mid-run offset {last: 100, run_max: 500} —
+    # replay must re-fetch the page-1 records, not return []
+    def ic_fetch(url, headers, params):
+        return {"activity_logs": [{"id": "a", "created_at": 500},
+                                  {"id": "z", "created_at": 900}],  # beyond end
+                "pages": {"next": None}}
+
+    ic = IntercomAdminApp({"token": "dG9rAB=="}, fetch=ic_fetch, clock=lambda: 1000)
+    replay = ic.poll_between({"last_timestamp": 100},
+                             {"last_timestamp": 100, "run_max": 500,
+                              "next_page_url": "u"})
+    assert [r["id"] for r in replay] == ["a"]  # 900 clipped at run_max
+
+    # box: ISO checkpoints — replay must not int()-crash and must clip
+    def box_fetch(params):
+        return {"chunk_size": 1, "next_stream_position": "sp",
+                "entries": [{"event_id": "e1", "created_at": "2024-01-05T00:00:00Z"},
+                            {"event_id": "e2", "created_at": "2024-01-20T00:00:00Z"}]}
+
+    box = BoxAdminEventsApp({"keyfile": "{}"}, fetch=box_fetch)
+    replay = box.poll_between({"last_timestamp": "2024-01-01T00:00:00Z"},
+                              {"last_timestamp": "2024-01-10T00:00:00Z"})
+    assert [r["event_id"] for r in replay] == ["e1"]
+
+    # gsuite: ISO checkpoints + held-during-pagination last_timestamp
+    def gs_fetch(application, start_time, page_token):
+        return {"items": [
+            {"id": {"time": "2024-01-18T00:00:00.000Z", "uniqueQualifier": "q7"}},
+            {"id": {"time": "2024-01-25T00:00:00.000Z", "uniqueQualifier": "q8"}},
+        ]}
+
+    gs = GSuiteAdminReportsApp({"keyfile": "{}", "delegation_email": "a@b.c"},
+                               fetch=gs_fetch)
+    replay = gs.poll_between(
+        {"last_timestamp": "2024-01-15T00:00:00.000Z", "event_ids": []},
+        {"last_timestamp": "2024-01-15T00:00:00.000Z",
+         "pending_last": "2024-01-20T00:00:00.000Z", "next_page_token": "t"})
+    assert [r["id"]["uniqueQualifier"] for r in replay] == ["q7"]  # q8 clipped
+
+
+def test_onelogin_token_cached_per_run():
+    """onelogin.py:86-88: one token per gather run — continuation pages
+    reuse it; a fresh run requests a new one."""
+    from streamalert_spark.sources.app_source import OneLoginEventsApp
+
+    auth = {"region": "us", "client_secret": "a" * 64, "client_id": "b" * 64}
+    tokens = []
+
+    def token_fetch(url, cid, secret):
+        tokens.append(1)
+        return f"tok-{len(tokens)}"
+
+    def fetch(url, headers, params):
+        if params is not None:
+            return {"data": [{"id": 1, "created_at": "2024-01-01T00:10:00Z"}],
+                    "pagination": {"next_link": "https://next"}}
+        return {"data": [{"id": 2, "created_at": "2024-01-01T00:20:00Z"}],
+                "pagination": {"next_link": None}}
+
+    app = OneLoginEventsApp(auth, fetch=fetch, token_fetch=token_fetch)
+    state = app.initial_state({})
+    _, state, more = app.poll(state)        # fresh run -> token 1
+    _, state, more = app.poll(state)        # continuation -> reuse token 1
+    assert len(tokens) == 1
+    _, state, more = app.poll(state)        # next fresh run -> token 2
+    assert len(tokens) == 2
