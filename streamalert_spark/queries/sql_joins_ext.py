@@ -231,14 +231,16 @@ ORDER BY grain, bucket_start
 @query("time_rollup_multi", oracle=_TIME_ROLLUP_SQL,
        doc="Hypertable-style continuous-aggregate shape: hour/day/week "
            "rollups in ONE scan via GROUPING SETS (identical SQL text "
-           "runs on both engines) — the Expand operator replicates rows "
-           "3x into one partial-aggregated exchange instead of three "
-           "scans.")
+           "modulo the final ORDER BY, which becomes a single-partition "
+           "local sort — same order, no RangePartitioning sampling pass) "
+           "— the Expand operator replicates rows 3x into one "
+           "partial-aggregated exchange instead of three scans.")
 def time_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamalert_spark.queries.sql_surface import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(_TIME_ROLLUP_SQL)
+    body = _TIME_ROLLUP_SQL.rsplit("ORDER BY", 1)[0]
+    return spark.sql(body).repartition(1).sortWithinPartitions("grain", "bucket_start")
 
 
 # ---------------------------------------------------------------------------

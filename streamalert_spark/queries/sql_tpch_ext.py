@@ -593,10 +593,14 @@ ORDER BY numwait DESC, s.s_name
 @query("q21_waiting_suppliers", oracle=_Q21_ORACLE,
        doc="TPC-H Q21 shape: EXISTS + NOT EXISTS lineitem self-joins "
            "(sole-returner detection) — identical correlated SQL on both "
-           "engines; Catalyst emits semi + anti joins on orderkey.")
+           "engines modulo the final ORDER BY (single-partition local "
+           "sort, no RangePartitioning); Catalyst emits semi + anti "
+           "joins on orderkey.")
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.sql(_Q21_ORACLE)
+    body = _Q21_ORACLE.rsplit("ORDER BY", 1)[0]
+    return (spark.sql(body).repartition(1)
+            .sortWithinPartitions(F.col("numwait").desc(), "s_name"))
 
 
 # ---------------------------------------------------------------------------
@@ -630,8 +634,10 @@ ORDER BY nation
 
 @query("q22_sales_opportunity", oracle=_Q22_ORACLE,
        doc="TPC-H Q22 shape: above-average-balance customers dormant "
-           "since 1999 — scalar AVG subquery + NOT EXISTS anti join, identical "
-           "SQL text on both engines.")
+           "since 1999 — scalar AVG subquery + NOT EXISTS anti join, "
+           "identical SQL text on both engines modulo the final ORDER BY "
+           "(single-partition local sort, no RangePartitioning).")
 def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.sql(_Q22_ORACLE)
+    body = _Q22_ORACLE.rsplit("ORDER BY", 1)[0]
+    return spark.sql(body).repartition(1).sortWithinPartitions("nation")
