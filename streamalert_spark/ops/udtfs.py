@@ -1,9 +1,11 @@
 """Python UDTF extension surface (SURVEY.md §2.8) — user-defined TABLE
 functions registrable into Spark SQL and usable via LATERAL joins.
 
-UDTFs are the row-at-a-time SLOW path: anything expressible with
+UDTFs are the Python slow path: anything expressible with
 posexplode/transform (like this tokenizer) should be — and elsewhere in
-this repo is — a native expression. The deliverable here is the
+this repo is — a native expression. The shipped UDTFs are
+Arrow-optimized (useArrow=True -> ArrowEvalPythonUDTF: batched Arrow
+transfer instead of row-at-a-time pickling). The deliverable here is the
 extension POINT: users of the reference register custom per-record
 expansions (log splitters, IOC extractors) and need the same hook on
 Spark. Keep UDTF bodies off the hot ingest path; they exist for
@@ -16,7 +18,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import udtf
 
 
-@udtf(returnType="idx bigint, token string, start bigint")
+@udtf(returnType="idx bigint, token string, start bigint", useArrow=True)
 class TokenizeOffsets:
     """(index, token, character offset) per whitespace token — the
     token-with-span shape annotation pipelines need."""

@@ -127,18 +127,29 @@ def test_strict_keyset_single_json_parse(spark):
 
 
 def test_query_surface_has_no_global_sort(spark):
-    """Oracle queries order via one-partition local sort; a global Sort
-    (RangePartitioning) double-executes the plan to sample boundaries.
-    Swept across the WHOLE registry at sf0.001 (iterative queries execute
-    their small driver loops while building — acceptable at this scale)."""
+    """One sweep across the WHOLE registry at sf0.001 (iterative queries
+    execute their small driver loops while building — acceptable at this
+    scale) asserting three anti-patterns never appear in any plan:
+    - RangePartitioning: a global Sort double-executes the plan to sample
+      partition boundaries; ordering belongs in one-partition local sorts;
+    - BatchEvalPython: a row-at-a-time Python UDF in the hot path (only
+      Arrow-batched forms are allowed: ArrowEvalPython, MapInPandas,
+      FlatMapGroupsInPandas);
+    - CartesianProduct: a shuffled nested-loop join (broadcast NLJ over
+      1-row scalar frames is fine and planned differently)."""
     from streamalert_spark.queries import load_all
 
-    offenders = []
+    offenders = {"range_sort": [], "row_udf": [], "cartesian": []}
     for name, rq in load_all().items():
         plan = _plan(rq.fn(spark, SF_DIR))
-        if "rangepartitioning" in plan.lower():
-            offenders.append(name)
-    assert not offenders, offenders
+        low = plan.lower()
+        if "rangepartitioning" in low:
+            offenders["range_sort"].append(name)
+        if "batchevalpython" in low:
+            offenders["row_udf"].append(name)
+        if "cartesianproduct" in low:
+            offenders["cartesian"].append(name)
+    assert not any(offenders.values()), offenders
 
 
 def test_batch_topk_broadcasts_probes_no_global_sort(spark):
