@@ -92,6 +92,7 @@ _VERIFY_FIRST = [
     "graph_triangles",
     "inverted_index_terms",
     "app_source_backfill",
+    "fuzzy_name_pairs",
     # operators touched in round 4 — re-verify next
     "lsh_verified_pairs",
     "dedup_resolution",

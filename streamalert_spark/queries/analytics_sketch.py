@@ -285,3 +285,42 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("df") >= 5) & (F.col("df") <= 8))
         .repartition(1).sortWithinPartitions("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy matching — q-gram-blocked edit-distance pairs.
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+grams AS (
+  SELECT DISTINCT name, substring(name, i, 3) AS g
+  FROM names, UNNEST(range(1, len(name) - 1)) AS t(i)
+  WHERE len(name) >= 3
+),
+cand AS (
+  SELECT DISTINCT a.name AS n1, b.name AS n2
+  FROM grams a JOIN grams b ON a.g = b.g AND a.name < b.name
+)
+SELECT n1, n2, CAST(levenshtein(n1, n2) AS BIGINT) AS dist
+FROM cand
+WHERE levenshtein(n1, n2) <= 2
+ORDER BY dist, n1, n2
+"""
+
+
+@query("fuzzy_name_pairs", oracle=_FUZZY_ORACLE,
+       doc="Typo-level fuzzy matching: distinct part names within edit "
+           "distance 2, candidates blocked by shared character 3-grams "
+           "(shuffle O(strings x grams), never O(n^2)), verified by "
+           "threshold-bounded Levenshtein — the record-linkage companion "
+           "to token-level MinHash dedup.")
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.fuzzy import edit_distance_pairs
+    from streamalert_spark.session import read_table
+
+    part = read_table(spark, sf_dir, "part")
+    return (
+        edit_distance_pairs(part, "p_name", max_distance=2)
+        .repartition(1).sortWithinPartitions("dist", "n1", "n2")
+    )
