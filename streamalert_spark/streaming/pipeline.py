@@ -56,6 +56,15 @@ class StreamingPipeline:
         Works identically on a batch frame (tests/golden events) and a
         readStream frame — the plan is the same; only the sink differs.
         """
+        if self.threat_intel is not None and source.isStreaming:
+            # IOC annotation is aggregation-shaped (per-record hit-map
+            # groupBy + join-back), which streaming append mode cannot
+            # plan mid-query. The Spark-native form is per-micro-batch:
+            # use run_stream_foreach_batch, which also gives the per-batch
+            # IOC refresh semantics the reference's Lambda probe has.
+            raise ValueError(
+                "threat_intel annotation on a streaming source must run "
+                "per micro-batch — use run_stream_foreach_batch()")
         clf = Classifier(self.schemas)
         batch = clf.classify(source, raw_col=raw_col, service=service, resource=resource)
         engine = RulesEngine(self.rules)
@@ -112,3 +121,42 @@ class StreamingPipeline:
             .outputMode("append")
             .start()
         )
+
+    def run_stream_foreach_batch(
+        self,
+        spark: SparkSession,
+        source_path: str,
+        checkpoint: str,
+        alerts_path: str,
+        service: str = "",
+        resource: str = "",
+        schema: str = "value string",
+        available_now: bool = False,
+    ):
+        """Per-micro-batch variant: classify -> normalize -> IOC annotate
+        -> rules run with BATCH semantics inside foreachBatch — required
+        when threat_intel is configured (the hit-map aggregation cannot
+        plan mid-stream in append mode), and the Spark-native equivalent
+        of the reference's per-invocation DynamoDB probe: each micro-batch
+        re-reads the broadcast IOC frame, so IOC refresh needs no query
+        restart. Exactly-once lands on the sink's idempotent append
+        keyed by the engine's batch id (the standard foreachBatch
+        contract)."""
+        src = (
+            spark.readStream.format("text")
+            .schema(schema)
+            .load(source_path)
+        )
+
+        def process(batch_df, batch_id: int) -> None:
+            alerts = self.build_alerts(batch_df, service=service, resource=resource)
+            if alerts is not None:
+                alerts.write.mode("append").parquet(alerts_path)
+
+        writer = (
+            src.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

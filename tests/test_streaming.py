@@ -825,3 +825,62 @@ def test_streaming_rate_threshold_alerts(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["k"] == "a" and out[0]["cnt"] == 5
     assert out[0]["window_start"].hour == 0
+
+
+def test_streaming_threat_intel_stream_static_join(spark, tmp_path):
+    """Stream-static enrichment: the IOC table is a STATIC broadcast side
+    joined into a streaming classify->normalize->annotate->rule plan —
+    Structured Streaming replans it per micro-batch, so IOC refresh means
+    swapping the static frame, no query restart (rules_engine.py:480-481
+    placement: between normalization and rules)."""
+    from streamalert_spark.enrich.threat_intel import ThreatIntel
+    from streamalert_spark.normalize.normalizer import (
+        NormalizationSpec, Normalizer, PathSpec,
+    )
+
+    schemas = SchemaRegistry()
+    schemas.register(LogSchema(
+        name="app:conn", schema={"event_id": "string", "src": "string"},
+    ))
+    rules = RuleRegistry()
+    rules.add(Rule(
+        name="ioc_hit",
+        expr=lambda rec: F.col("streamalert_ioc").isNotNull()
+                         & (F.size("streamalert_ioc") > 0),
+        logs=["app:conn"],
+        outputs=["slack:alerts"],
+        description="any threat-intel match",
+    ))
+    ioc = spark.createDataFrame(
+        [("1.2.3.4", "mal_ip")], "ioc_value string, sub_type string")
+    pipeline = StreamingPipeline(
+        schemas=schemas, rules=rules,
+        normalizers={"app:conn": Normalizer(NormalizationSpec(types={
+            "ip_address": [PathSpec(path="src")],
+        }))},
+        threat_intel=ThreatIntel(ioc, {"ip": ["ip_address"]}),
+        cluster="test",
+    )
+
+    src_dir = tmp_path / "ti_src"
+    src_dir.mkdir()
+    with open(src_dir / "b1.jsonl", "w") as fh:
+        fh.write(json.dumps({"event_id": "e1", "src": "1.2.3.4"}) + "\n")   # IOC
+        fh.write(json.dumps({"event_id": "e2", "src": "8.8.8.8"}) + "\n")   # clean
+
+    # the single-query plan must refuse loudly: the hit-map aggregation
+    # cannot plan mid-stream in append mode
+    src = spark.readStream.format("text").load(str(src_dir))
+    with pytest.raises(ValueError, match="foreach_batch"):
+        pipeline.build_alerts(src, service="kinesis", resource="s1")
+
+    q = pipeline.run_stream_foreach_batch(
+        spark, str(src_dir), str(tmp_path / "ti_ckpt"),
+        str(tmp_path / "ti_alerts"),
+        service="kinesis", resource="s1", available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "ti_alerts")).collect()
+    assert len(rows) == 1
+    assert rows[0]["rule_name"] == "ioc_hit"
+    assert json.loads(rows[0]["record"])["event_id"] == "e1"
