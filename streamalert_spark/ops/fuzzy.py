@@ -5,12 +5,18 @@ ops/dedup.py: MinHash finds content overlap, this finds SPELLING
 variants — entity aliases, OCR noise, typo'd hostnames).
 
 Scale design mirrors the LSH pattern: candidates come from a q-gram
-equi-join (shuffle O(strings x grams), never O(n^2) — any two strings
-within edit distance k share at least one q-gram once their length
-exceeds q*(k+1), the standard positional q-gram filter bound), and the
-quadratic Levenshtein verifier touches candidate pairs only, with
-Spark's threshold argument short-circuiting the DP once the bound is
-exceeded. All JVM expressions — no UDFs.
+equi-join (shuffle O(strings x grams), never O(n^2)), and the quadratic
+Levenshtein verifier touches candidate pairs only, with Spark's
+threshold argument short-circuiting the DP once the bound is exceeded.
+
+Completeness bound: two strings within edit distance k are GUARANTEED to
+share a q-gram only when their length reaches q*(k+1) (each edit
+destroys at most q grams, and a length-L string has L-q+1 of them).
+Strings below that bound therefore pair exhaustively against the
+(small) short-string set plus everything within k of it in length —
+the short side is a skew-free broadcast at any corpus size, so the
+guarantee holds at every length without an O(n^2) blowup.
+All JVM expressions — no UDFs.
 """
 
 from __future__ import annotations
@@ -34,23 +40,44 @@ def edit_distance_pairs(
     n: int = 3,
 ) -> DataFrame:
     """(n1, n2, dist) for DISTINCT values of ``text_col`` within
-    ``max_distance`` edits, n1 < n2. Candidates share at least one
-    character n-gram; the verifier is levenshtein with the threshold
-    pushed into the JVM expression (early-exit DP)."""
+    ``max_distance`` edits, n1 < n2 — COMPLETE at every string length:
+    long strings (>= n*(max_distance+1)) pair via the q-gram block;
+    shorter strings, where the q-gram guarantee does not hold, pair
+    exhaustively against every name within max_distance in length
+    (the short side broadcasts). The verifier is levenshtein with the
+    threshold pushed into the JVM expression (early-exit DP returning -1
+    past the bound)."""
     names = df.select(F.col(text_col).alias("name")).distinct()
-    grams = names.select(
+    guarantee_len = n * (max_distance + 1)
+
+    long_names = names.filter(F.length("name") >= guarantee_len)
+    grams = long_names.select(
         "name", F.explode(char_ngrams(F.col("name"), n)).alias("g")
     ).distinct()
     a = grams.select(F.col("name").alias("n1"), "g")
     b = grams.select(F.col("name").alias("n2"), "g")
-    cand = (
+    blocked = (
         a.join(b, "g")
         .filter(F.col("n1") < F.col("n2"))
         .select("n1", "n2")
         .distinct()
     )
-    dist = F.levenshtein(F.col("n1"), F.col("n2"))
+    # short strings: exhaustive against everything within k in length —
+    # the SHORT side broadcasts (it is the small set by construction;
+    # broadcasting all names would not survive a large corpus)
+    shorts = names.filter(F.length("name") < guarantee_len)
+    short_pairs = (
+        names.select(F.col("name").alias("other"))
+        .join(F.broadcast(shorts.select(F.col("name").alias("short"))),
+              (F.col("short") != F.col("other"))
+              & (F.abs(F.length("short") - F.length("other"))
+                 <= max_distance))
+        .select(F.least("short", "other").alias("n1"),
+                F.greatest("short", "other").alias("n2"))
+    )
+    cand = blocked.unionByName(short_pairs).distinct()
+    dist = F.levenshtein(F.col("n1"), F.col("n2"), max_distance)
     return (
         cand.select("n1", "n2", dist.cast("bigint").alias("dist"))
-        .filter(F.col("dist") <= max_distance)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_distance))
     )

@@ -291,30 +291,28 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fuzzy matching — q-gram-blocked edit-distance pairs.
 # ---------------------------------------------------------------------------
 
+# the oracle is the brute-force DEFINITION (all distinct pairs within
+# distance 2) — deliberately not mirroring the q-gram plan, so the check
+# also verifies the blocking's completeness (long pairs via grams, short
+# pairs via the exhaustive branch)
 _FUZZY_ORACLE = """
-WITH names AS (SELECT DISTINCT p_name AS name FROM part),
-grams AS (
-  SELECT DISTINCT name, substring(name, i, 3) AS g
-  FROM names, UNNEST(range(1, len(name) - 1)) AS t(i)
-  WHERE len(name) >= 3
-),
-cand AS (
-  SELECT DISTINCT a.name AS n1, b.name AS n2
-  FROM grams a JOIN grams b ON a.g = b.g AND a.name < b.name
-)
-SELECT n1, n2, CAST(levenshtein(n1, n2) AS BIGINT) AS dist
-FROM cand
-WHERE levenshtein(n1, n2) <= 2
+WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS n1, b.name AS n2,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
 ORDER BY dist, n1, n2
 """
 
 
 @query("fuzzy_name_pairs", oracle=_FUZZY_ORACLE,
        doc="Typo-level fuzzy matching: distinct part names within edit "
-           "distance 2, candidates blocked by shared character 3-grams "
-           "(shuffle O(strings x grams), never O(n^2)), verified by "
-           "threshold-bounded Levenshtein — the record-linkage companion "
-           "to token-level MinHash dedup.")
+           "distance 2 — long names blocked by shared character 3-grams "
+           "(shuffle O(strings x grams), never O(n^2)), names under the "
+           "q-gram guarantee length paired exhaustively via a broadcast "
+           "of the short set; threshold-bounded Levenshtein verifies. "
+           "The oracle is the brute-force definition, so it also checks "
+           "the blocking's completeness.")
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamalert_spark.ops.fuzzy import edit_distance_pairs
     from streamalert_spark.session import read_table

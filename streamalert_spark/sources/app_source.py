@@ -146,12 +146,27 @@ class AppIntegration(ABC):
         self._more_to_poll) in duo.py:129-161.
         """
 
+    def _replay_run(self, start_state: dict, end_epoch: int) -> list[dict]:
+        """Shared replay core: run poll() from ``start_state`` to run
+        exhaustion, keeping records at-or-before ``end_epoch``. No early
+        break on checkpoint comparison — second-granularity ties across a
+        page boundary would drop committed records (replay is
+        at-least-once; the next window's own filter de-duplicates)."""
+        out: list[dict] = []
+        state = dict(start_state)
+        more = True
+        while more:
+            records, state, more = self.poll(state)
+            out.extend(r for r in records if self.record_timestamp(r) <= end_epoch)
+        return out
+
     def poll_between(self, start_state: dict, end_state: dict) -> list[dict]:
         """Replay a committed window for streaming recovery — re-query by
         range, the capability every timestamp-paginated API in the
         reference has (duo mintime, slack before, aliyun Start/EndTime).
         Default: iterate poll() from start and clip at the end state's
-        last_timestamp."""
+        last_timestamp (integer checkpoints; ISO-checkpoint apps override
+        with an end-epoch extracted from their own formats)."""
         end_ts = int(end_state.get("last_timestamp", 0))
         out: list[dict] = []
         state = dict(start_state)
@@ -665,23 +680,13 @@ class OneLoginEventsApp(AppIntegration):
 
     def poll_between(self, start_state: dict, end_state: dict) -> list[dict]:
         """ISO-string checkpoints (the generic int() loop does not apply):
-        re-poll since the start checkpoint, clip at the committed end.
-        Comparison is on PARSED epochs — raw string compare would misorder
-        fractional-second timestamps against whole-second ones."""
+        replay one full run from the start checkpoint, clipped on PARSED
+        epochs — raw string compare would misorder fractional-second
+        timestamps, and an early checkpoint-comparison break would drop
+        pages tied at second granularity."""
         end_epoch = _iso_epoch(end_state.get("last_timestamp", ""),
                                "%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ")
-        state = dict(start_state)
-        out: list[dict] = []
-        more = True
-        while more:
-            records, state, more = self.poll(state)
-            out.extend(r for r in records
-                       if self.record_timestamp(r) <= end_epoch)
-            if _iso_epoch(state.get("last_timestamp", ""),
-                          "%Y-%m-%dT%H:%M:%SZ",
-                          "%Y-%m-%dT%H:%M:%S.%fZ") >= end_epoch:
-                break
-        return out
+        return self._replay_run(dict(start_state), end_epoch)
 
 
 # ---------------------------------------------------------------------------
@@ -759,13 +764,9 @@ class IntercomAdminApp(AppIntegration):
         silently drop the committed records."""
         end_ts = int(end_state.get("run_max",
                                    end_state.get("last_timestamp", 0)))
-        state = {"last_timestamp": int(start_state.get("last_timestamp", 0))}
-        out: list[dict] = []
-        more = True
-        while more:
-            records, state, more = self.poll(state)
-            out.extend(r for r in records if int(r["created_at"]) <= end_ts)
-        return out
+        return self._replay_run(
+            {"last_timestamp": int(start_state.get("last_timestamp", 0))},
+            end_ts)
 
 
 # ---------------------------------------------------------------------------
@@ -838,14 +839,8 @@ class BoxAdminEventsApp(AppIntegration):
         can carry a UTC offset, so compare parsed epochs, never strings)."""
         end_epoch = _iso_epoch(end_state.get("last_timestamp", ""),
                                "%Y-%m-%dT%H:%M:%S%z", "%Y-%m-%dT%H:%M:%SZ")
-        state = {"last_timestamp": start_state.get("last_timestamp")}
-        out: list[dict] = []
-        more = True
-        while more:
-            records, state, more = self.poll(state)
-            out.extend(r for r in records
-                       if self.record_timestamp(r) <= end_epoch)
-        return out
+        return self._replay_run(
+            {"last_timestamp": start_state.get("last_timestamp")}, end_epoch)
 
 
 # ---------------------------------------------------------------------------
@@ -940,15 +935,9 @@ class GSuiteAdminReportsApp(AppIntegration):
         end_epoch = _iso_epoch(
             end_state.get("pending_last", end_state.get("last_timestamp", "")),
             "%Y-%m-%dT%H:%M:%S.%fZ", "%Y-%m-%dT%H:%M:%SZ")
-        state = {"last_timestamp": start_state.get("last_timestamp"),
-                 "event_ids": list(start_state.get("event_ids", []))}
-        out: list[dict] = []
-        more = True
-        while more:
-            records, state, more = self.poll(state)
-            out.extend(r for r in records
-                       if self.record_timestamp(r) <= end_epoch)
-        return out
+        return self._replay_run(
+            {"last_timestamp": start_state.get("last_timestamp"),
+             "event_ids": list(start_state.get("event_ids", []))}, end_epoch)
 
 
 # ---------------------------------------------------------------------------

@@ -56,7 +56,7 @@ class StreamingPipeline:
         Works identically on a batch frame (tests/golden events) and a
         readStream frame — the plan is the same; only the sink differs.
         """
-        if self.threat_intel is not None and source.isStreaming:
+        if self.threat_intel is not None and self.normalizers and source.isStreaming:
             # IOC annotation is aggregation-shaped (per-record hit-map
             # groupBy + join-back), which streaming append mode cannot
             # plan mid-query. The Spark-native form is per-micro-batch:
@@ -139,9 +139,18 @@ class StreamingPipeline:
         plan mid-stream in append mode), and the Spark-native equivalent
         of the reference's per-invocation DynamoDB probe: each micro-batch
         re-reads the broadcast IOC frame, so IOC refresh needs no query
-        restart. Exactly-once lands on the sink's idempotent append
-        keyed by the engine's batch id (the standard foreachBatch
-        contract)."""
+        restart. Exactly-once: each batch OVERWRITES its own
+        batch-id-keyed partition directory, so a micro-batch retried
+        after a sink write but before the checkpoint commit replaces its
+        own output instead of appending duplicates (the standard
+        foreachBatch idempotence contract)."""
+        # eager routing validation — the per-batch loop would otherwise
+        # silently drop every batch when no rule routes to any configured
+        # log type (run_stream fails loudly the same way)
+        probe = spark.createDataFrame([], schema)
+        if self.build_alerts(probe, service=service, resource=resource) is None:
+            raise ValueError("no rules routed to any configured log type")
+
         src = (
             spark.readStream.format("text")
             .schema(schema)
@@ -151,7 +160,8 @@ class StreamingPipeline:
         def process(batch_df, batch_id: int) -> None:
             alerts = self.build_alerts(batch_df, service=service, resource=resource)
             if alerts is not None:
-                alerts.write.mode("append").parquet(alerts_path)
+                alerts.write.mode("overwrite").parquet(
+                    f"{alerts_path}/_sa_batch={batch_id}")
 
         writer = (
             src.writeStream.foreachBatch(process)

@@ -98,3 +98,18 @@ def test_kmv_no_global_sort(spark):
     df = spark.createDataFrame([("g", v) for v in range(100)], "g string, v bigint")
     plan = _plan(kmv_distinct(df, "g", "v"))
     assert "RangePartitioning" not in plan, plan
+def test_fuzzy_short_strings_complete(spark):
+    """Short strings (< q*(k+1)) have no q-gram guarantee — the
+    exhaustive short branch must still find their pairs ('cat'~'car'
+    share NO 3-gram)."""
+    from streamalert_spark.ops.fuzzy import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [("cat",), ("car",), ("ca",), ("categorical",), ("catamaran-x",)],
+        "name string")
+    got = {(r["n1"], r["n2"]): r["dist"]
+           for r in edit_distance_pairs(df, "name", max_distance=2).collect()}
+    assert got[("car", "cat")] == 1      # no shared 3-gram: short branch
+    assert got[("ca", "cat")] == 1
+    assert got[("ca", "car")] == 1
+    assert ("cat", "categorical") not in got  # distance 8
