@@ -162,3 +162,55 @@ def test_sanitized_table_name_bounded_and_stable(name):
     assert len(out) <= 64
     assert re.fullmatch(r"[A-Za-z0-9_]+", out)
     assert out == sanitized_table_name(name)
+
+
+# ------------------------------------------------------- fuzzy blocking
+
+@given(st.lists(st.text(alphabet="abcd ", min_size=1, max_size=14),
+                min_size=2, max_size=12, unique=True))
+@settings(max_examples=30, deadline=None)
+def test_fuzzy_blocking_complete_vs_brute_force(spark, names):
+    """The q-gram block + short-string branch must find EXACTLY the pairs
+    the brute-force definition finds, at any mix of lengths (the short
+    branch exists because the q-gram guarantee fails under q*(k+1))."""
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    from streamalert_spark.ops.fuzzy import edit_distance_pairs
+
+    expect = {
+        (min(a, b), max(a, b)): lev(a, b)
+        for a, b in itertools.combinations(names, 2)
+        if lev(a, b) <= 2
+    }
+    df = spark.createDataFrame([(x,) for x in names], "name string")
+    got = {(r["n1"], r["n2"]): r["dist"]
+           for r in edit_distance_pairs(df, "name", max_distance=2).collect()}
+    assert got == expect
+
+
+# ------------------------------------------------------- app-source replay
+
+@given(st.integers(min_value=0, max_value=240),
+       st.integers(min_value=0, max_value=240))
+@settings(max_examples=50, deadline=None)
+def test_app_replay_window_exact(lo, hi):
+    """poll_between over the synthetic app returns EXACTLY the events in
+    (start, end] — the streaming-recovery contract the offset log
+    depends on."""
+    from streamalert_spark.sources.app_source import SyntheticApp
+
+    start, end = sorted((lo, hi))
+    app = SyntheticApp({}, end_timestamp=250)
+    got = [r["timestamp"] for r in app.poll_between(
+        {"last_timestamp": start}, {"last_timestamp": end})]
+    assert got == list(range(start + 1, end + 1))
