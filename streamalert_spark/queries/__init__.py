@@ -93,6 +93,7 @@ _VERIFY_FIRST = [
     "inverted_index_terms",
     "app_source_backfill",
     "fuzzy_name_pairs",
+    "semantic_decontamination",
     # operators touched in round 4 — re-verify next
     "lsh_verified_pairs",
     "dedup_resolution",

@@ -712,3 +712,47 @@ def semantic_cell_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cell", F.col("cell").cast("bigint"))
         .repartition(1).sortWithinPartitions("a", "b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination: the embedding-space analogue of the n-gram
+# sweep — training vectors ranked by their maximum cosine to ANY eval
+# vector (the review queue of likeliest paraphrase contamination).
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_DECON_ORACLE = f"""
+WITH ev AS (SELECT embedding AS qv FROM embeddings WHERE vec_id % 97 = 0),
+tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0),
+scored AS (
+  SELECT tr.vec_id, MAX({_COSINE_EXPR.replace('e.embedding', 'tr.embedding').replace('q.qv', 'ev.qv')}) AS max_eval_sim
+  FROM tr CROSS JOIN ev
+  GROUP BY tr.vec_id
+)
+SELECT vec_id, max_eval_sim FROM scored
+ORDER BY max_eval_sim DESC, vec_id
+LIMIT 20
+"""
+
+
+@query("semantic_decontamination", oracle=_SEMANTIC_DECON_ORACLE,
+       doc="Semantic decontamination review queue: training vectors "
+           "ranked by max cosine to ANY eval vector (the embedding-space "
+           "analogue of n-gram decontamination — catches paraphrase "
+           "contamination n-grams miss). Eval set broadcasts "
+           "(benchmark-sized); one corpus scan, per-vector max is a "
+           "partial-aggregated groupBy; per-pair cosines rounded before "
+           "MAX so the ranking is engine-exact.")
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    ev = emb.filter(F.col("vec_id") % 97 == 0).select(F.col("embedding").alias("qv"))
+    tr = emb.filter(F.col("vec_id") % 97 != 0)
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .select("vec_id",
+                F.round(similarity.cosine(F.col("embedding"), F.col("qv")), 6)
+                 .alias("sim"))
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("max_eval_sim"))
+        .orderBy(F.col("max_eval_sim").desc(), "vec_id")
+        .limit(20)
+    )
