@@ -744,13 +744,20 @@ LIMIT 20
            "MAX so the ranking is engine-exact.")
 def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    ev = emb.filter(F.col("vec_id") % 97 == 0).select(F.col("embedding").alias("qv"))
-    tr = emb.filter(F.col("vec_id") % 97 != 0)
+    # norms precomputed ONCE per vector before the cross join (the
+    # cosine_pairs_exact pattern): bit-identical to per-pair
+    # recomputation — same expression tree per norm — at ~3x less work
+    # on the dominant |tr| x |ev| term
+    ev = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("embedding").alias("qv"),
+        similarity.norm(F.col("embedding")).alias("qn"))
+    tr = emb.filter(F.col("vec_id") % 97 != 0).select(
+        "vec_id", "embedding",
+        similarity.norm(F.col("embedding")).alias("tn"))
+    sim = similarity.dot(F.col("embedding"), F.col("qv"))         / (F.col("tn") * F.col("qn"))
     return (
         tr.crossJoin(F.broadcast(ev))
-        .select("vec_id",
-                F.round(similarity.cosine(F.col("embedding"), F.col("qv")), 6)
-                 .alias("sim"))
+        .select("vec_id", F.round(sim, 6).alias("sim"))
         .groupBy("vec_id")
         .agg(F.max("sim").alias("max_eval_sim"))
         .orderBy(F.col("max_eval_sim").desc(), "vec_id")
