@@ -260,7 +260,7 @@ sh AS (
   FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
 )
 SELECT term, COUNT(*) AS df,
-       list(doc_id ORDER BY doc_id) AS postings
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
 FROM sh
 GROUP BY term
 HAVING COUNT(*) >= 5 AND COUNT(*) <= 8
@@ -269,11 +269,12 @@ ORDER BY term
 
 
 @query("inverted_index_terms", oracle=_INVINDEX_ORACLE,
-       doc="Inverted-index build over n-gram terms: sorted posting-list "
-           "arrays per term with a df band keeping output bounded. One "
-           "explode + one partial-aggregated groupBy; at 100 TB the "
-           "posting arrays shard by term hash and high-df terms are "
-           "banded out exactly as here.")
+       doc="Inverted-index build over n-gram terms: sorted posting lists "
+           "per term with a df band keeping output bounded. One explode + "
+           "one partial-aggregated groupBy; at 100 TB the posting lists "
+           "shard by term hash and high-df terms are banded out exactly "
+           "as here. The list is emitted as a comma-joined scalar (the "
+           "driver harness cannot canonicalize array columns).")
 def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamalert_spark.ops.dedup import shingles
 
@@ -281,7 +282,10 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sh.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"),
-             F.array_sort(F.collect_list("doc_id")).alias("postings"))
+             F.array_join(
+                 F.transform(F.array_sort(F.collect_list("doc_id")),
+                             lambda x: x.cast("string")),
+                 ",").alias("postings"))
         .filter((F.col("df") >= 5) & (F.col("df") <= 8))
         .repartition(1).sortWithinPartitions("term")
     )
