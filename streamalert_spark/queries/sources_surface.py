@@ -149,3 +149,140 @@ def app_source_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return df.repartition(1).sortWithinPartitions("event_timestamp")
+
+
+# ----------------------------------------------------------- Salesforce
+
+# 2024-01-01T00:00:00Z
+_SF_EPOCH_DAY1 = 1704067200
+
+
+def _fake_salesforce_fetch(method: str, url: str, headers: dict,
+                           data: dict | None):
+    """Deterministic stand-in for the salesforce REST API, exercising the
+    FULL protocol an app run performs (salesforce.py:103-378): OAuth
+    token POST, API-version discovery (the fake only answers queries sent
+    to the LATEST advertised version), EventLogFile query filtered by the
+    LogDate checkpoint, and per-file CSV content with a header line."""
+    import re as _re
+
+    if method == "POST":
+        assert data is not None and data["grant_type"] == "password"
+        # password and security_token arrive concatenated
+        assert data["password"].endswith("T" * 24)
+        return {"access_token": "tok-fake", "instance_url": "https://fake.example"}
+    if url.endswith("/services/data/"):
+        assert headers["Authorization"] == "Bearer tok-fake"
+        return [{"version": "31.0"}, {"version": "46.0"}, {"version": "44.0"}]
+    if "query?q=" in url:
+        # version discovery must have picked the largest advertised one
+        assert "/services/data/v46.0/" in url
+        last = _re.search(r"LogDate\+>\+([^+]+)\+", url).group(1)
+        records = []
+        for d in range(1, 5):
+            if f"2024-01-0{d}T00:00:00Z" > last:  # ISO strings order by time
+                records.append({
+                    "Id": f"0AT00000000000{d}",
+                    "EventType": "Login",
+                    "LogFile": ("services/data/v46.0/sobjects/EventLogFile/"
+                                f"0AT00000000000{d}/LogFile"),
+                    "LogDate": f"2024-01-0{d}T00:00:00.000+0000",
+                    "LogFileLength": 512.0,
+                })
+        return {"totalSize": len(records), "done": True, "records": records}
+    d = int(_re.search(r"EventLogFile/0AT00000000000(\d)/LogFile", url).group(1))
+    rows = [f'"Login","2024-01-0{d}T0{h}:00:00Z","user{d}{h}"'
+            for h in range(5)]
+    return "\n".join(['"EVENT_TYPE","TIMESTAMP_DERIVED","USER_ID"'] + rows)
+
+
+def _fixed_sf_clock() -> float:
+    # 2024-01-05T00:00:00Z — a deterministic "run start" checkpoint
+    return float(_SF_EPOCH_DAY1 + 4 * 86400)
+
+
+_APP_SF_ORACLE = f"""
+SELECT '"Login","2024-01-0' || d || 'T0' || h || ':00:00Z","user' || d || h || '"'
+         AS record,
+       'salesforce:salesforce_login' AS log_type,
+       CAST({_SF_EPOCH_DAY1} + (d - 1) * 86400 AS BIGINT) AS event_timestamp
+FROM range(1, 5) t(d), range(0, 5) u(h)
+ORDER BY event_timestamp, record
+"""
+
+
+@query("app_source_salesforce", oracle=_APP_SF_ORACLE,
+       doc="Salesforce event-log backfill through the app DataSource "
+           "(salesforce.py:1-460): OAuth token flow, latest-API-version "
+           "discovery, EventLogFile query WHERE LogDate > checkpoint, "
+           "per-file CSV fetch with header dropped — the deterministic "
+           "fake transport asserts each protocol step, and the records "
+           "land as raw CSV lines ready for the CSV classifier.")
+def app_source_salesforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.sources.app_source import TRANSPORTS, register_app_source
+
+    TRANSPORTS["salesforce_login"] = {
+        "fetch": _fake_salesforce_fetch, "clock": _fixed_sf_clock,
+    }
+    register_app_source(spark)
+    df = (
+        spark.read.format("streamalert_app")
+        .option("app", "salesforce_login")
+        .option("auth_client_id", "c" * 85)
+        .option("auth_client_secret", "1" * 19)
+        .option("auth_username", "auditor@example.com")
+        .option("auth_password", "hunter2")
+        .option("auth_security_token", "T" * 24)
+        .load()
+    )
+    return df.repartition(1).sortWithinPartitions("event_timestamp", "record")
+
+
+# ------------------------------------------- app source: streaming resume
+
+_APP_STREAM_ORACLE = """
+SELECT '{"event_id": "ev-' || i || '", "result": "SUCCESS", "timestamp": '
+         || i || '}' AS record,
+       'synthetic:synthetic' AS log_type,
+       CAST(i AS BIGINT) AS event_timestamp
+FROM range(1, 251) t(i)
+ORDER BY event_timestamp
+"""
+
+
+@query("app_source_stream_resume", oracle=_APP_STREAM_ORACLE,
+       doc="App-source STREAMING read with a mid-stream restart: run 1 "
+           "drains the service to t=150 over 2 micro-batches (one poll "
+           "per batch, page size 100), then a NEW query on the same "
+           "checkpoint picks up at the committed offset and drains to "
+           "t=250 — the offset-log resume that replaces the reference's "
+           "parameter-store checkpoint (app_base.py:222-258). The hash "
+           "check proves no record is duplicated or dropped across the "
+           "restart boundary.")
+def app_source_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from streamalert_spark.sources.app_source import register_app_source
+
+    register_app_source(spark)
+    work = tempfile.mkdtemp(prefix="app_stream_resume_")
+    out_dir, ckpt = f"{work}/out", f"{work}/ckpt"
+    for end_ts in (150, 250):  # restart happens between the two runs
+        src = (
+            spark.readStream.format("streamalert_app")
+            .option("app", "synthetic").option("end_timestamp", str(end_ts))
+            .load()
+        )
+        q = (
+            src.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return (spark.read.schema("record string, log_type string, "
+                              "event_timestamp bigint").parquet(out_dir)
+            .repartition(1).sortWithinPartitions("event_timestamp"))

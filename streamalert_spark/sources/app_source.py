@@ -28,10 +28,15 @@ HTTP transports stay injectable exactly like the output connectors
 (`streaming/outputs.py`): the request SHAPE (duo's signed headers,
 slack's bearer + page/before pagination, aliyun's StartTime/EndTime/
 NextToken protocol, checkpoint advance) is ported and unit-tested; the
-network call is a pluggable fetch function, env-dependent by design —
-ported bodies: duo_admin, slack_access, slack_integration,
-aliyun_actiontrail, onelogin_events, intercom_admin, box_admin_events,
-gsuite_admin (+ the synthetic test app). Transport-requiring apps register their fetchers in ``TRANSPORTS`` (the
+network call is a pluggable fetch function, env-dependent by design.
+Ported app TYPES (registry keys, mirroring the reference's ~24
+StreamAlertApp registrations): duo_admin, duo_auth, slack_access,
+slack_integration, aliyun_actiontrail, onelogin_events, intercom_admin,
+box_admin_events, the 15 gsuite report subtypes (gsuite_admin,
+gsuite_calendar, gsuite_drive, ...), the 5 salesforce event-log types
+(salesforce_console, salesforce_login, salesforce_loginas,
+salesforce_report, salesforce_reportexport), + the synthetic test app.
+Transport-requiring apps register their fetchers in ``TRANSPORTS`` (the
 stream reader runs driver-side, so closures are fine; batch backfill of
 a transport app additionally requires the fetcher to be picklable).
 """
@@ -136,6 +141,14 @@ class AppIntegration(ABC):
         """Epoch seconds of one record, for the source's event_timestamp
         column. Default: the 'timestamp' field (duo-shaped)."""
         return int(record.get("timestamp", 0))
+
+    @classmethod
+    def record_payload(cls, record: dict) -> str:
+        """The source's ``record`` column for one gathered record.
+        Default: canonical JSON. Apps whose service emits non-JSON
+        payloads (salesforce event log files are CSV) override this so
+        the classifier sees the service's native line format."""
+        return json.dumps(record, sort_keys=True)
 
     @abstractmethod
     def poll(self, state: dict) -> tuple[list[dict], dict, bool]:
@@ -252,15 +265,15 @@ def duo_signed_headers(
     }
 
 
-@streamalert_app
-class DuoAdminApp(AppIntegration):
-    """duo_admin poller (duo.py:198-214 DuoAdminApp): admin-log endpoint,
-    signed requests, mintime pagination. ``fetch`` is the injectable
-    transport: (url, headers, params) -> response dict with a 'response'
-    list — absent a transport, polling raises (env-dependent by design,
-    like the output connectors' HTTP clients)."""
+class DuoApp(AppIntegration):
+    """Duo base poller (duo.py:33-161 DuoApp): signed requests, mintime
+    pagination; the admin/auth apps differ only in endpoint (duo.py:
+    195-233). ``fetch`` is the injectable transport:
+    (url, headers, params) -> response dict with a 'response' list —
+    absent a transport, polling raises (env-dependent by design, like
+    the output connectors' HTTP clients)."""
 
-    _ENDPOINT = "/admin/v1/logs/administrator"
+    _ENDPOINT_PREFIX = "/admin/v1/logs/"  # duo.py:37
 
     def __init__(self, auth: dict[str, str],
                  fetch: Callable[[str, dict, dict], dict] | None = None):
@@ -272,8 +285,9 @@ class DuoAdminApp(AppIntegration):
         return "duo"
 
     @classmethod
-    def app_type(cls) -> str:
-        return "duo_admin"
+    def _endpoint(cls) -> str:
+        """Endpoint path for this duo log type (duo.py:39-49)."""
+        raise NotImplementedError("subclasses implement _endpoint")
 
     @classmethod
     def required_auth_info(cls) -> dict[str, dict]:
@@ -290,8 +304,9 @@ class DuoAdminApp(AppIntegration):
     def poll(self, state: dict) -> tuple[list[dict], dict, bool]:
         if self.fetch is None:
             raise NotImplementedError(
-                "duo_admin requires an HTTP transport; inject fetch=... "
-                "(env-dependent by design — see streaming/outputs.py)")
+                f"{self.app_type()} requires an HTTP transport; inject "
+                "fetch=... (env-dependent by design — see "
+                "streaming/outputs.py)")
         from datetime import datetime, timezone
 
         last = int(state.get("last_timestamp", 0))
@@ -299,14 +314,42 @@ class DuoAdminApp(AppIntegration):
         params = {"mintime": str(last + 1)}  # duo.py:131
         date = datetime.now(timezone.utc).strftime("%a, %d %b %Y %H:%M:%S -0000")
         headers = duo_signed_headers(
-            hostname, self._ENDPOINT, params,
+            hostname, self._endpoint(), params,
             self.auth["integration_key"], self.auth["secret_key"], date)
-        response = self.fetch(f"https://{hostname}{self._ENDPOINT}", headers, params)
+        response = self.fetch(f"https://{hostname}{self._endpoint()}", headers, params)
         logs = response.get("response") or []
         if not logs:
             return [], {"last_timestamp": last}, False
         return (logs, {"last_timestamp": logs[-1]["timestamp"]},
                 len(logs) >= self.MAX_RESPONSE_LOGS)
+
+
+@streamalert_app
+class DuoAdminApp(DuoApp):
+    """duo_admin poller (duo.py:217-233 DuoAdminApp): administrator-log
+    endpoint over the shared DuoApp protocol."""
+
+    @classmethod
+    def app_type(cls) -> str:
+        return "duo_admin"
+
+    @classmethod
+    def _endpoint(cls) -> str:
+        return f"{cls._ENDPOINT_PREFIX}administrator"
+
+
+@streamalert_app
+class DuoAuthApp(DuoApp):
+    """duo_auth poller (duo.py:200-214 DuoAuthApp): authentication-log
+    endpoint over the shared DuoApp protocol."""
+
+    @classmethod
+    def app_type(cls) -> str:
+        return "duo_auth"
+
+    @classmethod
+    def _endpoint(cls) -> str:
+        return f"{cls._ENDPOINT_PREFIX}authentication"
 
 
 # ---------------------------------------------------------------------------
@@ -848,16 +891,15 @@ class BoxAdminEventsApp(AppIntegration):
 # ---------------------------------------------------------------------------
 
 
-@streamalert_app
-class GSuiteAdminReportsApp(AppIntegration):
-    """gsuite.py:30-245 GSuiteReportsApp (applicationName='admin'; the
-    reference's other application types are one-line subclasses of the
-    same base): activities.list with startTime held for the whole run,
-    nextPageToken pagination, results in REVERSE chronological order so
-    the new checkpoint is the FIRST page's first item; events at exactly
-    the boundary timestamp carry their uniqueQualifiers in the state to
-    de-duplicate the next run (gsuite.py:132-195 — the reference stores
-    them in the app context). The googleapiclient service is external
+class GSuiteReportsApp(AppIntegration):
+    """gsuite.py:30-245 GSuiteReportsApp base: activities.list with
+    startTime held for the whole run, nextPageToken pagination, results
+    in REVERSE chronological order so the new checkpoint is the FIRST
+    page's first item; events at exactly the boundary timestamp carry
+    their uniqueQualifiers in the state to de-duplicate the next run
+    (gsuite.py:132-195 — the reference stores them in the app context).
+    The applicationName subtypes (gsuite.py:245-371) are generated below
+    from _GSUITE_REPORT_TYPES. The googleapiclient service is external
     even in the reference — transport injected as
     ``fetch(application, start_time, page_token) -> results dict``."""
 
@@ -872,11 +914,11 @@ class GSuiteAdminReportsApp(AppIntegration):
 
     @classmethod
     def app_type(cls) -> str:
-        return "gsuite_admin"
+        return f"gsuite_{cls.application_name()}"
 
     @classmethod
     def application_name(cls) -> str:
-        return "admin"
+        raise NotImplementedError("subclasses pin their applicationName")
 
     @classmethod
     def required_auth_info(cls) -> dict[str, dict]:
@@ -895,7 +937,7 @@ class GSuiteAdminReportsApp(AppIntegration):
     def poll(self, state: dict) -> tuple[list[dict], dict, bool]:
         if self.fetch is None:
             raise NotImplementedError(
-                "gsuite_admin requires the googleapiclient service "
+                f"{self.app_type()} requires the googleapiclient service "
                 "(external lib even in the reference); inject fetch=...")
         # startTime holds for the whole run (gsuite.py:142-144)
         query_start = state.get("query_start", state["last_timestamp"])
@@ -940,6 +982,235 @@ class GSuiteAdminReportsApp(AppIntegration):
              "event_ids": list(start_state.get("event_ids", []))}, end_epoch)
 
 
+# the reference's 15 applicationName subtypes (gsuite.py:245-371), each a
+# _type()-only subclass of the shared base; generated rather than spelled
+# out — the reference's 15 hand-written one-method classes are pure
+# boilerplate this loop replaces
+_GSUITE_REPORT_TYPES = (
+    "access_transparency", "admin", "calendar", "drive", "gcp", "groups",
+    "groups_enterprise", "gplus", "login", "meet", "mobile", "rules",
+    "saml", "token", "user_accounts",
+)
+
+for _report_type in _GSUITE_REPORT_TYPES:
+    streamalert_app(type(
+        f"GSuite{_report_type.title().replace('_', '')}ReportsApp",
+        (GSuiteReportsApp,),
+        {
+            "__doc__": (f"G Suite {_report_type} activity report "
+                        f"(gsuite.py:245-371): applicationName-only "
+                        f"subclass of GSuiteReportsApp."),
+            "application_name": classmethod(
+                lambda cls, _t=_report_type: _t),
+        },
+    ))
+
+# admin keeps an importable name (pre-round-5 module API)
+GSuiteAdminReportsApp = APP_REGISTRY["gsuite_admin"]
+
+
+# ---------------------------------------------------------------------------
+# Salesforce apps — OAuth token flow, API-version discovery, EventLogFile
+# query + CSV fetch (salesforce.py:1-460).
+# ---------------------------------------------------------------------------
+
+
+class SalesforceApp(AppIntegration):
+    """salesforce.py:33-405 SalesforceApp: each run (1) requests an OAuth
+    token (grant_type=password with password+security_token concatenated,
+    salesforce.py:103-137), (2) discovers the LATEST supported API
+    version from /services/data/ (salesforce.py:259-290), (3) queries
+    EventLogFile rows WHERE LogDate > last_timestamp AND EventType =
+    _type() (salesforce.py:292-356), (4) GETs each LogFile and yields its
+    CSV data lines minus the header (salesforce.py:358-378), then
+    advances last_timestamp to the run's start wall clock formatted
+    %Y-%m-%dT%H:%M:%SZ (salesforce.py:381-404). Log files are daily
+    batches — there is no intra-run pagination, so one poll is one full
+    run and more_to_poll is always False.
+
+    ``fetch(method, url, headers, data)`` is the injectable transport:
+    returns parsed JSON (token / versions / file list) or raw CSV text
+    (log content), None on failure. ``clock`` injectable for
+    deterministic checkpoint advance."""
+
+    # URL construction mirrors salesforce.py:59-70 exactly (the query is
+    # shipped pre-encoded with '+' separators)
+    _TOKEN_URL = "https://login.salesforce.com/services/oauth2/token"  # noqa: S105
+    _QUERY_URL = ("{instance_url}/services/data/v{api_version}/"
+                  "{query}{start_time}{event_type}")
+    _QUERY_FILTERS = ("query?q=SELECT+Id+,+EventType+,+LogFile+,+LogDate+,"
+                      "+LogFileLength+FROM+EventLogFile+")
+    _CREATE_AFTER = "WHERE+LogDate+>+{}+"
+
+    def __init__(self, auth: dict[str, str],
+                 fetch: Callable[[str, str, dict, dict | None], object] | None = None,
+                 clock: Callable[[], float] = _time.time):
+        super().__init__(auth)
+        self.fetch = fetch
+        self.clock = clock
+
+    @classmethod
+    def service(cls) -> str:
+        return "salesforce"
+
+    @classmethod
+    def _type(cls) -> str:
+        raise NotImplementedError("subclasses pin their EventType")
+
+    @classmethod
+    def app_type(cls) -> str:
+        return f"salesforce_{cls._type()}"
+
+    @classmethod
+    def date_formatter(cls) -> str:
+        """Salesforce API date format (salesforce.py:96-99)."""
+        return "%Y-%m-%dT%H:%M:%SZ"
+
+    @classmethod
+    def required_auth_info(cls) -> dict[str, dict]:
+        # salesforce.py:143-174 — identical formats
+        return {
+            "client_id": {"format": re.compile(r"^[a-zA-Z0-9._#@]{85}$")},
+            "client_secret": {"format": re.compile(r"^[0-9]{19}$")},
+            "username": {"format": re.compile(
+                r"^[A-Za-z0-9-_.+]+@[A-Za-z0-9-.]+\.[A-Za-z]{2,}$")},
+            "password": {"format": re.compile(r".*")},
+            "security_token": {"format": re.compile(r"^[a-zA-Z0-9]{24}$")},
+        }
+
+    def initial_state(self, options: dict) -> dict:
+        return {"last_timestamp": options.get(
+            "start_time", "1970-01-01T00:00:00Z")}
+
+    @classmethod
+    def record_timestamp(cls, record: dict) -> int:
+        # LogDate shape: 2014-03-14T00:00:00.000+0000 (salesforce.py:321)
+        return _iso_epoch(record.get("log_date", ""),
+                          "%Y-%m-%dT%H:%M:%S.%f%z", "%Y-%m-%dT%H:%M:%SZ")
+
+    @classmethod
+    def record_payload(cls, record: dict) -> str:
+        # the service emits CSV event log files; ship the raw data line
+        # (the reference hands splitlines()[1:] straight to the
+        # classifier, salesforce.py:378-379)
+        return record["raw"]
+
+    def _request_token(self) -> tuple[dict, str] | None:
+        """OAuth headers + instance url, or None (salesforce.py:103-137)."""
+        data = {
+            "grant_type": "password",
+            "client_id": self.auth["client_id"],
+            "client_secret": self.auth["client_secret"],
+            "username": self.auth["username"],
+            # password and security token concatenated (salesforce.py:113)
+            "password": "{}{}".format(self.auth["password"],
+                                      self.auth["security_token"]),
+            "response_type": "code",
+            "redirect_uri": self._TOKEN_URL,
+        }
+        response = self.fetch(
+            "POST", self._TOKEN_URL,
+            {"Content-Type": "application/x-www-form-urlencoded"}, data)
+        if not isinstance(response, dict):
+            return None
+        token, instance_url = response.get("access_token"), response.get("instance_url")
+        if not (token and instance_url):
+            return None
+        return ({"Content-Type": "application/json",
+                 "Authorization": f"Bearer {token}"}, instance_url)
+
+    def _get_latest_api_version(self, headers: dict, instance_url: str) -> str | None:
+        """Largest advertised API version as a string, or None
+        (salesforce.py:259-290)."""
+        response = self.fetch("GET", f"{instance_url}/services/data/", headers, None)
+        if not isinstance(response, list):
+            return None
+        versions = [float(v.get("version", 0)) for v in response]
+        if not versions or max(versions) == 0.0:
+            return None
+        return str(sorted(versions)[-1])
+
+    def _list_log_files(self, headers: dict, instance_url: str,
+                        api_version: str, last_timestamp: str) -> list[dict]:
+        """EventLogFile records newer than the checkpoint
+        (salesforce.py:292-356)."""
+        url = self._QUERY_URL.format(
+            instance_url=instance_url,
+            api_version=api_version,
+            query=self._QUERY_FILTERS,
+            start_time=self._CREATE_AFTER.format(last_timestamp),
+            event_type="AND+EventType+=+'{}'".format(self._type()),
+        )
+        response = self.fetch("GET", url, headers, None)
+        if not isinstance(response, dict):
+            return []
+        return [r for r in (response.get("records") or []) if r.get("LogFile")]
+
+    def _fetch_event_logs(self, headers: dict, instance_url: str,
+                          log_file: dict) -> list[dict]:
+        """CSV data lines of one log file, header dropped
+        (salesforce.py:358-378)."""
+        text = self.fetch("GET", f"{instance_url}/{log_file['LogFile']}",
+                          headers, None)
+        if not isinstance(text, str):
+            return []
+        log_date = log_file.get("LogDate", "")
+        return [{"raw": line, "log_date": log_date}
+                for line in text.splitlines()[1:]]
+
+    def poll(self, state: dict) -> tuple[list[dict], dict, bool]:
+        if self.fetch is None:
+            raise NotImplementedError(
+                f"{self.app_type()} requires an HTTP transport; inject "
+                "fetch=... (env-dependent by design — see "
+                "streaming/outputs.py)")
+        from datetime import datetime, timezone
+
+        # run start time is the next checkpoint (salesforce.py:84,400-403)
+        current_time = int(self.clock())
+        auth = self._request_token()
+        if auth is None:
+            return [], dict(state), False
+        headers, instance_url = auth
+        api_version = self._get_latest_api_version(headers, instance_url)
+        if api_version is None:
+            return [], dict(state), False
+        records: list[dict] = []
+        for log_file in self._list_log_files(
+                headers, instance_url, api_version,
+                state.get("last_timestamp", "")):
+            records.extend(self._fetch_event_logs(headers, instance_url, log_file))
+        new_last = datetime.fromtimestamp(current_time, timezone.utc).strftime(
+            self.date_formatter())
+        return records, {"last_timestamp": new_last}, False
+
+    def poll_between(self, start_state: dict, end_state: dict) -> list[dict]:
+        """ISO-string checkpoints: replay is one full run from the start
+        checkpoint (LogDate > start filter re-applies server-side),
+        clipped at the committed end timestamp."""
+        end_epoch = _iso_epoch(end_state.get("last_timestamp", ""),
+                               "%Y-%m-%dT%H:%M:%SZ")
+        return self._replay_run(dict(start_state), end_epoch)
+
+
+# the reference's 5 EventType subclasses (salesforce.py:408-460), each a
+# _type()-only subclass; generated like the gsuite report subtypes
+_SALESFORCE_EVENT_TYPES = ("console", "login", "loginas", "report",
+                           "reportexport")
+
+for _sf_type in _SALESFORCE_EVENT_TYPES:
+    streamalert_app(type(
+        f"Salesforce{_sf_type.title()}App",
+        (SalesforceApp,),
+        {
+            "__doc__": (f"Salesforce {_sf_type} event log app "
+                        f"(salesforce.py:408-460): EventType-only "
+                        f"subclass of SalesforceApp."),
+            "_type": classmethod(lambda cls, _t=_sf_type: _t),
+        },
+    ))
+
+
 # ---------------------------------------------------------------------------
 # The Spark DataSource
 # ---------------------------------------------------------------------------
@@ -966,7 +1237,7 @@ def _build_app(options: dict, transports: dict | None = None) -> AppIntegration:
 def _rows(app: AppIntegration, records: list[dict]) -> Iterator[tuple]:
     log_type = f"{app.service()}:{app.app_type()}"
     for r in records:
-        yield (json.dumps(r, sort_keys=True), log_type, app.record_timestamp(r))
+        yield (app.record_payload(r), log_type, app.record_timestamp(r))
 
 
 def make_app_poller_datasource():

@@ -573,3 +573,187 @@ def test_onelogin_token_cached_per_run():
     assert len(tokens) == 1
     _, state, more = app.poll(state)        # next fresh run -> token 2
     assert len(tokens) == 2
+
+
+# --------------------------------------------------------------- salesforce
+
+SF_AUTH = {
+    "client_id": "c" * 85,
+    "client_secret": "1" * 19,
+    "username": "auditor@example.com",
+    "password": "hunter2",
+    "security_token": "T" * 24,
+}
+
+
+def _sf_fake_service(calls):
+    """A recording fake of the salesforce REST surface: 2 log files
+    (2024-01-02 and 2024-01-03), 2 CSV data rows each."""
+
+    def fetch(method, url, headers, data):
+        calls.append((method, url))
+        if method == "POST":
+            assert data["grant_type"] == "password"
+            assert data["password"] == "hunter2" + "T" * 24  # concatenated
+            assert data["client_id"] == SF_AUTH["client_id"]
+            return {"access_token": "tok-9", "instance_url": "https://inst.example"}
+        if url.endswith("/services/data/"):
+            assert headers["Authorization"] == "Bearer tok-9"
+            return [{"version": "20.0"}, {"version": "47.0"}, {"version": "46.0"}]
+        if "query?q=" in url:
+            assert "/services/data/v47.0/" in url  # latest version discovered
+            import re as _re
+
+            last = _re.search(r"LogDate\+>\+([^+]+)\+", url).group(1)
+            assert "EventType+=+'login'" in url
+            records = [
+                {"Id": f"0AT{d}", "EventType": "Login",
+                 "LogFile": f"services/data/v47.0/sobjects/EventLogFile/0AT{d}/LogFile",
+                 "LogDate": f"2024-01-0{d}T00:00:00.000+0000"}
+                for d in (2, 3)
+                if f"2024-01-0{d}T00:00:00Z" > last
+            ]
+            return {"records": records, "done": True, "totalSize": len(records)}
+        # log file content: header + 2 data lines
+        d = url[-9]
+        return "\n".join([
+            '"EVENT_TYPE","TIMESTAMP","USER_ID"',
+            f'"Login","2024-01-0{d}T01:00:00Z","u{d}a"',
+            f'"Login","2024-01-0{d}T02:00:00Z","u{d}b"',
+        ])
+
+    return fetch
+
+
+def test_salesforce_protocol_full_run():
+    """salesforce.py:103-404: token POST -> version discovery -> filtered
+    EventLogFile query -> per-file CSV fetch (header dropped) -> checkpoint
+    advances to the run-start wall clock in salesforce date format."""
+    from streamalert_spark.sources.app_source import APP_REGISTRY
+
+    calls = []
+    app = APP_REGISTRY["salesforce_login"](
+        SF_AUTH, fetch=_sf_fake_service(calls),
+        clock=lambda: 1704412800.0)  # 2024-01-05T00:00:00Z
+    state = app.initial_state({})
+    assert state == {"last_timestamp": "1970-01-01T00:00:00Z"}
+
+    records, state, more = app.poll(state)
+    assert not more  # daily log files: one poll == one full run
+    assert state == {"last_timestamp": "2024-01-05T00:00:00Z"}
+    # 2 files x 2 data lines, headers dropped
+    assert [app.record_payload(r) for r in records] == [
+        '"Login","2024-01-02T01:00:00Z","u2a"',
+        '"Login","2024-01-02T02:00:00Z","u2b"',
+        '"Login","2024-01-03T01:00:00Z","u3a"',
+        '"Login","2024-01-03T02:00:00Z","u3b"',
+    ]
+    # record timestamp = the file's LogDate (daily batch)
+    assert app.record_timestamp(records[0]) == 1704153600  # 2024-01-02
+    # call order: token, versions, query, file GETs
+    assert [c[0] for c in calls] == ["POST", "GET", "GET", "GET", "GET"]
+
+    # second run from the advanced checkpoint: LogDate > 2024-01-05 -> no
+    # files, state holds the new wall clock
+    records2, state2, more2 = app.poll(dict(state))
+    assert records2 == [] and not more2
+    assert state2 == {"last_timestamp": "2024-01-05T00:00:00Z"}
+
+
+def test_salesforce_token_failure_holds_state():
+    """salesforce.py:122-128: an invalid token response aborts the run
+    without advancing the checkpoint."""
+    from streamalert_spark.sources.app_source import APP_REGISTRY
+
+    def fetch(method, url, headers, data):
+        return {"error": "invalid_grant"}
+
+    app = APP_REGISTRY["salesforce_console"](SF_AUTH, fetch=fetch)
+    state = {"last_timestamp": "2024-01-01T00:00:00Z"}
+    records, new_state, more = app.poll(dict(state))
+    assert records == [] and new_state == state and not more
+
+
+def test_salesforce_replay_clips_at_end_checkpoint():
+    """poll_between replays the committed window: files dated at or
+    before the end checkpoint only."""
+    from streamalert_spark.sources.app_source import APP_REGISTRY
+
+    calls = []
+    app = APP_REGISTRY["salesforce_login"](
+        SF_AUTH, fetch=_sf_fake_service(calls), clock=lambda: 1704412800.0)
+    replay = app.poll_between(
+        {"last_timestamp": "1970-01-01T00:00:00Z"},
+        {"last_timestamp": "2024-01-02T12:00:00Z"})
+    # the 2024-01-03 file is beyond the committed end -> clipped
+    assert [app.record_payload(r) for r in replay] == [
+        '"Login","2024-01-02T01:00:00Z","u2a"',
+        '"Login","2024-01-02T02:00:00Z","u2b"',
+    ]
+
+
+def test_salesforce_types_and_auth_validation():
+    """salesforce.py:143-174 auth formats + the 5 EventType subclasses
+    (salesforce.py:408-460)."""
+    from streamalert_spark.sources.app_source import APP_REGISTRY, SalesforceApp
+
+    for t in ("console", "login", "loginas", "report", "reportexport"):
+        cls = APP_REGISTRY[f"salesforce_{t}"]
+        assert issubclass(cls, SalesforceApp)
+        assert cls._type() == t
+        assert cls.service() == "salesforce"
+    with pytest.raises(ValueError):
+        APP_REGISTRY["salesforce_login"]({**SF_AUTH, "client_secret": "nope"})
+    with pytest.raises(ValueError):
+        bad = dict(SF_AUTH)
+        del bad["security_token"]
+        APP_REGISTRY["salesforce_login"](bad)
+
+
+def test_duo_auth_endpoint_and_shared_protocol():
+    """duo.py:200-233: auth/admin differ only in endpoint; both share the
+    signed-request mintime protocol."""
+    from streamalert_spark.sources.app_source import DuoAdminApp, DuoAuthApp
+
+    assert DuoAuthApp._endpoint() == "/admin/v1/logs/authentication"
+    assert DuoAdminApp._endpoint() == "/admin/v1/logs/administrator"
+    urls = []
+
+    def fetch(url, headers, params):
+        urls.append(url)
+        return {"response": [{"timestamp": 42, "action": "login"}]}
+
+    app = DuoAuthApp(DUO_AUTH, fetch=fetch)
+    records, state, more = app.poll({"last_timestamp": 0})
+    assert urls[0].endswith("/admin/v1/logs/authentication")
+    assert state == {"last_timestamp": 42}
+    assert records[0]["action"] == "login"
+
+
+def test_gsuite_report_subtypes_registered():
+    """gsuite.py:245-371: all 15 applicationName subtypes registered,
+    each sharing the reverse-chronological pagination protocol."""
+    from streamalert_spark.sources.app_source import (
+        APP_REGISTRY,
+        GSuiteReportsApp,
+        _GSUITE_REPORT_TYPES,
+    )
+
+    assert len(_GSUITE_REPORT_TYPES) == 15
+    for t in _GSUITE_REPORT_TYPES:
+        cls = APP_REGISTRY[f"gsuite_{t}"]
+        assert issubclass(cls, GSuiteReportsApp)
+        assert cls.application_name() == t
+
+    # a subtype polls with ITS application name
+    apps_seen = []
+
+    def fetch(application, start_time, token):
+        apps_seen.append(application)
+        return {"items": [{"id": {"time": "2024-01-01T00:00:00.000Z",
+                                  "uniqueQualifier": "q1"}}]}
+
+    app = APP_REGISTRY["gsuite_drive"]({"keyfile": "k", "delegation_email": "e"},
+                                       fetch=fetch)
+    app.poll(app.initial_state({}))
+    assert apps_seen == ["drive"]
