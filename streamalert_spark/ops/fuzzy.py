@@ -16,7 +16,18 @@ Strings below that bound therefore pair exhaustively against the
 (small) short-string set plus everything within k of it in length —
 the short side is a skew-free broadcast at any corpus size, so the
 guarantee holds at every length without an O(n^2) blowup.
-All JVM expressions — no UDFs.
+
+Frequent-gram (stop-gram) mitigation — prefix filtering (the Ed-Join
+technique, Xiao et al. 2008): each string joins on only its q*k+1
+RAREST grams under a global total order (document frequency ascending,
+gram string as tie-break). Completeness: k edits destroy at most q*k
+distinct grams of either string, so two strings within distance k share
+at least max(|G(s)|,|G(t)|) - q*k grams; by the prefix-filter principle
+their (q*k+1)-prefixes under ANY shared total order must then
+intersect. A trigram occurring in half the corpus thus stops feeding
+the candidate join entirely (it is kept only by strings with fewer than
+q*k+1 rarer grams), turning the classic hot-gram near-quadratic bucket
+into a bounded one. All JVM expressions — no UDFs.
 """
 
 from __future__ import annotations
@@ -33,6 +44,43 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
     return F.when(F.length(col) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+def qgram_block_candidates(
+    names: DataFrame,
+    n: int = 3,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Candidate pairs (n1 < n2) from the prefix-filtered q-gram block,
+    for names long enough for the q-gram guarantee (module docstring).
+    Each name joins on only its n*max_distance+1 rarest grams under the
+    global (document frequency, gram) order — complete by the
+    prefix-filter principle, and a corpus-wide stop-gram contributes to
+    no prefix, so no gram bucket goes quadratic."""
+    from pyspark.sql import Window
+
+    guarantee_len = n * (max_distance + 1)
+    long_names = names.filter(F.length("name") >= guarantee_len)
+    grams = long_names.select(
+        "name", F.explode(char_ngrams(F.col("name"), n)).alias("g")
+    ).distinct()
+    prefix_len = n * max_distance + 1
+    gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gram_df"))
+    prefix = (
+        grams.join(gram_df, "g")
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("name").orderBy("gram_df", "g")))
+        .filter(F.col("rn") <= prefix_len)
+        .select("name", "g")
+    )
+    a = prefix.select(F.col("name").alias("n1"), "g")
+    b = prefix.select(F.col("name").alias("n2"), "g")
+    return (
+        a.join(b, "g")
+        .filter(F.col("n1") < F.col("n2"))
+        .select("n1", "n2")
+        .distinct()
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str,
@@ -47,21 +95,12 @@ def edit_distance_pairs(
     (the short side broadcasts). The verifier is levenshtein with the
     threshold pushed into the JVM expression (early-exit DP returning -1
     past the bound)."""
+    from pyspark.sql import Window
+
     names = df.select(F.col(text_col).alias("name")).distinct()
     guarantee_len = n * (max_distance + 1)
 
-    long_names = names.filter(F.length("name") >= guarantee_len)
-    grams = long_names.select(
-        "name", F.explode(char_ngrams(F.col("name"), n)).alias("g")
-    ).distinct()
-    a = grams.select(F.col("name").alias("n1"), "g")
-    b = grams.select(F.col("name").alias("n2"), "g")
-    blocked = (
-        a.join(b, "g")
-        .filter(F.col("n1") < F.col("n2"))
-        .select("n1", "n2")
-        .distinct()
-    )
+    blocked = qgram_block_candidates(names, n=n, max_distance=max_distance)
     # short strings: exhaustive against everything within k in length —
     # the SHORT side broadcasts (it is the small set by construction;
     # broadcasting all names would not survive a large corpus)

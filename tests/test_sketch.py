@@ -113,3 +113,37 @@ def test_fuzzy_short_strings_complete(spark):
     assert got[("ca", "cat")] == 1
     assert got[("ca", "car")] == 1
     assert ("cat", "categorical") not in got  # distance 8
+
+
+def test_fuzzy_prefix_filter_tames_hot_gram(spark):
+    """Frequent-gram mitigation (ops/fuzzy.py prefix filtering): 40
+    pairwise-distant strings all sharing the trigram 'zzz' must produce
+    ~0 block candidates (naive q-gram blocking would produce all
+    40*39/2), while a genuinely close pair is still found — completeness
+    under skew, with the hot bucket neutralized."""
+    from streamalert_spark.ops.fuzzy import (
+        edit_distance_pairs,
+        qgram_block_candidates,
+    )
+
+    # 40 strings 'zzz' + 12 pseudorandom hex chars -> grams other than
+    # 'zzz' are (nearly) unique per string; plus one close pair (1 edit)
+    import hashlib
+
+    names = []
+    for i in range(40):
+        suffix = hashlib.md5(f"hotgram-{i}".encode()).hexdigest()[:12]
+        names.append(f"zzz{suffix}{i:02d}")
+    names.append("zzzhello-world-pair-a")
+    names.append("zzzhello-world-pair-b")
+    df = spark.createDataFrame([(x,) for x in names], "name string")
+
+    cands = qgram_block_candidates(df.select("name"), n=3, max_distance=2)
+    n_cands = cands.count()
+    # the hot 'zzz' gram is in NO string's 7-gram prefix (every string
+    # has >= 7 rarer grams), so candidates come only from real overlap
+    assert n_cands < 40, f"hot gram still dominates: {n_cands} candidates"
+
+    got = {(r["n1"], r["n2"]): r["dist"]
+           for r in edit_distance_pairs(df, "name", max_distance=2).collect()}
+    assert got == {("zzzhello-world-pair-a", "zzzhello-world-pair-b"): 1}
