@@ -50,59 +50,59 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # queries whose underlying operators changed most recently and should be
 # re-verified first. Every other query follows in registration order.
 _VERIFY_FIRST = [
-    # never externally sampled through round 3 (all green in the in-repo
-    # DuckDB parity sweep at sf0.01 AND sf0.001 — tests/test_oracle_parity.py)
-    "clean_text_normalize",
-    "udtf_tokenize_offsets",
-    "udaf_lower_median",
-    "q4_priority_with_returns",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "time_rollup_multi",
-    "set_operations_cohorts",
-    "ranking_functions_surface",
-    "pack_sequences",
-    "vocab_topk",
-    "mixture_reweight",
-    "tfidf_top_terms",
-    "bpe_merge_pairs",
-    "bpe_learned_merges",
-    "compression_ratio_signal",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_shipping_priority_counts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q20_excess_volume_suppliers",
-    "q21_waiting_suppliers",
-    "q22_sales_opportunity",
-    "kmv_distinct_users",
-    "event_value_percentiles",
-    "event_rate_spikes",
-    "boilerplate_ngram_spans",
-    "graph_triangles",
-    "inverted_index_terms",
-    "app_source_backfill",
-    "fuzzy_name_pairs",
-    "semantic_decontamination",
-    # operators touched in round 4 — re-verify next
-    "lsh_verified_pairs",
-    "dedup_resolution",
-    "dedup_components",
-    "semantic_cell_neardup",
-    "ivf_ann_topk",
-    "asof_last_purchase",
-    "pagerank_top_nodes",
-    "pii_detect_redact",
+    # round-5 new or changed operators — verify first
+    "inverted_index_terms",      # r4 driver-red: output now scalar postings
+    "app_source_salesforce",     # new: salesforce protocol port
+    "app_source_stream_resume",  # new: streaming checkpoint-restart resume
+    "bpe_learned_merges",        # gained a recursive-CTE oracle (was rows-only)
+    "fuzzy_name_pairs",          # prefix-filtered q-gram blocking
+    "app_source_backfill",       # _rows/record_payload seam touched
+    # last green driver row is ROUND 2 — oldest signal, re-verify now
+    "classify_strict_json",
+    "rule_alerts_native",
+    "normalized_artifacts",
+    "threat_intel_hits",
+    "lookup_enrich",
+    "alert_merge_windowed",
+    "alert_merge_greedy",
+    "alert_merge_greedy_groups",
+    "rule_datatype_routing",
+    "streamquery_feedback",
+    "simhash_neardup_pairs",
+    "source_kinesis_decode",
+    "source_sns_extract",
+    "source_s3_records",
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "q3_shipping_priority",
+    "scheduled_hourly_counts",
+    "rule_promotion_counts",
+    "json_extract_props",
+    "string_filter_surface",
+    "topn_per_user",
+    "cidr_exclusion_filter",
+    "log_patterns_route",
+    "optional_backfill_bool",
+    "nested_csv_column",
+    # last green driver row is ROUND 3 — core families next
+    "parse_csv_strict",
+    "parse_csv_multiline",
+    "parse_kv",
+    "parse_syslog",
+    "json_regex_key_extract",
+    "parse_json_envelope_explode",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash64",
+    "ann_cosine_topk",
+    "ann_batch_topk",
+    "embedding_cosine_neardup",
+    "ann_lsh_bucketed",
+    "text_stats",
+    "token_counts",
+    "curation_pipeline_e2e",
 ]
 
 

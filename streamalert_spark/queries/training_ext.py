@@ -253,12 +253,69 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_learned_merges", oracle=None,
+_BPE_LEARNED_ORACLE = """
+WITH RECURSIVE vocab0 AS (
+  SELECT 0 AS it, w AS word, wc,
+         array_to_string(list_transform(range(1, len(w) + 1), i -> w[i:i]),
+                         ' ') AS syms
+  FROM (
+    SELECT w, COUNT(*) AS wc
+    FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+    WHERE w <> ''
+    GROUP BY w
+  )
+),
+r AS (
+  SELECT * FROM vocab0
+  UNION ALL
+  -- one BPE iteration: argmax pair over the previous vocab state, then
+  -- the merge applied as a sentinel-space string replace. TWO replace
+  -- passes = the left-to-right non-overlapping lookaround-regex
+  -- semantics of ops/bpe.py: pass 1 merges occurrences 1,3,5,... of any
+  -- adjacent run (each consumed match eats the separator the next match
+  -- needs), pass 2 catches the now-isolated even ones; a merge can
+  -- never CREATE a new occurrence (the merged token equals neither half
+  -- unless the other half were empty), so two passes are exact.
+  SELECT r.it + 1, r.word, r.wc,
+         trim(replace(replace(' ' || r.syms || ' ',
+                              ' ' || best.pair || ' ',
+                              ' ' || replace(best.pair, ' ', '') || ' '),
+                      ' ' || best.pair || ' ',
+                      ' ' || replace(best.pair, ' ', '') || ' ')) AS syms
+  FROM r,
+       (SELECT pair, SUM(wc) AS pair_count
+        FROM (SELECT array_to_string(parts[i:i+1], ' ') AS pair, wc
+              FROM (SELECT string_split(syms, ' ') AS parts, wc FROM r),
+                   UNNEST(range(1, len(parts))) AS t(i))
+        GROUP BY pair
+        ORDER BY pair_count DESC, pair
+        LIMIT 1) best
+  WHERE r.it < 10 AND best.pair_count >= 2
+)
+SELECT CAST(it AS BIGINT) AS merge_idx, pair,
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM (
+  SELECT it, pair, SUM(wc) AS pair_count,
+         ROW_NUMBER() OVER (PARTITION BY it
+                            ORDER BY SUM(wc) DESC, pair) AS rn
+  FROM (SELECT it, array_to_string(parts[i:i+1], ' ') AS pair, wc
+        FROM (SELECT it, string_split(syms, ' ') AS parts, wc FROM r),
+             UNNEST(range(1, len(parts))) AS t(i))
+  GROUP BY it, pair
+)
+WHERE rn = 1 AND it < (SELECT MAX(it) FROM r)
+ORDER BY merge_idx
+"""
+
+
+@query("bpe_learned_merges", oracle=_BPE_LEARNED_ORACLE,
        doc="Full iterative BPE merge loop (10 merges): per iteration one "
            "vocab-scale pair aggregate + a single-row argmax collect, "
            "merge applied as a projection; lineage checkpoint-truncated. "
-           "Genuinely iterative => no SQL oracle (rows-only check); the "
-           "loop is pinned against a pure-Python BPE reference in "
+           "Oracle: the same loop as a DuckDB RECURSIVE CTE (argmax in "
+           "the recursive term, two-pass sentinel replace = the regex "
+           "merge semantics) — hash-checkable despite being iterative; "
+           "also pinned against a pure-Python BPE reference in "
            "tests/test_training_ext.py::test_learn_bpe_matches_reference.")
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamalert_spark.ops.bpe import learn_bpe

@@ -25,3 +25,32 @@ def test_readme_query_count_is_current():
     readme = (REPO / "README.md").read_text()
     assert f"{n_total} queries, {n_oracle} of them checked" in readme, (
         f"README count stale: registry has {n_total}/{n_oracle}")
+
+
+def test_readme_rows_only_list_matches_registry():
+    """README enumerates EXACTLY the oracle-less queries (each with its
+    documented ceiling); a query gaining or losing an oracle must update
+    the README paragraph."""
+    from streamalert_spark.queries import load_all
+
+    registry = load_all()
+    rows_only = {n for n, rq in registry.items() if rq.oracle is None}
+    readme = (REPO / "README.md").read_text()
+    para = readme.split("rows-only by design")[1].split("\n\n")[0]
+    documented = {n for n in registry if f"`{n}`" in para}
+    assert documented == rows_only, (
+        f"README rows-only paragraph drift: documented={sorted(documented)} "
+        f"registry={sorted(rows_only)}")
+
+
+def test_notes_md_carries_current_round_counts():
+    """NOTES.md must state the CURRENT registry size somewhere — stale
+    round docs mislead the next round's reader."""
+    from streamalert_spark.queries import load_all
+
+    registry = load_all()
+    n_total = len(registry)
+    n_oracle = sum(1 for rq in registry.values() if rq.oracle is not None)
+    notes = (REPO / "NOTES.md").read_text()
+    assert f"{n_total}-query registry" in notes and f"{n_oracle} oracle" in notes, (
+        f"NOTES.md counts stale: registry has {n_total}/{n_oracle}")
