@@ -54,6 +54,21 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def apply_merges(vocab: DataFrame, merges: list[tuple[str, int]]) -> DataFrame:
+    """Apply learned merges to a (word, wc, syms) vocab IN ORDER — the
+    encode step of the tokenizer. Each merge is one projection-level
+    regexp_replace (same boundary-delimited left-to-right semantics as
+    the learning loop), so the whole merge table composes into a single
+    scan pass over the vocab."""
+    syms = F.col("syms")
+    for pair, _count in merges:
+        a, b = pair.split(" ")
+        pattern = f"(?<= |^){re.escape(a)} {re.escape(b)}(?= |$)"
+        merged = (a + b).replace("\\", "\\\\").replace("$", "\\$")
+        syms = F.regexp_replace(syms, pattern, merged)
+    return vocab.withColumn("syms", syms)
+
+
 def learn_bpe(
     df: DataFrame,
     n_merges: int,

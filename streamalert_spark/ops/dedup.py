@@ -66,14 +66,17 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              n: int = 3, distinct: bool = True) -> DataFrame:
     """Word n-gram shingles per document, via a generated index sequence
     (single-space tokenization for oracle portability). ``distinct``
-    dedupes per (doc, shingle) — a full shuffle; pass False when a
-    downstream join filters first and a count_distinct can dedupe the
-    (much smaller) survivor set instead."""
+    dedupes per (doc, shingle) DOC-LOCALLY (array_distinct before the
+    explode): since the id rides every pair, per-doc dedup equals the
+    global distinct — with ZERO shuffle instead of a full pair shuffle.
+    Pass False when a downstream join filters first and a count_distinct
+    can dedupe the (much smaller) survivor set instead."""
     w = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.size(w) - n)
     gram = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]))
-    out = df.select(F.col(id_col), F.explode(gram).alias("shingle"))
-    return out.distinct() if distinct else out
+    if distinct:
+        gram = F.array_distinct(gram)
+    return df.select(F.col(id_col), F.explode(gram).alias("shingle"))
 
 
 def _shingle_hash_rows(

@@ -55,6 +55,7 @@ _VERIFY_FIRST = [
     "app_source_salesforce",     # new: salesforce protocol port
     "app_source_stream_resume",  # new: streaming checkpoint-restart resume
     "bpe_learned_merges",        # gained a recursive-CTE oracle (was rows-only)
+    "bpe_encode_tokens",         # new: tokenizer encode step
     "fuzzy_name_pairs",          # prefix-filtered q-gram blocking
     "app_source_backfill",       # _rows/record_payload seam touched
     # last green driver row is ROUND 2 — oldest signal, re-verify now
@@ -102,7 +103,6 @@ _VERIFY_FIRST = [
     "ann_lsh_bucketed",
     "text_stats",
     "token_counts",
-    "curation_pipeline_e2e",
 ]
 
 

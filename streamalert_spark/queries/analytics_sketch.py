@@ -270,23 +270,34 @@ ORDER BY term
 
 @query("inverted_index_terms", oracle=_INVINDEX_ORACLE,
        doc="Inverted-index build over n-gram terms: sorted posting lists "
-           "per term with a df band keeping output bounded. One explode + "
-           "one partial-aggregated groupBy; at 100 TB the posting lists "
-           "shard by term hash and high-df terms are banded out exactly "
-           "as here. The list is emitted as a comma-joined scalar (the "
-           "driver harness cannot canonicalize array columns).")
+           "per term with a df band keeping output bounded. TWO-PASS "
+           "plan: a partial-aggregated df count first (scalar shuffle), "
+           "then posting lists collected ONLY for terms surviving the "
+           "band — the (term, doc_id) pair shuffle carries the banded "
+           "subset, not the corpus, which is what survives 100 TB where "
+           "high-df terms dominate the pair volume. The list is emitted "
+           "as a comma-joined scalar (the driver harness cannot "
+           "canonicalize array columns).")
 def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamalert_spark.ops.dedup import shingles
 
     sh = shingles(_docs(spark, sf_dir), n=3).withColumnRenamed("shingle", "term")
-    return (
+    banded = (
         sh.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"),
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 5) & (F.col("df") <= 8))
+    )
+    # no broadcast HINT: the banded term set is data-dependent (could be
+    # large on a 100 TB corpus) — AQE picks broadcast at runtime when it
+    # is actually small, shuffle join otherwise
+    return (
+        sh.join(banded, "term")
+        .groupBy("term")
+        .agg(F.first("df").alias("df"),
              F.array_join(
                  F.transform(F.array_sort(F.collect_list("doc_id")),
                              lambda x: x.cast("string")),
                  ",").alias("postings"))
-        .filter((F.col("df") >= 5) & (F.col("df") <= 8))
         .repartition(1).sortWithinPartitions("term")
     )
 

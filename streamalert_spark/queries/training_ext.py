@@ -340,3 +340,64 @@ def compression_ratio_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         compression_signals(_docs(spark, sf_dir))
         .repartition(1).sortWithinPartitions("doc_id")
     )
+
+
+_BPE_ENCODE_ORACLE = """
+WITH RECURSIVE vocab0 AS (
+  SELECT 0 AS it, w AS word, wc,
+         array_to_string(list_transform(range(1, len(w) + 1), i -> w[i:i]),
+                         ' ') AS syms
+  FROM (
+    SELECT w, COUNT(*) AS wc
+    FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+    WHERE w <> ''
+    GROUP BY w
+  )
+),
+r AS (
+  SELECT * FROM vocab0
+  UNION ALL
+  SELECT r.it + 1, r.word, r.wc,
+         trim(replace(replace(' ' || r.syms || ' ',
+                              ' ' || best.pair || ' ',
+                              ' ' || replace(best.pair, ' ', '') || ' '),
+                      ' ' || best.pair || ' ',
+                      ' ' || replace(best.pair, ' ', '') || ' ')) AS syms
+  FROM r,
+       (SELECT pair, SUM(wc) AS pair_count
+        FROM (SELECT array_to_string(parts[i:i+1], ' ') AS pair, wc
+              FROM (SELECT string_split(syms, ' ') AS parts, wc FROM r),
+                   UNNEST(range(1, len(parts))) AS t(i))
+        GROUP BY pair
+        ORDER BY pair_count DESC, pair
+        LIMIT 1) best
+  WHERE r.it < 10 AND best.pair_count >= 2
+)
+SELECT sym AS token, CAST(SUM(wc) AS BIGINT) AS token_count
+FROM (SELECT UNNEST(string_split(syms, ' ')) AS sym, wc
+      FROM r WHERE it = (SELECT MAX(it) FROM r))
+GROUP BY sym
+ORDER BY token_count DESC, token
+LIMIT 25
+"""
+
+
+@query("bpe_encode_tokens", oracle=_BPE_ENCODE_ORACLE,
+       doc="Tokenizer ENCODE step: the 10 learned BPE merges applied to "
+           "the corpus vocab in order as a single stack of projection "
+           "regexp_replaces (one scan pass — the merge table is "
+           "metadata), then token frequencies over the encoded corpus. "
+           "Oracle: the same recursive-CTE BPE loop read at its FINAL "
+           "state. Completes the learn->encode tokenizer pipeline.")
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.bpe import apply_merges, learn_bpe, word_vocab
+
+    docs = _docs(spark, sf_dir)
+    merges = learn_bpe(docs, n_merges=10)
+    encoded = apply_merges(word_vocab(docs), merges)
+    return (
+        encoded.select(F.explode(F.split("syms", " ")).alias("token"), "wc")
+        .groupBy("token").agg(F.sum("wc").cast("bigint").alias("token_count"))
+        .orderBy(F.col("token_count").desc(), "token")
+        .limit(25)
+    )
