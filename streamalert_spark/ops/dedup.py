@@ -219,6 +219,27 @@ def minhash_signatures(
     return src.mapInPandas(run, schema=out_schema)
 
 
+def _band_table(df: DataFrame, text_col: str, id_col: str, n: int,
+                num_hashes: int, band_size: int, cache_key: str) -> DataFrame:
+    """(id, band_idx, band_key) LSH band table. band key = md5(concat of
+    the band's min-hashes); one posexplode over an array of band keys —
+    a union of per-band selects would recompute the signature subtree
+    once per band. Cached: the banded subtree typically feeds two join
+    sides, and the signature kernel underneath is the expensive part."""
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    num_bands = num_hashes // band_size
+    band_keys = [
+        F.md5(F.concat_ws("|", *[
+            F.col(f"mh_{bi * band_size + j}") for j in range(band_size)
+        ]))
+        for bi in range(num_bands)
+    ]
+    return _swap_cache(cache_key, sig.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
+    ))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -233,22 +254,8 @@ def minhash_lsh_candidates(
     (band_idx, band_key) — the scale path that avoids the quadratic
     shingle self-join.
     """
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    num_bands = num_hashes // band_size
-    # one posexplode over an array of band keys — a union of per-band
-    # selects would recompute the signature subtree once per band
-    band_keys = [
-        F.md5(F.concat_ws("|", *[
-            F.col(f"mh_{bi * band_size + j}") for j in range(band_size)
-        ]))
-        for bi in range(num_bands)
-    ]
-    # cached: the banded subtree feeds both self-join sides, and the
-    # signature kernel underneath is the expensive part
-    banded = _swap_cache("lsh_bands", sig.select(
-        F.col(id_col),
-        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
-    ))
+    banded = _band_table(df, text_col, id_col, n, num_hashes, band_size,
+                         cache_key="lsh_bands")
     left = banded.select(F.col(id_col).alias("a"), "band_idx", "band_key")
     right = banded.select(F.col(id_col).alias("b"), "band_idx", "band_key")
     return (
@@ -292,6 +299,70 @@ def lsh_verified_pairs(
     subset = df.join(hint(cand_ids), id_col, "left_semi")
     verified = ngram_jaccard_pairs(subset, text_col, id_col, n, threshold)
     return verified.join(hint(cands), ["a", "b"], "left_semi")
+
+
+def cross_corpus_neardup(
+    corpus: DataFrame,
+    increment: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """INCREMENTAL dedup: near-dups of a NEW batch against an EXISTING
+    corpus with no corpus self-join — the shape of a production ingest
+    gate, where the corpus band table is precomputed and persisted and
+    each arriving batch LSH-probes it.
+
+    Candidates come from the corpus-bands x increment-bands equi-join on
+    (band_idx, band_key); exact n-gram Jaccard then verifies candidate
+    pairs only, with the shingle-hash kernels running over each side's
+    candidate-doc subset. At 100 TB the corpus contributes only rows in
+    buckets the increment actually probes, the (small) increment drives
+    the cost, and nothing quadratic in the corpus ever runs.
+
+    Output: (new_id, corpus_id, jaccard) with jaccard >= threshold.
+    """
+    corp_b = _band_table(corpus, text_col, id_col, n, num_hashes,
+                         band_size, cache_key="xc_corpus_bands")
+    inc_b = _band_table(increment, text_col, id_col, n, num_hashes,
+                        band_size, cache_key="xc_increment_bands")
+    cands = _swap_cache("xc_cands", (
+        inc_b.select(F.col(id_col).alias("new_id"), "band_idx", "band_key")
+        .join(corp_b.select(F.col(id_col).alias("corpus_id"),
+                            "band_idx", "band_key"),
+              ["band_idx", "band_key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    ))
+    hint = F.broadcast if cands.count() <= BROADCAST_PAIR_LIMIT else (lambda d: d)
+    inc_sub = increment.join(
+        hint(cands.select(F.col("new_id").alias(id_col)).distinct()),
+        id_col, "left_semi")
+    cor_sub = corpus.join(
+        hint(cands.select(F.col("corpus_id").alias(id_col)).distinct()),
+        id_col, "left_semi")
+    ih = _shingle_hash_rows(inc_sub, text_col, id_col, n)
+    ch = _shingle_hash_rows(cor_sub, text_col, id_col, n)
+    inter = (
+        ih.select(F.col(id_col).alias("new_id"), "sh", F.col("sz").alias("sz_a"))
+        .join(ch.select(F.col(id_col).alias("corpus_id"), "sh",
+                        F.col("sz").alias("sz_b")), "sh")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"),
+             F.first("sz_a").alias("sz_a"),
+             F.first("sz_b").alias("sz_b"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.select("new_id", "corpus_id", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        # inter covers every shingle-sharing pair between the two candidate
+        # SUBSETS; restrict to the actual candidate PAIRS
+        .join(hint(cands), ["new_id", "corpus_id"], "left_semi")
+    )
 
 
 def simhash_bits(

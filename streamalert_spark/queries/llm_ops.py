@@ -763,3 +763,70 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("max_eval_sim").desc(), "vec_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a NEW batch (odd doc_ids) probed against the
+# EXISTING corpus (even doc_ids) — the production ingest gate where the
+# corpus band table is persisted and only the increment is processed.
+# ---------------------------------------------------------------------------
+
+def _incremental_dedup_oracle(num_hashes: int = 16, band_size: int = 4,
+                              threshold: float = 0.5) -> str:
+    bands = []
+    for bi in range(num_hashes // band_size):
+        cols = " || '|' || ".join(f"mh_{bi * band_size + j}" for j in range(band_size))
+        bands.append(
+            f"SELECT doc_id, {bi} AS band_idx, md5({cols}) AS band_key FROM sig"
+        )
+    bands_sql = "\nUNION ALL\n".join(bands)
+    mh = ",".join(f"MIN(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+bands AS (
+{bands_sql}
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+  FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+  WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+),
+inter AS (
+  SELECT x.doc_id AS new_id, y.doc_id AS corpus_id, COUNT(*) AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle
+  WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT i.new_id, i.corpus_id,
+       ROUND(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN cands c ON c.new_id = i.new_id AND c.corpus_id = i.corpus_id
+JOIN sizes sa ON sa.doc_id = i.new_id
+JOIN sizes sb ON sb.doc_id = i.corpus_id
+WHERE ROUND(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
+ORDER BY i.new_id, i.corpus_id
+"""
+
+
+@query("incremental_dedup_pairs", oracle=_incremental_dedup_oracle(),
+       doc="Incremental dedup gate: LSH bands of a NEW batch (odd "
+           "doc_ids) probe the EXISTING corpus band table (even "
+           "doc_ids), exact Jaccard verifies candidate pairs only — no "
+           "corpus self-join, nothing quadratic in the corpus. The "
+           "production shape: the corpus band table is precomputed and "
+           "persisted; each arriving batch pays only its own signatures "
+           "plus the probed buckets.")
+def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    increment = docs.filter(F.col("doc_id") % 2 == 1)
+    return (
+        dedup.cross_corpus_neardup(corpus, increment, threshold=0.5)
+        .repartition(1).sortWithinPartitions("new_id", "corpus_id")
+    )
