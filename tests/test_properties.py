@@ -214,3 +214,37 @@ def test_app_replay_window_exact(lo, hi):
     got = [r["timestamp"] for r in app.poll_between(
         {"last_timestamp": start}, {"last_timestamp": end})]
     assert got == list(range(start + 1, end + 1))
+
+
+# ------------------------------------------- BPE oracle merge semantics
+
+@given(st.lists(st.sampled_from(["a", "b", "ab", "c", "aa"]),
+                min_size=1, max_size=12),
+       st.sampled_from([("a", "b"), ("a", "a"), ("b", "b"), ("a", "ab"),
+                        ("ab", "a"), ("c", "a")]))
+@settings(max_examples=300, deadline=None)
+def test_bpe_two_pass_replace_equals_lookaround_regex(syms, pair):
+    """The BPE oracle (queries/training_ext.py) applies a merge as TWO
+    sentinel-space replace passes; the ground truth is the classic BPE
+    list-scan (merge adjacent (a, b) token pairs greedily left-to-right,
+    non-overlapping — exactly what ops/bpe.py's lookaround regex
+    computes, pinned separately by test_learn_bpe_matches_reference).
+    The two must be identical for every token sequence — this is the
+    equivalence the recursive-CTE oracle's correctness rests on."""
+    a, b = pair
+    # ground truth: greedy left-to-right non-overlapping pair merge
+    out = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    expected = " ".join(out)
+    # oracle side: two plain sentinel-space replaces (DuckDB replace())
+    s = " ".join(syms)
+    needle, repl = f" {a} {b} ", f" {a + b} "
+    two_pass = f" {s} ".replace(needle, repl).replace(needle, repl).strip()
+    assert two_pass == expected
