@@ -69,3 +69,30 @@ def salted_two_stage_agg(
         .agg(*partial_exprs)
     )
     return staged.groupBy(*keys).agg(*merge_exprs)
+
+
+def salted_exact_distinct(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    out_name: str = "n_distinct",
+    salt: int = 16,
+) -> DataFrame:
+    """EXACT distinct count per key group, skew-safe: the salt is derived
+    from the VALUE (md5 prefix mod salt), so every occurrence of a value
+    lands in the same salt bucket — per-bucket distinct counts are
+    disjoint and their sum is exact (a random salt would double-count a
+    value split across buckets). A hot grouping key's distinct state
+    spreads over ``salt`` reducers instead of one; stage 2 merges
+    ``salt`` scalars per group."""
+    salt_col = F.pmod(
+        F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 4),
+               16, 10).cast("bigint"),
+        F.lit(salt),
+    )
+    staged = (
+        df.groupBy(*keys, salt_col.alias(_SALT))
+        .agg(F.count_distinct(value_col).alias("_partial"))
+    )
+    return staged.groupBy(*keys).agg(
+        F.sum("_partial").cast("bigint").alias(out_name))

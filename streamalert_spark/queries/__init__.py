@@ -58,6 +58,7 @@ _VERIFY_FIRST = [
     "bpe_encode_tokens",         # new: tokenizer encode step
     "fuzzy_name_pairs",          # prefix-filtered q-gram blocking
     "incremental_dedup_pairs",   # new: cross-corpus ingest dedup gate
+    "salted_exact_distinct_users",  # new: skew-safe exact distinct
     "app_source_backfill",       # _rows/record_payload seam touched
     # last green driver row is ROUND 2 — oldest signal, re-verify now
     "classify_strict_json",
@@ -102,7 +103,6 @@ _VERIFY_FIRST = [
     "ann_batch_topk",
     "embedding_cosine_neardup",
     "ann_lsh_bucketed",
-    "text_stats",
 ]
 
 

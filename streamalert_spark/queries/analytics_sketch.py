@@ -337,3 +337,33 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         edit_distance_pairs(part, "p_name", max_distance=2)
         .repartition(1).sortWithinPartitions("dist", "n1", "n2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe exact distinct — the salted two-stage shape, driver-checked.
+# ---------------------------------------------------------------------------
+
+_SALTED_DISTINCT_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("salted_exact_distinct_users", oracle=_SALTED_DISTINCT_ORACLE,
+       doc="Skew-safe EXACT distinct users per event type: value-derived "
+           "salt (md5 mod 16) spreads each hot key's distinct state over "
+           "16 reducers; per-bucket distincts are disjoint by "
+           "construction so the stage-2 sum is exact. The salted plan is "
+           "result-identical to plain COUNT(DISTINCT) — that IS the "
+           "check. At 100 TB this is the shape for hot-key distincts "
+           "that would otherwise pin one reducer.")
+def salted_exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.skew import salted_exact_distinct
+
+    ev = _events(spark, sf_dir)
+    return (
+        salted_exact_distinct(ev, ["event_type"], "user_id")
+        .repartition(1).sortWithinPartitions("event_type")
+    )

@@ -86,3 +86,25 @@ def test_kmeans_lloyd_matches_numpy_reference(spark):
     # float accumulation order differs (numpy pairwise vs Spark sequential)
     # only exactly-on-boundary points could flip; none exist in this data
     assert not mismatch, mismatch
+
+
+def test_salted_exact_distinct_matches_plain_and_spreads(spark):
+    """salted_exact_distinct == plain count_distinct (value-derived salt
+    makes per-bucket distincts disjoint), and a hot key's state really
+    spreads over multiple salt buckets."""
+    from streamalert_spark.ops.skew import _SALT, salted_exact_distinct
+
+    rows = [("hot", i % 500) for i in range(5000)] + [("cold", i) for i in range(7)]
+    df = spark.createDataFrame(rows, "k string, v bigint")
+    got = {r["k"]: r["n_distinct"]
+           for r in salted_exact_distinct(df, ["k"], "v").collect()}
+    assert got == {"hot": 500, "cold": 7}
+
+    # the hot key's 500 distinct values occupy many of the 16 buckets
+    from pyspark.sql import functions as F
+    staged = (
+        df.groupBy("k", F.pmod(F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 4),
+                                      16, 10).cast("bigint"), F.lit(16)).alias(_SALT))
+        .count().filter(F.col("k") == "hot")
+    )
+    assert staged.count() >= 12
