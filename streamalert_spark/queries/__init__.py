@@ -59,6 +59,7 @@ _VERIFY_FIRST = [
     "fuzzy_name_pairs",          # prefix-filtered q-gram blocking
     "incremental_dedup_pairs",   # new: cross-corpus ingest dedup gate
     "salted_exact_distinct_users",  # new: skew-safe exact distinct
+    "stream_first_seen_bounded",    # new: stateful streaming under the hash gate
     "app_source_backfill",       # _rows/record_payload seam touched
     # last green driver row is ROUND 2 — oldest signal, re-verify now
     "classify_strict_json",
@@ -100,7 +101,6 @@ _VERIFY_FIRST = [
     "minhash_lsh_candidates",
     "simhash64",
     "ann_cosine_topk",
-    "ann_batch_topk",
     "embedding_cosine_neardup",
     "ann_lsh_bucketed",
 ]

@@ -286,3 +286,55 @@ def app_source_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.read.schema("record string, log_type string, "
                               "event_timestamp bigint").parquet(out_dir)
             .repartition(1).sortWithinPartitions("event_timestamp"))
+
+
+# ------------------------------------------ streaming first-seen, bounded
+
+_FIRST_SEEN_ORACLE = """
+SELECT CAST(i % 37 AS BIGINT) AS k, CAST(MIN(i) AS BIGINT) AS first_ts
+FROM range(1, 301) t(i)
+GROUP BY i % 37
+ORDER BY k
+"""
+
+
+@query("stream_first_seen_bounded", oracle=_FIRST_SEEN_ORACLE,
+       doc="STREAMING first-seen detection driven end-to-end under the "
+           "hash gate: the synthetic app source streams 300 events over "
+           "3 micro-batches, first_seen (applyInPandasWithState, per-key "
+           "boolean state with no timeout — new-device/new-IP semantics) "
+           "emits exactly each key's earliest row. The oracle is the "
+           "batch definition (MIN ts per key), so the check proves the "
+           "stateful operator's suppress-after-first behavior exactly.")
+def stream_first_seen_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from streamalert_spark.sources.app_source import register_app_source
+    from streamalert_spark.streaming.first_seen import first_seen
+
+    register_app_source(spark)
+    work = tempfile.mkdtemp(prefix="first_seen_q_")
+    src = (
+        spark.readStream.format("streamalert_app")
+        .option("app", "synthetic").option("end_timestamp", "300")
+        .load()
+        .select(F.pmod("event_timestamp", F.lit(37)).alias("k"),
+                F.col("event_timestamp"))
+    )
+    firsts = first_seen(src, ["k"], ts_col="event_timestamp")
+    q = (
+        firsts.writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.schema("k bigint, event_timestamp bigint")
+        .parquet(f"{work}/out")
+        .select("k", F.col("event_timestamp").alias("first_ts"))
+        .repartition(1).sortWithinPartitions("k")
+    )
