@@ -65,17 +65,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              n: int = 3, distinct: bool = True) -> DataFrame:
     """Word n-gram shingles per document, via a generated index sequence
-    (single-space tokenization for oracle portability). ``distinct``
+    (single-space tokenization for oracle portability). Documents with
+    fewer than ``n`` words yield no rows (guard required: Spark's
+    sequence(0, -k) counts DOWN and element_at would fault). ``distinct``
     dedupes per (doc, shingle) DOC-LOCALLY (array_distinct before the
-    explode): since the id rides every pair, per-doc dedup equals the
-    global distinct — with ZERO shuffle instead of a full pair shuffle.
-    Pass False when a downstream join filters first and a count_distinct
-    can dedupe the (much smaller) survivor set instead."""
+    explode): since the id rides every pair, per-doc dedup equals a
+    global (id, shingle) distinct — with ZERO shuffle instead of a full
+    pair shuffle — PROVIDED each id appears on one input row (true for
+    every caller; a multi-row-per-id frame needs its own upstream
+    dedup). Pass distinct=False when a downstream join filters first and
+    a count_distinct can dedupe the (much smaller) survivor set."""
     w = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.size(w) - n)
     gram = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]))
     if distinct:
         gram = F.array_distinct(gram)
+    gram = F.when(F.size(w) >= n, gram).otherwise(F.array().cast("array<string>"))
     return df.select(F.col(id_col), F.explode(gram).alias("shingle"))
 
 
@@ -220,12 +225,14 @@ def minhash_signatures(
 
 
 def _band_table(df: DataFrame, text_col: str, id_col: str, n: int,
-                num_hashes: int, band_size: int, cache_key: str) -> DataFrame:
+                num_hashes: int, band_size: int,
+                cache_key: str | None = None) -> DataFrame:
     """(id, band_idx, band_key) LSH band table. band key = md5(concat of
     the band's min-hashes); one posexplode over an array of band keys —
     a union of per-band selects would recompute the signature subtree
-    once per band. Cached: the banded subtree typically feeds two join
-    sides, and the signature kernel underneath is the expensive part."""
+    once per band. Pass ``cache_key`` ONLY when the banded subtree feeds
+    multiple consumers (e.g. both sides of a self-join) — a
+    single-consumer band table cached anyway is a pure memory cost."""
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
     num_bands = num_hashes // band_size
     band_keys = [
@@ -234,10 +241,11 @@ def _band_table(df: DataFrame, text_col: str, id_col: str, n: int,
         ]))
         for bi in range(num_bands)
     ]
-    return _swap_cache(cache_key, sig.select(
+    banded = sig.select(
         F.col(id_col),
         F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"),
-    ))
+    )
+    return banded if cache_key is None else _swap_cache(cache_key, banded)
 
 
 def minhash_lsh_candidates(
@@ -325,10 +333,10 @@ def cross_corpus_neardup(
 
     Output: (new_id, corpus_id, jaccard) with jaccard >= threshold.
     """
-    corp_b = _band_table(corpus, text_col, id_col, n, num_hashes,
-                         band_size, cache_key="xc_corpus_bands")
-    inc_b = _band_table(increment, text_col, id_col, n, num_hashes,
-                        band_size, cache_key="xc_increment_bands")
+    # no cache_key: each band table feeds exactly one join (the candidate
+    # cache below is the reused frame)
+    corp_b = _band_table(corpus, text_col, id_col, n, num_hashes, band_size)
+    inc_b = _band_table(increment, text_col, id_col, n, num_hashes, band_size)
     cands = _swap_cache("xc_cands", (
         inc_b.select(F.col(id_col).alias("new_id"), "band_idx", "band_key")
         .join(corp_b.select(F.col(id_col).alias("corpus_id"),

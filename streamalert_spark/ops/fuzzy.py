@@ -95,8 +95,6 @@ def edit_distance_pairs(
     (the short side broadcasts). The verifier is levenshtein with the
     threshold pushed into the JVM expression (early-exit DP returning -1
     past the bound)."""
-    from pyspark.sql import Window
-
     names = df.select(F.col(text_col).alias("name")).distinct()
     guarantee_len = n * (max_distance + 1)
 

@@ -260,6 +260,7 @@ ORDER BY event_timestamp
            "check proves no record is duplicated or dropped across the "
            "restart boundary.")
 def app_source_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from streamalert_spark.sources.app_source import register_app_source
@@ -267,24 +268,33 @@ def app_source_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_app_source(spark)
     work = tempfile.mkdtemp(prefix="app_stream_resume_")
     out_dir, ckpt = f"{work}/out", f"{work}/ckpt"
-    for end_ts in (150, 250):  # restart happens between the two runs
-        src = (
-            spark.readStream.format("streamalert_app")
-            .option("app", "synthetic").option("end_timestamp", str(end_ts))
-            .load()
-        )
-        q = (
-            src.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    return (spark.read.schema("record string, log_type string, "
-                              "event_timestamp bigint").parquet(out_dir)
+    try:
+        for end_ts in (150, 250):  # restart happens between the two runs
+            src = (
+                spark.readStream.format("streamalert_app")
+                .option("app", "synthetic").option("end_timestamp", str(end_ts))
+                .load()
+            )
+            q = (
+                src.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        # bounded showcase output (250 rows): materialize so the work dir
+        # (checkpoint log + parquet) can be removed immediately — repeated
+        # driver/bench invocations must not accumulate /tmp state
+        rows = (spark.read.schema("record string, log_type string, "
+                                  "event_timestamp bigint").parquet(out_dir)
+                .collect())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return (spark.createDataFrame(rows, "record string, log_type string, "
+                                        "event_timestamp bigint")
             .repartition(1).sortWithinPartitions("event_timestamp"))
 
 
@@ -307,6 +317,7 @@ ORDER BY k
            "batch definition (MIN ts per key), so the check proves the "
            "stateful operator's suppress-after-first behavior exactly.")
 def stream_first_seen_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from streamalert_spark.sources.app_source import register_app_source
@@ -314,27 +325,33 @@ def stream_first_seen_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_app_source(spark)
     work = tempfile.mkdtemp(prefix="first_seen_q_")
-    src = (
-        spark.readStream.format("streamalert_app")
-        .option("app", "synthetic").option("end_timestamp", "300")
-        .load()
-        .select(F.pmod("event_timestamp", F.lit(37)).alias("k"),
-                F.col("event_timestamp"))
-    )
-    firsts = first_seen(src, ["k"], ts_col="event_timestamp")
-    q = (
-        firsts.writeStream.format("parquet")
-        .option("path", f"{work}/out")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        src = (
+            spark.readStream.format("streamalert_app")
+            .option("app", "synthetic").option("end_timestamp", "300")
+            .load()
+            .select(F.pmod("event_timestamp", F.lit(37)).alias("k"),
+                    F.col("event_timestamp"))
+        )
+        firsts = first_seen(src, ["k"], ts_col="event_timestamp")
+        q = (
+            firsts.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # bounded showcase output (37 rows): materialize, then drop the
+        # work dir so repeated invocations leave no /tmp residue
+        rows = (spark.read.schema("k bigint, event_timestamp bigint")
+                .parquet(f"{work}/out").collect())
     finally:
-        q.stop()
+        shutil.rmtree(work, ignore_errors=True)
     return (
-        spark.read.schema("k bigint, event_timestamp bigint")
-        .parquet(f"{work}/out")
+        spark.createDataFrame(rows, "k bigint, event_timestamp bigint")
         .select("k", F.col("event_timestamp").alias("first_ts"))
         .repartition(1).sortWithinPartitions("k")
     )

@@ -253,7 +253,25 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_LEARNED_ORACLE = """
+def _bpe_recursive_cte(n_merges: int = 10) -> str:
+    """Shared WITH RECURSIVE prefix for the BPE oracles: the working
+    table ``r`` holds (it, word, wc, syms) for every iteration 0..N.
+
+    The merge inside the recursive term must reproduce ops/bpe.py's
+    lookaround-regex semantics — greedy LEFT-TO-RIGHT non-overlapping
+    pair merge — and DuckDB's RE2 has no lookarounds, while a
+    sentinel-space replace diverges on runs of >= 5 identical symbols
+    (pass 1 strands the middle token: 'b b b b b' -> 'bb b bb', greedy
+    gives 'bb bb b'). So the merge is applied TOKEN-WISE via a closed
+    form of the greedy scan: with p(i) = tokens (i, i+1) equal the pair,
+    position i STARTS a merge iff p(i) and the run of consecutive
+    p-positions ending at i has odd length (c = i - last_p0 is odd) —
+    within any overlap run, greedy takes offsets 0, 2, 4, ...; token
+    i+1 of a started merge is consumed. Pinned against the greedy
+    list-scan by tests/test_properties.py and by a repeated-symbol
+    corpus test in tests/test_training_ext.py.
+    """
+    return f"""
 WITH RECURSIVE vocab0 AS (
   SELECT 0 AS it, w AS word, wc,
          array_to_string(list_transform(range(1, len(w) + 1), i -> w[i:i]),
@@ -268,30 +286,50 @@ WITH RECURSIVE vocab0 AS (
 r AS (
   SELECT * FROM vocab0
   UNION ALL
-  -- one BPE iteration: argmax pair over the previous vocab state, then
-  -- the merge applied as a sentinel-space string replace. TWO replace
-  -- passes = the left-to-right non-overlapping lookaround-regex
-  -- semantics of ops/bpe.py: pass 1 merges occurrences 1,3,5,... of any
-  -- adjacent run (each consumed match eats the separator the next match
-  -- needs), pass 2 catches the now-isolated even ones; a merge can
-  -- never CREATE a new occurrence (the merged token equals neither half
-  -- unless the other half were empty), so two passes are exact.
-  SELECT r.it + 1, r.word, r.wc,
-         trim(replace(replace(' ' || r.syms || ' ',
-                              ' ' || best.pair || ' ',
-                              ' ' || replace(best.pair, ' ', '') || ' '),
-                      ' ' || best.pair || ' ',
-                      ' ' || replace(best.pair, ' ', '') || ' ')) AS syms
-  FROM r,
-       (SELECT pair, SUM(wc) AS pair_count
-        FROM (SELECT array_to_string(parts[i:i+1], ' ') AS pair, wc
-              FROM (SELECT string_split(syms, ' ') AS parts, wc FROM r),
-                   UNNEST(range(1, len(parts))) AS t(i))
-        GROUP BY pair
-        ORDER BY pair_count DESC, pair
-        LIMIT 1) best
-  WHERE r.it < 10 AND best.pair_count >= 2
-)
+  SELECT it + 1 AS it, word, wc,
+         string_agg(emit, ' ' ORDER BY i) AS syms
+  FROM (
+    SELECT it, word, wc, i,
+           CASE WHEN m THEN merged
+                WHEN COALESCE(LAG(m) OVER (PARTITION BY word ORDER BY i),
+                              FALSE) THEN NULL
+                ELSE tok END AS emit
+    FROM (
+      SELECT it, word, wc, i, tok, merged,
+             p AND ((i - COALESCE(MAX(CASE WHEN NOT p THEN i END)
+                       OVER (PARTITION BY word ORDER BY i
+                             ROWS UNBOUNDED PRECEDING), 0)) % 2 = 1) AS m
+      FROM (
+        SELECT rp.it, rp.word, rp.wc, u.i, rp.parts[u.i] AS tok,
+               (u.i < len(rp.parts)
+                AND rp.parts[u.i] = best.a
+                AND rp.parts[u.i + 1] = best.b) AS p,
+               best.merged AS merged
+        FROM (SELECT it, word, wc, string_split(syms, ' ') AS parts
+              FROM r WHERE it < {n_merges}) rp,
+             UNNEST(range(1, len(rp.parts) + 1)) AS u(i),
+             (SELECT pair,
+                     string_split(pair, ' ')[1] AS a,
+                     string_split(pair, ' ')[2] AS b,
+                     replace(pair, ' ', '') AS merged
+              FROM (SELECT pair, SUM(wc) AS pair_count
+                    FROM (SELECT array_to_string(parts[i:i+1], ' ') AS pair,
+                                 wc
+                          FROM (SELECT string_split(syms, ' ') AS parts, wc
+                                FROM r),
+                               UNNEST(range(1, len(parts))) AS t(i))
+                    GROUP BY pair
+                    ORDER BY pair_count DESC, pair
+                    LIMIT 1)
+              WHERE pair_count >= 2) best
+      )
+    )
+  )
+  GROUP BY it, word, wc
+)"""
+
+
+_BPE_LEARNED_ORACLE = _bpe_recursive_cte() + """
 SELECT CAST(it AS BIGINT) AS merge_idx, pair,
        CAST(pair_count AS BIGINT) AS pair_count
 FROM (
@@ -313,10 +351,10 @@ ORDER BY merge_idx
            "vocab-scale pair aggregate + a single-row argmax collect, "
            "merge applied as a projection; lineage checkpoint-truncated. "
            "Oracle: the same loop as a DuckDB RECURSIVE CTE (argmax in "
-           "the recursive term, two-pass sentinel replace = the regex "
-           "merge semantics) — hash-checkable despite being iterative; "
-           "also pinned against a pure-Python BPE reference in "
-           "tests/test_training_ext.py::test_learn_bpe_matches_reference.")
+           "the recursive term, token-wise closed-form greedy merge — "
+           "see _bpe_recursive_cte) — hash-checkable despite being "
+           "iterative; also pinned against a pure-Python BPE reference "
+           "in tests/test_training_ext.py.")
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamalert_spark.ops.bpe import learn_bpe
 
@@ -342,37 +380,7 @@ def compression_ratio_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_ENCODE_ORACLE = """
-WITH RECURSIVE vocab0 AS (
-  SELECT 0 AS it, w AS word, wc,
-         array_to_string(list_transform(range(1, len(w) + 1), i -> w[i:i]),
-                         ' ') AS syms
-  FROM (
-    SELECT w, COUNT(*) AS wc
-    FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
-    WHERE w <> ''
-    GROUP BY w
-  )
-),
-r AS (
-  SELECT * FROM vocab0
-  UNION ALL
-  SELECT r.it + 1, r.word, r.wc,
-         trim(replace(replace(' ' || r.syms || ' ',
-                              ' ' || best.pair || ' ',
-                              ' ' || replace(best.pair, ' ', '') || ' '),
-                      ' ' || best.pair || ' ',
-                      ' ' || replace(best.pair, ' ', '') || ' ')) AS syms
-  FROM r,
-       (SELECT pair, SUM(wc) AS pair_count
-        FROM (SELECT array_to_string(parts[i:i+1], ' ') AS pair, wc
-              FROM (SELECT string_split(syms, ' ') AS parts, wc FROM r),
-                   UNNEST(range(1, len(parts))) AS t(i))
-        GROUP BY pair
-        ORDER BY pair_count DESC, pair
-        LIMIT 1) best
-  WHERE r.it < 10 AND best.pair_count >= 2
-)
+_BPE_ENCODE_ORACLE = _bpe_recursive_cte() + """
 SELECT sym AS token, CAST(SUM(wc) AS BIGINT) AS token_count
 FROM (SELECT UNNEST(string_split(syms, ' ')) AS sym, wc
       FROM r WHERE it = (SELECT MAX(it) FROM r))

@@ -222,15 +222,17 @@ def test_app_replay_window_exact(lo, hi):
                 min_size=1, max_size=12),
        st.sampled_from([("a", "b"), ("a", "a"), ("b", "b"), ("a", "ab"),
                         ("ab", "a"), ("c", "a")]))
-@settings(max_examples=300, deadline=None)
-def test_bpe_two_pass_replace_equals_lookaround_regex(syms, pair):
-    """The BPE oracle (queries/training_ext.py) applies a merge as TWO
-    sentinel-space replace passes; the ground truth is the classic BPE
-    list-scan (merge adjacent (a, b) token pairs greedily left-to-right,
-    non-overlapping — exactly what ops/bpe.py's lookaround regex
-    computes, pinned separately by test_learn_bpe_matches_reference).
-    The two must be identical for every token sequence — this is the
-    equivalence the recursive-CTE oracle's correctness rests on."""
+@settings(max_examples=500, deadline=None)
+def test_bpe_closed_form_merge_equals_greedy_scan(syms, pair):
+    """The BPE oracle (queries/training_ext.py _bpe_recursive_cte)
+    applies a merge TOKEN-WISE via a closed form: position i starts a
+    merge iff p(i) (tokens i, i+1 equal the pair) and the run of
+    consecutive p-positions ending at i has odd length. Ground truth is
+    the classic greedy left-to-right non-overlapping list-scan (what
+    ops/bpe.py's lookaround regex computes, pinned separately by
+    test_learn_bpe_matches_reference). The two must agree on every
+    token sequence — including runs of identical symbols >= 5, where a
+    naive sentinel-replace approach diverges."""
     a, b = pair
     # ground truth: greedy left-to-right non-overlapping pair merge
     out = []
@@ -243,8 +245,22 @@ def test_bpe_two_pass_replace_equals_lookaround_regex(syms, pair):
             out.append(syms[i])
             i += 1
     expected = " ".join(out)
-    # oracle side: two plain sentinel-space replaces (DuckDB replace())
-    s = " ".join(syms)
-    needle, repl = f" {a} {b} ", f" {a + b} "
-    two_pass = f" {s} ".replace(needle, repl).replace(needle, repl).strip()
-    assert two_pass == expected
+    # oracle side: the closed form mirrored from the SQL (1-based i)
+    n = len(syms)
+    p = [i + 1 < n and syms[i] == a and syms[i + 1] == b for i in range(n)]
+    m = [False] * n
+    last_p0 = -1  # SQL's COALESCE(..., 0) with 1-based positions
+    for i in range(n):
+        if not p[i]:
+            last_p0 = i
+        else:
+            m[i] = (i - last_p0) % 2 == 1
+    emitted = []
+    for i in range(n):
+        if m[i]:
+            emitted.append(a + b)
+        elif i > 0 and m[i - 1]:
+            continue  # consumed
+        else:
+            emitted.append(syms[i])
+    assert " ".join(emitted) == expected

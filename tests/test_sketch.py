@@ -147,3 +147,17 @@ def test_fuzzy_prefix_filter_tames_hot_gram(spark):
     got = {(r["n1"], r["n2"]): r["dist"]
            for r in edit_distance_pairs(df, "name", max_distance=2).collect()}
     assert got == {("zzzhello-world-pair-a", "zzzhello-world-pair-b"): 1}
+
+
+def test_shingles_short_documents_yield_no_rows(spark):
+    """A document with fewer than n words must produce zero shingles,
+    not an array-index fault (Spark's sequence() counts DOWN for
+    negative spans)."""
+    from streamalert_spark.ops.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, ""), (3, "a b c d")],
+        "doc_id bigint, text string")
+    rows = shingles(df, n=3).collect()
+    assert {r["doc_id"] for r in rows} == {3}
+    assert sorted(r["shingle"] for r in rows) == ["a b c", "b c d"]

@@ -194,3 +194,45 @@ def test_compression_signals_match_zlib(spark):
     # degenerate repetition compresses far better than prose
     assert got[1]["compression_ratio"] < got[0]["compression_ratio"]
     assert "Exchange" not in _plan(compression_signals(df)), _plan(compression_signals(df))
+
+
+def test_bpe_oracle_matches_spark_on_repeated_symbol_corpus(spark, tmp_path):
+    """Regression for the sentinel-replace bug: a corpus whose hottest
+    pair is an IDENTICAL-symbol pair occurring in runs >= 5 ('bbbbb' ->
+    greedy 'bb bb b', a naive two-pass replace gives 'bb b bb'). The
+    recursive-CTE oracle must track ops/bpe.py exactly on it."""
+    import duckdb
+
+    from streamalert_spark.ops.bpe import learn_bpe
+    from streamalert_spark.queries.training_ext import _bpe_recursive_cte
+
+    texts = ["bbbbb bbbbbb abab", "bbbbb cc abab", "bbbbbbb cc", "abab cc dd"]
+    pdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string")
+    pq = str(tmp_path / "documents.parquet")
+    pdf.toPandas().to_parquet(pq)
+
+    merges = learn_bpe(pdf, n_merges=10)
+    spark_rows = [(i, p, c) for i, (p, c) in enumerate(merges)]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')")
+    sql = _bpe_recursive_cte() + """
+SELECT CAST(it AS BIGINT) AS merge_idx, pair,
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM (
+  SELECT it, pair, SUM(wc) AS pair_count,
+         ROW_NUMBER() OVER (PARTITION BY it
+                            ORDER BY SUM(wc) DESC, pair) AS rn
+  FROM (SELECT it, array_to_string(parts[i:i+1], ' ') AS pair, wc
+        FROM (SELECT it, string_split(syms, ' ') AS parts, wc FROM r),
+             UNNEST(range(1, len(parts))) AS t(i))
+  GROUP BY it, pair
+)
+WHERE rn = 1 AND it < (SELECT MAX(it) FROM r)
+ORDER BY merge_idx
+"""
+    oracle_rows = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert spark_rows == oracle_rows
+    # the fixture really exercises the identical-symbol run case
+    assert any(p == "b b" for _, p, _ in spark_rows)
