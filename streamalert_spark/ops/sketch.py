@@ -144,3 +144,46 @@ def rate_spikes(
             F.round(F.lit(sigma) * F.sqrt(disc), 6).alias("threshold"),
         )
     )
+
+
+def histogram_quantiles(
+    df,
+    key_col: str,
+    value_col: str,
+    width: float = 10.0,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+):
+    """Approximate quantiles from a fixed-width histogram — the ONE-PASS,
+    MERGEABLE scale path next to the exact sort-based percentile: state
+    is one count per occupied bucket (mergeable across partitions,
+    executors, or micro-batches by addition), and the estimate
+    interpolates linearly inside the bucket holding rank q*n.
+
+    Engine-portable by construction: bucket = floor(value / width) and
+    the interpolation use only IEEE-exact-rounded arithmetic on exact
+    integer counts — no log() whose libm low bits could differ. Fixed
+    width is the demo calibration; production picks power-of-two or
+    quantile-calibrated edges, same plan.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bucket = F.floor(F.col(value_col) / F.lit(width)).cast("bigint")
+    hist = (df.groupBy(key_col, bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy(key_col).orderBy("bucket")
+    c = (hist.withColumn("cum", F.sum("cnt").over(w))
+         .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+         .withColumn("n", F.max(F.col("cum")).over(Window.partitionBy(key_col))))
+
+    def est(q: float):
+        r = F.lit(q) * F.col("n")
+        hit = (F.col("cum_before") < r) & (F.col("cum") >= r)
+        val = F.round(
+            F.col("bucket") * width
+            + width * (r - F.col("cum_before")) / F.col("cnt"), 6)
+        return F.max(F.when(hit, val))
+
+    aggs = [est(q).alias(f"p{int(q * 100)}_est") for q in quantiles]
+    aggs.append(F.max("n").cast("bigint").alias("n_events"))
+    return c.groupBy(key_col).agg(*aggs)

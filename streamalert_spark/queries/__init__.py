@@ -60,6 +60,7 @@ _VERIFY_FIRST = [
     "incremental_dedup_pairs",   # new: cross-corpus ingest dedup gate
     "salted_exact_distinct_users",  # new: skew-safe exact distinct
     "stream_first_seen_bounded",    # new: stateful streaming under the hash gate
+    "histogram_quantile_sketch",    # new: mergeable quantile sketch
     "app_source_backfill",       # _rows/record_payload seam touched
     # last green driver row is ROUND 2 — oldest signal, re-verify now
     "classify_strict_json",
@@ -101,7 +102,6 @@ _VERIFY_FIRST = [
     "minhash_lsh_candidates",
     "simhash64",
     "ann_cosine_topk",
-    "embedding_cosine_neardup",
     "ann_lsh_bucketed",
 ]
 

@@ -367,3 +367,54 @@ def salted_exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         salted_exact_distinct(ev, ["event_type"], "user_id")
         .repartition(1).sortWithinPartitions("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch — the one-pass mergeable scale path.
+# ---------------------------------------------------------------------------
+
+_HIST_QUANTILE_ORACLE = """
+WITH hist AS (
+  SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+  FROM hist
+),
+j AS (
+  SELECT c.*, cum - cnt AS cum_before,
+         MAX(cum) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_type,
+       MAX(CASE WHEN cum_before < 0.5 * n AND cum >= 0.5 * n
+                THEN ROUND(bucket * 10.0 + 10.0 * (0.5 * n - cum_before) / cnt, 6)
+           END) AS p50_est,
+       MAX(CASE WHEN cum_before < 0.9 * n AND cum >= 0.9 * n
+                THEN ROUND(bucket * 10.0 + 10.0 * (0.9 * n - cum_before) / cnt, 6)
+           END) AS p90_est,
+       MAX(CASE WHEN cum_before < 0.99 * n AND cum >= 0.99 * n
+                THEN ROUND(bucket * 10.0 + 10.0 * (0.99 * n - cum_before) / cnt, 6)
+           END) AS p99_est,
+       CAST(MAX(n) AS BIGINT) AS n_events
+FROM j GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("histogram_quantile_sketch", oracle=_HIST_QUANTILE_ORACLE,
+       doc="Histogram quantile SKETCH per event type: one pass, state = "
+           "one count per occupied bucket, mergeable by addition across "
+           "partitions/micro-batches — the 100 TB path beside the exact "
+           "sort-based percentile (event_value_percentiles). Bucketing "
+           "and interpolation use only IEEE-exact arithmetic on integer "
+           "counts, so the ESTIMATE is bit-identical across engines.")
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.sketch import histogram_quantiles
+
+    return (
+        histogram_quantiles(_events(spark, sf_dir), "event_type", "value")
+        .repartition(1).sortWithinPartitions("event_type")
+    )

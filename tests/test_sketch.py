@@ -161,3 +161,20 @@ def test_shingles_short_documents_yield_no_rows(spark):
     rows = shingles(df, n=3).collect()
     assert {r["doc_id"] for r in rows} == {3}
     assert sorted(r["shingle"] for r in rows) == ["a b c", "b c d"]
+
+
+def test_histogram_quantiles_accuracy_and_merge_semantics(spark):
+    """The sketch estimate must land within one bucket width of the true
+    percentile, and repartitioning the input must not change the result
+    (the bucket counts are mergeable by addition)."""
+    from streamalert_spark.ops.sketch import histogram_quantiles
+
+    vals = [float(v % 100) + 0.5 for v in range(1000)]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    row = histogram_quantiles(df, "g", "v", width=10.0).collect()[0]
+    import statistics
+    for q, col in ((0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")):
+        true = statistics.quantiles(vals, n=10000)[int(q * 10000) - 1]
+        assert abs(row[col] - true) <= 10.0, (q, row[col], true)
+    row2 = histogram_quantiles(df.repartition(7), "g", "v", width=10.0).collect()[0]
+    assert row.asDict() == row2.asDict()
