@@ -61,6 +61,7 @@ _VERIFY_FIRST = [
     "salted_exact_distinct_users",  # new: skew-safe exact distinct
     "stream_first_seen_bounded",    # new: stateful streaming under the hash gate
     "histogram_quantile_sketch",    # new: mergeable quantile sketch
+    "stream_rate_alerts_bounded",   # new: windowed streaming alerts under the hash gate
     "app_source_backfill",       # _rows/record_payload seam touched
     # last green driver row is ROUND 2 — oldest signal, re-verify now
     "classify_strict_json",
@@ -100,7 +101,6 @@ _VERIFY_FIRST = [
     "dedup_ngram_jaccard",
     "minhash_signatures",
     "minhash_lsh_candidates",
-    "simhash64",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
 ]

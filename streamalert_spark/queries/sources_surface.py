@@ -355,3 +355,74 @@ def stream_first_seen_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", F.col("event_timestamp").alias("first_ts"))
         .repartition(1).sortWithinPartitions("k")
     )
+
+
+# ----------------------------------------- streaming rate alerts, bounded
+
+_RATE_ALERT_ORACLE = """
+SELECT CAST(i % 3 AS BIGINT) AS k,
+       CAST((i // 60) * 60 AS BIGINT) AS window_start,
+       CAST((i // 60) * 60 + 60 AS BIGINT) AS window_end,
+       COUNT(*) AS cnt
+FROM range(1, 602) t(i)
+WHERE i < 600
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 5
+ORDER BY k, window_start
+"""
+
+
+@query("stream_rate_alerts_bounded", oracle=_RATE_ALERT_ORACLE,
+       doc="STREAMING rate-threshold alerting under the hash gate: 601 "
+           "events stream through 7 micro-batches; tumbling 1-minute "
+           "event-time windows emit exactly once when the watermark "
+           "closes them (append mode; the final no-data micro-batch "
+           "flushes the last closed window, and the still-open [600,660) "
+           "window is correctly withheld). The oracle is the batch "
+           "GROUP BY definition over the closed range.")
+def stream_rate_alerts_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from streamalert_spark.sources.app_source import register_app_source
+    from streamalert_spark.streaming.spikes import rate_threshold_alerts
+
+    register_app_source(spark)
+    work = tempfile.mkdtemp(prefix="rate_alerts_q_")
+    try:
+        src = (
+            spark.readStream.format("streamalert_app")
+            .option("app", "synthetic").option("end_timestamp", "601")
+            .load()
+            .select(F.pmod("event_timestamp", F.lit(3)).alias("k"),
+                    F.timestamp_seconds("event_timestamp").alias("ts"))
+        )
+        alerts = rate_threshold_alerts(
+            src, "k", "ts", window="1 minute",
+            watermark="0 seconds", threshold=5)
+        out = alerts.select(
+            "k",
+            F.unix_timestamp("window_start").alias("window_start"),
+            F.unix_timestamp("window_end").alias("window_end"),
+            "cnt",
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = (spark.read.schema("k bigint, window_start bigint, "
+                                  "window_end bigint, cnt bigint")
+                .parquet(f"{work}/out").collect())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return (
+        spark.createDataFrame(rows, "k bigint, window_start bigint, "
+                                    "window_end bigint, cnt bigint")
+        .repartition(1).sortWithinPartitions("k", "window_start")
+    )
