@@ -57,6 +57,7 @@ _VERIFY_FIRST = [
     "bpe_learned_merges",        # gained a recursive-CTE oracle (was rows-only)
     "bpe_encode_tokens",         # new: tokenizer encode step
     "fuzzy_name_pairs",          # prefix-filtered q-gram blocking
+    "entity_resolution_groups",  # new: fuzzy graph -> components capstone
     "incremental_dedup_pairs",   # new: cross-corpus ingest dedup gate
     "salted_exact_distinct_users",  # new: skew-safe exact distinct
     "stream_first_seen_bounded",    # new: stateful streaming under the hash gate
@@ -99,7 +100,6 @@ _VERIFY_FIRST = [
     "parse_json_envelope_explode",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "minhash_signatures",
     "minhash_lsh_candidates",
     "ann_cosine_topk",
     "ann_lsh_bucketed",

@@ -418,3 +418,54 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         histogram_quantiles(_events(spark, sf_dir), "event_type", "value")
         .repartition(1).sortWithinPartitions("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: fuzzy pair graph -> connected components -> canonical
+# labels (the record-linkage capstone composing the two verified pieces).
+# ---------------------------------------------------------------------------
+
+_ENTITY_RES_ORACLE = """
+WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
+p AS (
+  SELECT a.name AS n1, b.name AS n2
+  FROM names a JOIN names b ON a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 2
+),
+edges AS (SELECT n1 AS src, n2 AS dst FROM p UNION SELECT n2, n1 FROM p),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+labels AS (SELECT id AS name, MIN(r) AS canonical FROM reach GROUP BY id)
+SELECT n.name, COALESCE(l.canonical, n.name) AS canonical
+FROM names n LEFT JOIN labels l ON l.name = n.name
+ORDER BY n.name
+"""
+
+
+@query("entity_resolution_groups", oracle=_ENTITY_RES_ORACLE,
+       doc="Entity resolution capstone: prefix-filtered fuzzy matching "
+           "builds the typo-pair graph, large-star/small-star connected "
+           "components elect each cluster's canonical (min) name, "
+           "singletons stay their own canonical. The oracle recomputes "
+           "it from the brute-force pair DEFINITION + a recursive-CTE "
+           "closure, so the check proves blocking completeness AND "
+           "label correctness together.")
+def entity_resolution_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.dedup import connected_components
+    from streamalert_spark.ops.fuzzy import edit_distance_pairs
+    from streamalert_spark.session import read_table
+
+    names = (read_table(spark, sf_dir, "part")
+             .select(F.col("p_name").alias("name")).distinct())
+    pairs = edit_distance_pairs(names, "name", max_distance=2)
+    comp = connected_components(pairs, a_col="n1", b_col="n2",
+                                id_out="name", label_out="canonical")
+    return (
+        names.join(comp, "name", "left")
+        .select("name",
+                F.coalesce("canonical", F.col("name")).alias("canonical"))
+        .repartition(1).sortWithinPartitions("name")
+    )
