@@ -32,6 +32,9 @@ KMV_K = 32
 # 13 hex digits = 52 bits: the largest prefix exactly representable in a
 # double, so the fixed-order digit sum is bit-identical across engines
 KMV_HEX_DIGITS = 13
+# 12 hex digits = 48 bits: comfortably exact in a 64-bit integer on both
+# engines — the integer twin of the fraction prefix above
+HEX_INT_DIGITS = 12
 
 
 def hex_fraction(h: Column) -> Column:
@@ -57,6 +60,24 @@ def hex_fraction_sql(col: str) -> str:
     for t in terms[1:]:
         out = f"({out} + {t})"
     return out
+
+
+def hex_prefix_int(h: Column) -> Column:
+    """First 12 hex digits of an md5 hex string as an exact bigint — the
+    portable integer hash every mod-based placement (count-min columns,
+    bloom bits) derives from. 48 bits never overflows either engine."""
+    return F.conv(F.substring(h, 1, HEX_INT_DIGITS), 16, 10).cast("bigint")
+
+
+def hex_prefix_int_sql(col: str) -> str:
+    """The identical 12-digit hex->bigint conversion as engine-portable SQL
+    text (digit-positional sum — DuckDB has no conv())."""
+    terms = [
+        f"(CAST(STRPOS('0123456789abcdef', SUBSTRING({col}, {i + 1}, 1)) - 1 "
+        f"AS BIGINT)) * {16 ** (HEX_INT_DIGITS - 1 - i)}"
+        for i in range(HEX_INT_DIGITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def kmv_distinct(
@@ -187,3 +208,72 @@ def histogram_quantiles(
     aggs = [est(q).alias(f"p{int(q * 100)}_est") for q in quantiles]
     aggs.append(F.max("n").cast("bigint").alias("n_events"))
     return c.groupBy(key_col).agg(*aggs)
+
+
+# ---------------------------------------------------------------- count-min
+
+CMS_W = 64  # columns per row — collision rate calibrated for the demo scale
+CMS_D = 4   # independent hash rows; estimate = min over rows
+
+
+def _cms_cells(key: Column, w: int, d: int) -> Column:
+    """Array of the d (depth, col) cells a key increments: col_i =
+    hex12(md5(\"i:\" || key)) % w — portable because md5 and the 48-bit
+    prefix are engine-identical."""
+    return F.array(*[
+        F.struct(
+            F.lit(i).cast("bigint").alias("depth"),
+            F.pmod(hex_prefix_int(F.md5(F.concat(F.lit(f"{i}:"), key))),
+                   F.lit(w)).alias("col"),
+        )
+        for i in range(d)
+    ])
+
+
+def cms_sketch(df: DataFrame, key_col: str, w: int = CMS_W, d: int = CMS_D) -> DataFrame:
+    """Count-min sketch of a key column: d*w counters, each key increments
+    one counter per depth row. Output (depth, col, cnt) — at most d*w rows
+    regardless of input size, mergeable across partitions / micro-batches /
+    days by addition on (depth, col).
+
+    Scale: the explode multiplies rows by d BEFORE the shuffle, but the
+    groupBy has only d*w distinct groups so map-side partial aggregation
+    collapses every task's output to <= d*w rows — the shuffle carries the
+    sketch, not the data. No driver state, no UDFs.
+    """
+    keyed = (
+        df.select(F.col(key_col).cast("string").alias("k"))
+        .filter(F.col("k").isNotNull())
+    )
+    cells = keyed.select(F.explode(_cms_cells(F.col("k"), w, d)).alias("c"))
+    return (
+        cells.groupBy(F.col("c.depth").alias("depth"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    df: DataFrame,
+    keys_df: DataFrame,
+    key_col: str,
+    w: int = CMS_W,
+    d: int = CMS_D,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys_df[key_col]`` from a count-min
+    sketch of ``df[key_col]``: min over the d counters each key hashes to.
+    Classic CMS guarantee: estimate >= true count always (one-sided error),
+    overshoot bounded by collisions per cell. The sketch side is <= d*w
+    rows — broadcast by the optimizer; the probe join never shuffles the
+    corpus."""
+    sketch = cms_sketch(df, key_col, w, d)
+    probes = (
+        keys_df.select(F.col(key_col).cast("string").alias("k"))
+        .distinct()
+        .select("k", F.explode(_cms_cells(F.col("k"), w, d)).alias("c"))
+        .select("k", F.col("c.depth").alias("depth"), F.col("c.col").alias("col"))
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["depth", "col"])
+        .groupBy("k")
+        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+    )

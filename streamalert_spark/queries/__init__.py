@@ -52,6 +52,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 _VERIFY_FIRST = [
     # round-5 new or changed operators — verify first
     "inverted_index_terms",      # r4 driver-red: output now scalar postings
+    "bloom_semijoin_reduction",  # new: portable bloom fact-scan pre-filter
+    "cms_heavy_hitters",         # new: count-min sketch frequency estimates
     "app_source_salesforce",     # new: salesforce protocol port
     "app_source_stream_resume",  # new: streaming checkpoint-restart resume
     "bpe_learned_merges",        # gained a recursive-CTE oracle (was rows-only)

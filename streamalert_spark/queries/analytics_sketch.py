@@ -18,7 +18,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streamalert_spark.ops.sketch import KMV_K, hex_fraction_sql, kmv_distinct, rate_spikes
+from streamalert_spark.ops.sketch import (
+    CMS_D,
+    CMS_W,
+    KMV_K,
+    cms_point_estimates,
+    hex_fraction_sql,
+    hex_prefix_int_sql,
+    kmv_distinct,
+    rate_spikes,
+)
 from streamalert_spark.queries import query
 
 
@@ -151,6 +160,76 @@ def event_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rate_spikes(_events(spark, sf_dir), "event_type", "ts", sigma=3.0)
         .repartition(1).sortWithinPartitions("event_type", "hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters — fixed-memory frequency estimation.
+# ---------------------------------------------------------------------------
+
+_CMS_HH_FLOOR = 75  # exact-count floor defining "heavy" at the demo scale
+
+_CMS_ORACLE = f"""
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE user_id IS NOT NULL
+),
+cells AS (
+  SELECT k, i AS depth, md5(CAST(i AS VARCHAR) || ':' || k) AS h
+  FROM ev, UNNEST(range(0, {CMS_D})) AS t(i)
+),
+placed AS (
+  SELECT k, depth, ({hex_prefix_int_sql('h')}) % {CMS_W} AS col FROM cells
+),
+sketch AS (SELECT depth, col, COUNT(*) AS cnt FROM placed GROUP BY 1, 2),
+exact AS (
+  SELECT k, COUNT(*) AS exact_cnt FROM ev
+  GROUP BY k HAVING COUNT(*) >= {_CMS_HH_FLOOR}
+),
+pcells AS (
+  SELECT e.k, i AS depth, md5(CAST(i AS VARCHAR) || ':' || e.k) AS h
+  FROM exact e, UNNEST(range(0, {CMS_D})) AS t(i)
+),
+probes AS (
+  SELECT k, depth, ({hex_prefix_int_sql('h')}) % {CMS_W} AS col FROM pcells
+),
+est AS (
+  SELECT p.k, MIN(s.cnt) AS cms_estimate
+  FROM probes p JOIN sketch s USING (depth, col) GROUP BY p.k
+)
+SELECT CAST(e.k AS BIGINT) AS user_id,
+       CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(est.cms_estimate AS BIGINT) AS cms_estimate
+FROM exact e JOIN est ON est.k = e.k
+ORDER BY user_id
+"""
+
+
+@query("cms_heavy_hitters", oracle=_CMS_ORACLE,
+       doc="Count-min sketch frequency estimates for heavy-hitter users, "
+           "next to the exact counts: d*w counters total (fixed memory at "
+           "ANY cardinality, mergeable by addition across partitions / "
+           "micro-batches / days), estimate = min over d portable md5-mod "
+           "hash rows, one-sided error (estimate >= exact always). The "
+           "sketch shuffle carries <= d*w rows after map-side combine — "
+           "the 100 TB frequency path where exact per-key counting would "
+           "shuffle the corpus. The placement hash (hex12(md5) % w) is "
+           "engine-identical, so the ESTIMATES hash-match the oracle.")
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .filter(F.col("exact_cnt") >= _CMS_HH_FLOOR)
+    )
+    est = cms_point_estimates(ev, exact, "user_id")
+    return (
+        exact.join(est, exact.user_id.cast("string") == est.k)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            "cms_estimate",
+        )
+        .repartition(1).sortWithinPartitions("user_id")
     )
 
 

@@ -9,8 +9,10 @@ These are the operators that replace quadratic forms at 100 TB:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from streamalert_spark.ops import dedup, similarity
+from streamalert_spark.ops.bloom import BLOOM_K, BLOOM_M, bloom_bit_sql
 from streamalert_spark.queries import query
 from streamalert_spark.session import read_table
 
@@ -103,3 +105,79 @@ LIMIT 10
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, n_cells=8, n_probe=2, k=10)
+
+
+# ------------------------------------------------- bloom semi-join reduction
+
+_DIM_PRED = "c_mktsegment = 'BUILDING' AND c_acctbal > 9000"
+
+_BLOOM_MEMBER_SQL = " AND ".join(
+    f"({bloom_bit_sql('f.key', i)} IN (SELECT pos FROM bits))"
+    for i in range(BLOOM_K)
+)
+
+_BLOOM_BITS_SQL = " UNION ALL ".join(
+    f"SELECT {bloom_bit_sql('key', i)} AS pos FROM dim"
+    for i in range(BLOOM_K)
+)
+
+_BLOOM_ORACLE = f"""
+WITH dim AS (
+  SELECT DISTINCT c_custkey AS key FROM customer WHERE {_DIM_PRED}
+),
+bits AS (SELECT DISTINCT pos FROM ({_BLOOM_BITS_SQL})),
+fkeys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+fmember AS (SELECT f.key, ({_BLOOM_MEMBER_SQL}) AS pass FROM fkeys f)
+SELECT dim_keys, fact_rows, bloom_pass_rows, exact_pass_rows,
+       bloom_pass_rows - exact_pass_rows AS false_positive_rows
+FROM (
+  SELECT
+    (SELECT COUNT(*) FROM dim) AS dim_keys,
+    (SELECT COUNT(*) FROM orders) AS fact_rows,
+    (SELECT COUNT(*) FROM orders o JOIN fmember m ON o.o_custkey = m.key
+     WHERE m.pass) AS bloom_pass_rows,
+    (SELECT COUNT(*) FROM orders o
+     WHERE o.o_custkey IN (SELECT key FROM dim)) AS exact_pass_rows
+)
+"""
+
+
+@query("bloom_semijoin_reduction", oracle=_BLOOM_ORACLE,
+       doc="Bloom-filter semi-join reduction accounting: an m-bit portable "
+           "bloom (bit_i = hex12(md5(i||':'||key)) % m) built over a "
+           "selective customer dimension pre-filters the orders fact scan "
+           "before the exact join — the broadcast state is m BITS "
+           "regardless of key count/width, the membership test is a pure "
+           "codegen expression, and the post-filter shuffle carries only "
+           "matches plus the bounded false-positive fraction. Output is "
+           "the reduction ledger (rows passing bloom vs exact, false "
+           "positives) — hash-identical to the oracle because the bit "
+           "placement is engine-portable, unlike Spark's native "
+           "xxhash64 runtime bloom filter (which this mirrors).")
+def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.bloom import bloom_bitmap, bloom_member
+
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    dim = (
+        cust.filter((F.col("c_mktsegment") == "BUILDING")
+                    & (F.col("c_acctbal") > 9000))
+        .select(F.col("c_custkey").alias("key")).distinct()
+    )
+    bitmap = bloom_bitmap(dim, "key", m=BLOOM_M, k=BLOOM_K)
+    flagged = orders.join(
+        F.broadcast(dim.withColumn("_dim", F.lit(1))),
+        orders["o_custkey"] == F.col("key"), "left")
+    stats = flagged.agg(
+        F.count(F.lit(1)).alias("fact_rows"),
+        F.sum(F.when(bloom_member(F.col("o_custkey"), bitmap, k=BLOOM_K), 1)
+              .otherwise(0)).cast("bigint").alias("bloom_pass_rows"),
+        F.sum(F.coalesce(F.col("_dim"), F.lit(0)))
+         .cast("bigint").alias("exact_pass_rows"),
+    )
+    dim_count = dim.agg(F.count(F.lit(1)).alias("dim_keys"))
+    return stats.crossJoin(F.broadcast(dim_count)).select(
+        "dim_keys", "fact_rows", "bloom_pass_rows", "exact_pass_rows",
+        (F.col("bloom_pass_rows") - F.col("exact_pass_rows"))
+        .alias("false_positive_rows"),
+    )

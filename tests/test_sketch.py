@@ -178,3 +178,79 @@ def test_histogram_quantiles_accuracy_and_merge_semantics(spark):
         assert abs(row[col] - true) <= 10.0, (q, row[col], true)
     row2 = histogram_quantiles(df.repartition(7), "g", "v", width=10.0).collect()[0]
     assert row.asDict() == row2.asDict()
+
+
+def _py_cms_cells(key: str, w: int, d: int):
+    return [(i, int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:12], 16) % w)  # noqa: S324
+            for i in range(d)]
+
+
+def test_cms_matches_python_reference_and_one_sided(spark):
+    """CMS estimates must equal the pure-Python sketch exactly, and never
+    undershoot the true count (the one-sided CMS guarantee)."""
+    from collections import Counter
+
+    from streamalert_spark.ops.sketch import cms_point_estimates
+
+    w, d = 16, 3  # small width to force collisions
+    values = [f"k{v % 37}" for v in range(500)]
+    truth = Counter(values)
+    table = Counter()
+    for key, cnt in truth.items():
+        for cell in _py_cms_cells(key, w, d):
+            table[cell] += cnt
+    expected = {k: min(table[c] for c in _py_cms_cells(k, w, d)) for k in truth}
+
+    df = spark.createDataFrame([(v,) for v in values], "k string")
+    got = {r["k"]: r["cms_estimate"]
+           for r in cms_point_estimates(df, df, "k", w=w, d=d).collect()}
+    assert got == expected
+    assert all(got[k] >= truth[k] for k in truth)
+
+
+def test_cms_sketch_bounded_and_mergeable(spark):
+    """The sketch never exceeds d*w rows and is partitioning-invariant
+    (counters merge by addition)."""
+    from streamalert_spark.ops.sketch import cms_sketch
+
+    df = spark.createDataFrame([(f"k{v}",) for v in range(2000)], "k string")
+    rows = sorted((r["depth"], r["col"], r["cnt"])
+                  for r in cms_sketch(df, "k", w=32, d=4).collect())
+    assert len(rows) <= 32 * 4
+    assert sum(c for _, _, c in rows) == 2000 * 4
+    rows2 = sorted((r["depth"], r["col"], r["cnt"])
+                   for r in cms_sketch(df.repartition(9), "k", w=32, d=4).collect())
+    assert rows == rows2
+
+
+def test_bloom_no_false_negatives_and_python_reference(spark):
+    """Every inserted key must pass membership (bloom filters never have
+    false negatives), and the bitmap must equal the pure-Python build."""
+    from streamalert_spark.ops.bloom import bloom_bitmap, bloom_member
+
+    m, k = 64, 3
+    keys = [str(v * 17) for v in range(20)]
+    df = spark.createDataFrame([(x,) for x in keys], "key string")
+    bitmap = bloom_bitmap(df, "key", m=m, k=k)
+
+    bits = set()
+    for key in keys:
+        for i in range(k):
+            bits.add(int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:12], 16) % m)  # noqa: S324
+    assert bitmap == "".join("1" if p in bits else "0" for p in range(m))
+
+    passed = df.filter(bloom_member(F.col("key"), bitmap, k=k)).count()
+    assert passed == len(keys)
+
+
+def test_bloom_rejects_out_of_set_keys(spark):
+    """With a sparse bitmap, keys outside the set are (almost all)
+    rejected — the reduction actually reduces."""
+    from streamalert_spark.ops.bloom import bloom_bitmap, bloom_member
+
+    members = spark.createDataFrame([(f"in-{v}",) for v in range(8)], "key string")
+    bitmap = bloom_bitmap(members, "key", m=512, k=3)
+    probes = spark.createDataFrame([(f"out-{v}",) for v in range(200)], "key string")
+    passed = probes.filter(bloom_member(F.col("key"), bitmap, k=3)).count()
+    # load is 24/512 bits -> fp rate ~1e-4; 200 probes pass ~0
+    assert passed <= 2
