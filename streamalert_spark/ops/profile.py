@@ -1,0 +1,94 @@
+"""One-pass data-quality profiling: per-column null counts, exact
+distinct counts, and portable min/max — the table-health primitive every
+large-scale ingest pipeline runs before trusting a new drop of data.
+
+One job, one scan: all per-column aggregates are computed in a SINGLE
+``agg`` (Spark plans the multi-column COUNT DISTINCT as one scan plus an
+Expand — rows multiply by the column count in the map stage but partial
+aggregation collapses them before the shuffle), then the one-row result
+is exploded into the (column_name, stats...) shape. No second scan, no
+driver loops, no UDFs.
+
+Min/max are emitted as ENGINE-PORTABLE strings so the whole profile is
+oracle-checkable: integers and strings cast directly, doubles round to 4
+decimals through DECIMAL(30,4) (fixed-scale rendering — raw double
+formatting differs across engines), timestamps format explicitly as
+'yyyy-MM-dd HH:mm:ss'. The same type rules drive ``profile_oracle_sql``,
+so Spark and DuckDB profiles derive from one table spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# dtype tags with portable string renderings
+_INT = "int"
+_DOUBLE = "double"
+_STRING = "string"
+_TIMESTAMP = "timestamp"
+
+
+def _render(col: Column, dtype: str) -> Column:
+    if dtype == _STRING:
+        return col
+    if dtype == _INT:
+        return col.cast("string")
+    if dtype == _DOUBLE:
+        return F.round(col, 4).cast("decimal(30,4)").cast("string")
+    if dtype == _TIMESTAMP:
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    raise ValueError(f"unsupported profile dtype: {dtype}")
+
+
+def _render_sql(expr: str, dtype: str) -> str:
+    if dtype == _STRING:
+        return expr
+    if dtype == _INT:
+        return f"CAST({expr} AS VARCHAR)"
+    if dtype == _DOUBLE:
+        return f"CAST(CAST(ROUND({expr}, 4) AS DECIMAL(30,4)) AS VARCHAR)"
+    if dtype == _TIMESTAMP:
+        return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+    raise ValueError(f"unsupported profile dtype: {dtype}")
+
+
+def profile(df: DataFrame, spec: dict[str, str]) -> DataFrame:
+    """Profile the columns in ``spec`` (name -> dtype tag). Output one row
+    per column: (column_name, n_rows, null_count, n_distinct, min_value,
+    max_value)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c, dtype in spec.items():
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+        aggs.append(_render(F.min(F.col(c)), dtype).alias(f"_min_{c}"))
+        aggs.append(_render(F.max(F.col(c)), dtype).alias(f"_max_{c}"))
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("_n").cast("bigint").alias("n_rows"),
+            (F.col("_n") - F.col(f"_nn_{c}")).cast("bigint").alias("null_count"),
+            F.col(f"_nd_{c}").cast("bigint").alias("n_distinct"),
+            F.col(f"_min_{c}").alias("min_value"),
+            F.col(f"_max_{c}").alias("max_value"),
+        )
+        for c in spec
+    ])
+    return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def profile_oracle_sql(table: str, spec: dict[str, str]) -> str:
+    """The identical profile as engine-portable SQL over ``table`` —
+    generated from the SAME spec that drives the Spark plan."""
+    parts = []
+    for c, dtype in spec.items():
+        parts.append(
+            f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+            f"COUNT(*) - COUNT({c}) AS null_count, "
+            f"COUNT(DISTINCT {c}) AS n_distinct, "
+            f"{_render_sql(f'MIN({c})', dtype)} AS min_value, "
+            f"{_render_sql(f'MAX({c})', dtype)} AS max_value "
+            f"FROM {table}"
+        )
+    return " UNION ALL ".join(parts)

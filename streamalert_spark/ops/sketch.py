@@ -210,6 +210,78 @@ def histogram_quantiles(
     return c.groupBy(key_col).agg(*aggs)
 
 
+def kmv_overlap(
+    a_df: DataFrame,
+    a_col: str,
+    b_df: DataFrame,
+    b_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """KMV set-operation sketch between two key columns: Jaccard,
+    intersection, and union DISTINCT-cardinality estimates from the k
+    smallest portable hashes of each side — the join-planning diagnostic
+    that answers "how much do these 100 TB tables' keys overlap?" without
+    ever shuffling either table's full key set.
+
+    Theta-sketch-style estimator: theta = kth smallest hash of the union
+    sketch; c = matching hashes (present in BOTH sides' sketches) below
+    theta; union_est = (k-1)/theta, jaccard_est = c/k, intersection_est =
+    jaccard_est * union_est. When the union sketch holds fewer than k
+    hashes the sketches saw everything and all three are exact.
+
+    Scale: each side reduces to its k minimum hashes via orderBy+limit
+    (TakeOrderedAndProject — per-partition top-k then a k-row merge, no
+    global sort shuffle); everything downstream operates on <= 2k rows.
+    Same-value hashes are identical across sides (md5 of the string form),
+    so sketch membership IS value membership.
+    """
+    def kmin(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.select(F.col(col).cast("string").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .select(F.md5("v").alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+
+    ha = kmin(a_df, a_col).select("h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    hb = kmin(b_df, b_col).select("h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    u = (
+        ha.unionByName(hb)
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    # <= 2k rows from here on: the single-partition window is metadata-scale
+    w = Window.orderBy("h")
+    r = u.select(
+        "h", "in_a", "in_b",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    kth = F.least(F.lit(k), F.col("n"))
+    agg = r.agg(
+        F.max(F.when(F.col("rn") == kth, F.col("h"))).alias("theta_h"),
+        F.max("n").alias("n"),
+        F.sum(F.when((F.col("rn") <= k) & (F.col("in_a") == 1)
+                     & (F.col("in_b") == 1), 1).otherwise(0)).alias("c"),
+    )
+    exact_small = F.col("n") < k
+    union_est = F.when(exact_small, F.col("n").cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) / hex_fraction(F.col("theta_h")), 4))
+    jac = F.round(F.col("c") / F.least(F.lit(k), F.col("n")).cast("double"), 4)
+    inter_est = F.when(exact_small, F.col("c").cast("double")).otherwise(
+        F.round((F.col("c") / F.lit(float(k)))
+                * (F.lit(float(k - 1)) / hex_fraction(F.col("theta_h"))), 4))
+    return agg.select(
+        F.col("c").cast("bigint").alias("sketch_matches"),
+        jac.alias("jaccard_est"),
+        inter_est.alias("intersection_est"),
+        union_est.alias("union_est"),
+    )
+
+
 # ---------------------------------------------------------------- count-min
 
 CMS_W = 64  # columns per row — collision rate calibrated for the demo scale

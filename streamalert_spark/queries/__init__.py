@@ -54,6 +54,8 @@ _VERIFY_FIRST = [
     "inverted_index_terms",      # r4 driver-red: output now scalar postings
     "bloom_semijoin_reduction",  # new: portable bloom fact-scan pre-filter
     "cms_heavy_hitters",         # new: count-min sketch frequency estimates
+    "table_profile_lineitem",    # new: one-pass data-quality profile
+    "kmv_join_overlap",          # new: set-operation sketch (join planning)
     "app_source_salesforce",     # new: salesforce protocol port
     "app_source_stream_resume",  # new: streaming checkpoint-restart resume
     "bpe_learned_merges",        # gained a recursive-CTE oracle (was rows-only)

@@ -26,6 +26,7 @@ from streamalert_spark.ops.sketch import (
     hex_fraction_sql,
     hex_prefix_int_sql,
     kmv_distinct,
+    kmv_overlap,
     rate_spikes,
 )
 from streamalert_spark.queries import query
@@ -161,6 +162,106 @@ def event_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate_spikes(_events(spark, sf_dir), "event_type", "ts", sigma=3.0)
         .repartition(1).sortWithinPartitions("event_type", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV join-overlap sketch — set-operation estimates for join planning.
+# ---------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = f"""
+WITH ha AS (
+  SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+  WHERE user_id IS NOT NULL ORDER BY h LIMIT {KMV_K}
+),
+hb AS (
+  SELECT DISTINCT md5(CAST(c_custkey AS VARCHAR)) AS h FROM customer
+  WHERE c_custkey IS NOT NULL ORDER BY h LIMIT {KMV_K}
+),
+u AS (
+  SELECT h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+    SELECT h, 1 AS in_a, 0 AS in_b FROM ha
+    UNION ALL SELECT h, 0, 1 FROM hb
+  ) GROUP BY h
+),
+r AS (
+  SELECT h, in_a, in_b, ROW_NUMBER() OVER (ORDER BY h) AS rn,
+         COUNT(*) OVER () AS n
+  FROM u
+),
+agg AS (
+  SELECT MAX(CASE WHEN rn = LEAST({KMV_K}, n) THEN h END) AS theta_h,
+         MAX(n) AS n,
+         SUM(CASE WHEN rn <= {KMV_K} AND in_a = 1 AND in_b = 1
+                  THEN 1 ELSE 0 END) AS c
+  FROM r
+)
+SELECT CAST(c AS BIGINT) AS sketch_matches,
+       ROUND(c / CAST(LEAST({KMV_K}, n) AS DOUBLE), 4) AS jaccard_est,
+       CASE WHEN n < {KMV_K} THEN CAST(c AS DOUBLE)
+            ELSE ROUND((c / {float(KMV_K)!r})
+                       * ({float(KMV_K - 1)!r} / ({hex_fraction_sql('theta_h')})), 4)
+       END AS intersection_est,
+       CASE WHEN n < {KMV_K} THEN CAST(n AS DOUBLE)
+            ELSE ROUND({float(KMV_K - 1)!r} / ({hex_fraction_sql('theta_h')}), 4)
+       END AS union_est
+FROM agg
+"""
+
+
+@query("kmv_join_overlap", oracle=_OVERLAP_ORACLE,
+       doc="KMV set-operation sketch between events.user_id and "
+           "customer.c_custkey: Jaccard / intersection / union distinct "
+           "estimates from each side's k minimum md5 hashes — the "
+           "join-planning diagnostic ('how much do these tables' keys "
+           "overlap?') that never shuffles either full key set. Each "
+           "side reduces via orderBy+limit (TakeOrderedAndProject, no "
+           "global sort); downstream math touches <= 2k rows. Estimates "
+           "are bit-identical across engines (portable hash order + "
+           "52-bit hex fraction), so even the SKETCH values hash-match.")
+def kmv_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.session import read_table
+
+    ev = _events(spark, sf_dir)
+    cust = read_table(spark, sf_dir, "customer")
+    return kmv_overlap(ev, "user_id", cust, "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# One-pass table profile — per-column data-quality stats.
+# ---------------------------------------------------------------------------
+
+_LINEITEM_SPEC = {
+    "l_orderkey": "int", "l_partkey": "int", "l_suppkey": "int",
+    "l_linenumber": "int", "l_quantity": "double",
+    "l_extendedprice": "double", "l_discount": "double", "l_tax": "double",
+    "l_returnflag": "string", "l_linestatus": "string",
+    "l_shipdate": "timestamp",
+}
+
+
+def _profile_oracle() -> str:
+    from streamalert_spark.ops.profile import profile_oracle_sql
+
+    return (profile_oracle_sql("lineitem", _LINEITEM_SPEC)
+            + " ORDER BY column_name")
+
+
+@query("table_profile_lineitem", oracle=_profile_oracle(),
+       doc="One-pass data-quality profile of every lineitem column: null "
+           "count, EXACT distinct count, portable min/max (doubles "
+           "rendered through DECIMAL(30,4), timestamps via explicit "
+           "format — raw double/timestamp formatting is not "
+           "engine-portable). All columns aggregate in a single scan "
+           "(Spark's multi-distinct Expand; partials collapse before the "
+           "shuffle) — the new-data health gate of an ingest pipeline, "
+           "never N scans for N columns.")
+def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.profile import profile
+    from streamalert_spark.session import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return (profile(li, _LINEITEM_SPEC)
+            .repartition(1).sortWithinPartitions("column_name"))
 
 
 # ---------------------------------------------------------------------------

@@ -254,3 +254,53 @@ def test_bloom_rejects_out_of_set_keys(spark):
     passed = probes.filter(bloom_member(F.col("key"), bitmap, k=3)).count()
     # load is 24/512 bits -> fp rate ~1e-4; 200 probes pass ~0
     assert passed <= 2
+
+
+def _round_half_up(x, d=4):
+    """Spark/DuckDB ROUND is half-away-from-zero; Python round() is
+    banker's — 13/32 = 0.40625 separates them."""
+    return math.floor(x * 10 ** d + 0.5) / 10 ** d
+
+
+def _py_kmv_overlap(a_vals, b_vals, k=32):
+    ha = sorted(hashlib.md5(str(v).encode()).hexdigest() for v in set(a_vals))[:k]  # noqa: S324
+    hb = sorted(hashlib.md5(str(v).encode()).hexdigest() for v in set(b_vals))[:k]  # noqa: S324
+    u = sorted(set(ha) | set(hb))
+    n = len(u)
+    c = sum(1 for h in u[:k] if h in set(ha) and h in set(hb))
+    if n < k:
+        return c, _round_half_up(c / n), float(c), float(n)
+    frac = 0.0
+    for i, ch in enumerate(u[k - 1][:13]):
+        frac = frac + int(ch, 16) * 16.0 ** -(i + 1)
+    return (c, _round_half_up(c / k),
+            _round_half_up((c / float(k)) * ((k - 1) / frac)),
+            _round_half_up((k - 1) / frac))
+
+
+def test_kmv_overlap_matches_python_reference(spark):
+    from streamalert_spark.ops.sketch import kmv_overlap
+
+    a_vals = list(range(0, 400))
+    b_vals = list(range(200, 600))
+    a = spark.createDataFrame([(v,) for v in a_vals], "x bigint")
+    b = spark.createDataFrame([(v,) for v in b_vals], "y bigint")
+    row = kmv_overlap(a, "x", b, "y").collect()[0]
+    c, jac, inter, union = _py_kmv_overlap(a_vals, b_vals)
+    assert (row["sketch_matches"], row["jaccard_est"],
+            row["intersection_est"], row["union_est"]) == (c, jac, inter, union)
+    # estimator sanity: true jaccard 200/600, within 4 stderr
+    assert abs(row["jaccard_est"] - 200 / 600) < 4 * 0.09
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    """Unions smaller than k report EXACT intersection/union counts."""
+    from streamalert_spark.ops.sketch import kmv_overlap
+
+    a = spark.createDataFrame([(v,) for v in range(10)], "x bigint")
+    b = spark.createDataFrame([(v,) for v in range(5, 15)], "y bigint")
+    row = kmv_overlap(a, "x", b, "y").collect()[0]
+    assert row["sketch_matches"] == 5
+    assert row["intersection_est"] == 5.0
+    assert row["union_est"] == 15.0
+    assert row["jaccard_est"] == _round_half_up(5 / 15)
