@@ -181,3 +181,72 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bloom_pass_rows") - F.col("exact_pass_rows"))
         .alias("false_positive_rows"),
     )
+
+
+# ---------------------------------------------------- z-order pruning ledger
+
+_Z_FILES_SHIFT = 4096   # 2^(2*Z_BITS) / 16 files
+_Z_BOX = (32, 47, 16, 31)  # x_lo, x_hi, y_lo, y_hi in encoded coords
+
+
+def _zorder_oracle() -> str:
+    from streamalert_spark.ops.layout import z_value_sql
+
+    zx = z_value_sql("x", "y")
+    x_lo, x_hi, y_lo, y_hi = _Z_BOX
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id % 256 AS x,
+         LEAST(CAST(floor(value / 4.0) AS BIGINT), 255) AS y
+  FROM events
+),
+assigned AS (
+  SELECT 'zorder' AS layout, {zx} // {_Z_FILES_SHIFT} AS file_id, x, y FROM base
+  UNION ALL SELECT 'xsort', x // 16, x, y FROM base
+  UNION ALL SELECT 'hash', event_id % 16, x, y FROM base
+)
+SELECT layout, CAST(file_id AS BIGINT) AS file_id, COUNT(*) AS n_rows,
+       MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y,
+       CAST(NOT (MAX(x) < {x_lo} OR MIN(x) > {x_hi}
+                 OR MAX(y) < {y_lo} OR MIN(y) > {y_hi}) AS BIGINT) AS candidate,
+       CAST(NOT (MAX(y) < {y_lo} OR MIN(y) > {y_hi}) AS BIGINT) AS candidate_yband
+FROM assigned GROUP BY layout, file_id
+ORDER BY layout, file_id
+"""
+
+
+@query("zorder_pruning_ledger", oracle=_zorder_oracle(),
+       doc="Z-order clustering vs single-column sort vs hash layout, "
+           "audited by the scan planner's own test: events map to 16 "
+           "'files' under each layout, and each file's min/max column "
+           "stats decide whether a 2-D box predicate can skip it. The "
+           "Morton interleave is pure shift/mask arithmetic (codegen, "
+           "engine-portable); the ledger shows z-order files covering "
+           "compact hyper-rectangles (few candidates), x-sort pruning "
+           "only on x, hash layout pruning nothing — the write-path "
+           "operator behind OPTIMIZE ZORDER, with repartitionByRange on "
+           "z as the production write step.")
+def zorder_pruning_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.layout import layout_ledger, z_value
+
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(256)).alias("x"),
+        F.least(F.floor(F.col("value") / 4.0), F.lit(255)).cast("bigint").alias("y"),
+    )
+    z = z_value(F.col("x"), F.col("y"))
+    assigned = base.select(
+        "x", "y",
+        F.explode(F.array(
+            F.struct(F.lit("zorder").alias("layout"),
+                     (z / _Z_FILES_SHIFT).cast("bigint").alias("file_id")),
+            F.struct(F.lit("xsort").alias("layout"),
+                     (F.col("x") / 16).cast("bigint").alias("file_id")),
+            F.struct(F.lit("hash").alias("layout"),
+                     F.pmod(F.col("event_id"), F.lit(16)).alias("file_id")),
+        )).alias("a"),
+    ).select(F.col("a.layout").alias("layout"),
+             F.col("a.file_id").alias("file_id"), "x", "y")
+    return (layout_ledger(assigned, _Z_BOX)
+            .repartition(1).sortWithinPartitions("layout", "file_id"))

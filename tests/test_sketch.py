@@ -304,3 +304,39 @@ def test_kmv_overlap_exact_below_k(spark):
     assert row["intersection_est"] == 5.0
     assert row["union_est"] == 15.0
     assert row["jaccard_est"] == _round_half_up(5 / 15)
+
+
+def test_z_value_matches_python_interleave(spark):
+    """Morton interleave must equal the bit-level Python reference for
+    edge and interior points."""
+    from streamalert_spark.ops.layout import z_value
+
+    def py_z(x, y, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(0, 0), (255, 255), (1, 0), (0, 1), (170, 85), (37, 201)]
+    df = spark.createDataFrame(pts, "x bigint, y bigint")
+    got = {(r["x"], r["y"]): r["z"]
+           for r in df.select("x", "y", z_value(F.col("x"), F.col("y")).alias("z")).collect()}
+    assert got == {(x, y): py_z(x, y) for x, y in pts}
+    assert got[(255, 255)] == 65535
+
+
+def test_layout_ledger_pruning_verdicts(spark):
+    """A file whose envelope misses the box on either dimension must be
+    pruned (candidate=0); overlap on both dims makes it a candidate."""
+    from streamalert_spark.ops.layout import layout_ledger
+
+    rows = [
+        ("l", 0, 5, 5),     # inside the box
+        ("l", 1, 100, 5),   # x beyond box -> pruned, but y inside (yband hit)
+        ("l", 2, 5, 100),   # y beyond box -> pruned both verdicts
+    ]
+    df = spark.createDataFrame(rows, "layout string, file_id bigint, x bigint, y bigint")
+    got = {r["file_id"]: (r["candidate"], r["candidate_yband"])
+           for r in layout_ledger(df, (0, 10, 0, 10)).collect()}
+    assert got == {0: (1, 1), 1: (0, 1), 2: (0, 0)}
