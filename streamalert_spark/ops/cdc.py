@@ -1,0 +1,51 @@
+"""CDC changelog application — MERGE INTO semantics as a batch operator.
+
+The lakehouse upsert primitive: given a base snapshot and a stream/batch
+of keyed change records (upserts and deletes with a per-key sequence
+order), produce the next snapshot — latest change per key wins, deletes
+drop the key, upserts replace or insert, untouched base rows carry
+through. This is what Delta's ``MERGE INTO`` / Iceberg's upsert and every
+warehouse CDC ingest (Debezium -> table) computes.
+
+Plan shape (the part that matters at 100 TB): ONE shuffle of the
+CHANGELOG by key for the last-write-wins window — the changelog is
+typically orders of magnitude smaller than the base — then a single
+left-anti join of the base against the touched-key set (keys-only
+projection; AQE broadcasts it when small, so the base is never
+shuffled), and a union with the winning upserts. The base table is read
+once and moved zero times.
+
+Requires a unique sequence value per (key, change) — standard CDC offset
+semantics; ties would make "latest" ill-defined on any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Next snapshot of ``base`` after applying ``changes``. ``changes``
+    must carry the key columns, ``seq_col``, ``op_col``, and the full
+    payload (same non-key columns as ``base``)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    touched = latest.select(*key_cols)
+    survivors = base.join(touched, key_cols, "left_anti")
+    upserts = (
+        latest.filter(F.col(op_col) != delete_op)
+        .select(*base.columns)
+    )
+    return survivors.unionByName(upserts)

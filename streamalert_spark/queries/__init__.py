@@ -57,6 +57,7 @@ _VERIFY_FIRST = [
     "table_profile_lineitem",    # new: one-pass data-quality profile
     "kmv_join_overlap",          # new: set-operation sketch (join planning)
     "zorder_pruning_ledger",     # new: Morton layout + file-skip audit
+    "cdc_merge_snapshot",        # new: MERGE INTO changelog application
     "app_source_salesforce",     # new: salesforce protocol port
     "app_source_stream_resume",  # new: streaming checkpoint-restart resume
     "bpe_learned_merges",        # gained a recursive-CTE oracle (was rows-only)

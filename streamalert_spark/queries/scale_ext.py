@@ -250,3 +250,64 @@ def zorder_pruning_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("a.file_id").alias("file_id"), "x", "y")
     return (layout_ledger(assigned, _Z_BOX)
             .repartition(1).sortWithinPartitions("layout", "file_id"))
+
+
+# ------------------------------------------------------ CDC merge snapshot
+
+_CDC_ORACLE = """
+WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+changes AS (
+  SELECT user_id AS c_custkey, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         'updated-' || CAST(user_id AS VARCHAR) AS c_name,
+         ROUND(value, 2) AS c_acctbal
+  FROM events WHERE user_id IS NOT NULL
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+),
+survivors AS (
+  SELECT b.* FROM base b
+  WHERE b.c_custkey NOT IN (SELECT c_custkey FROM latest)
+),
+upserts AS (SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D')
+SELECT * FROM survivors UNION ALL SELECT * FROM upserts
+ORDER BY c_custkey
+"""
+
+
+@query("cdc_merge_snapshot", oracle=_CDC_ORACLE,
+       doc="CDC changelog application (MERGE INTO semantics): events act "
+           "as a keyed change stream over the customer snapshot — latest "
+           "change per key wins (row_number over the CDC sequence), "
+           "'error' events delete the key, others upsert (replacing "
+           "existing customers and INSERTING never-seen keys), untouched "
+           "rows carry through. Plan: one shuffle of the (small) "
+           "changelog + a keys-only left-anti join against the base — "
+           "the base is read once and shuffled zero times, which is the "
+           "whole point at 100 TB.")
+def cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.cdc import apply_changelog
+
+    cust = read_table(spark, sf_dir, "customer")
+    ev = read_table(spark, sf_dir, "events")
+    base = cust.select("c_custkey", "c_name", "c_acctbal")
+    changes = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("user_id").alias("c_custkey"),
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "error", "D")
+             .otherwise("U").alias("op"),
+            F.concat(F.lit("updated-"),
+                     F.col("user_id").cast("string")).alias("c_name"),
+            F.round("value", 2).alias("c_acctbal"),
+        )
+    )
+    return (
+        apply_changelog(base, changes, ["c_custkey"], "seq", "op")
+        .repartition(1).sortWithinPartitions("c_custkey")
+    )

@@ -108,3 +108,41 @@ def test_salted_exact_distinct_matches_plain_and_spreads(spark):
         .count().filter(F.col("k") == "hot")
     )
     assert staged.count() >= 12
+
+
+def test_cdc_apply_changelog_semantics(spark):
+    """MERGE semantics: latest-by-seq wins, deletes drop, upserts replace
+    or insert, untouched base rows carry through unchanged."""
+    from streamalert_spark.ops.cdc import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string")
+    changes = spark.createDataFrame(
+        [
+            (1, 10, "U", "a2"),   # overwritten below by seq 20
+            (1, 20, "U", "a3"),   # latest for key 1 -> wins
+            (2, 5, "D", None),    # delete key 2
+            (9, 7, "U", "new"),   # insert unseen key
+            (3, 1, "D", None),    # deleted ...
+            (3, 2, "U", "c2"),    # ... then re-upserted (latest wins)
+        ],
+        "k bigint, seq bigint, op string, v string")
+    got = sorted(
+        (r["k"], r["v"])
+        for r in apply_changelog(base, changes, ["k"], "seq", "op").collect())
+    assert got == [(1, "a3"), (3, "c2"), (9, "new")]
+
+
+def test_cdc_base_not_shuffled(spark):
+    """The base side must reach the anti join without an exchange keyed
+    on it beyond the scan (the changelog is the only shuffled input)."""
+    from streamalert_spark.ops.cdc import apply_changelog
+
+    base = spark.range(1000).select(F.col("id").alias("k"),
+                                    F.col("id").cast("string").alias("v"))
+    changes = spark.createDataFrame(
+        [(1, 1, "U", "x")], "k bigint, seq bigint, op string, v string")
+    plan = (apply_changelog(base, changes, ["k"], "seq", "op")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
