@@ -71,6 +71,53 @@ def salted_two_stage_agg(
     return staged.groupBy(*keys).agg(*merge_exprs)
 
 
+def salted_topk(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    payload_cols: list[str],
+    k: int,
+    salt: int = 16,
+) -> DataFrame:
+    """EXACT top-k rows per key group, skew-safe: the hot-key hazard of
+    window ``row_number() <= k`` is that EVERY row of a key shuffles to
+    one reducer; here stage 1 keeps only the top-k within each of
+    ``salt`` buckets (per-group state bounded at k rows however hot the
+    key), and stage 2 merges salt*k rows per key — top-k of a union IS
+    the top-k of merged partial top-ks, so the result is identical to
+    the window form. Ordering is descending over ``order_cols``
+    lexicographically (include a unique tie-break column). Output:
+    keys + payload_cols + rank (1-based)."""
+    ordered = F.struct(*[F.col(c) for c in order_cols],
+                       *[F.col(c) for c in payload_cols if c not in order_cols])
+    salt_col = F.pmod(
+        F.conv(F.substring(F.md5(F.to_json(ordered)), 1, 4), 16, 10)
+        .cast("bigint"),
+        F.lit(salt),
+    )
+
+    def topk(grouped_keys: list[str], src: DataFrame) -> DataFrame:
+        return (
+            src.groupBy(*grouped_keys)
+            .agg(F.slice(F.sort_array(F.collect_list("_row"), asc=False),
+                         1, k).alias("_top"))
+            .select(*grouped_keys, F.col("_top"))
+        )
+
+    stage1 = (
+        df.select(*keys, salt_col.alias(_SALT), ordered.alias("_row"))
+        .transform(lambda d: topk([*keys, _SALT], d))
+        .select(*keys, F.explode("_top").alias("_row"))
+    )
+    merged = topk(list(keys), stage1)
+    out = merged.select(
+        *keys, F.posexplode("_top").alias("_pos", "_row"))
+    cols = [F.col(c) for c in keys]
+    cols += [F.col(f"_row.{c}").alias(c) for c in payload_cols]
+    cols.append((F.col("_pos") + 1).cast("bigint").alias("rank"))
+    return out.select(*cols)
+
+
 def salted_exact_distinct(
     df: DataFrame,
     keys: list[str],

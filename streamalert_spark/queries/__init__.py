@@ -58,6 +58,8 @@ _VERIFY_FIRST = [
     "kmv_join_overlap",          # new: set-operation sketch (join planning)
     "zorder_pruning_ledger",     # new: Morton layout + file-skip audit
     "cdc_merge_snapshot",        # new: MERGE INTO changelog application
+    "salted_topk_per_type",      # new: skew-safe exact top-k
+    "winsorize_event_values",    # new: percentile clipping
     "app_source_salesforce",     # new: salesforce protocol port
     "app_source_stream_resume",  # new: streaming checkpoint-restart resume
     "bpe_learned_merges",        # gained a recursive-CTE oracle (was rows-only)

@@ -476,3 +476,48 @@ def pagerank_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mass").desc(), "node")
         .limit(25)
     )
+
+
+# ------------------------------------------------- winsorized value clipping
+
+_WINSOR_ORACLE = """
+WITH limits AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p_lo,
+         quantile_cont(value, 0.95) AS p_hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, ROUND(e.value, 6) AS value,
+       ROUND(LEAST(GREATEST(e.value, l.p_lo), l.p_hi), 6) AS clipped
+FROM events e JOIN limits l USING (event_type)
+ORDER BY e.event_id
+"""
+
+
+@query("winsorize_event_values", oracle=_WINSOR_ORACLE,
+       doc="Winsorization (percentile clipping) per event type: values "
+           "clip to the exact [p5, p95] band — the outlier-taming "
+           "normalization step before loss-weighting or feature "
+           "extraction in a training pipeline. One partial-aggregated "
+           "percentile shuffle for the 5-row limits table, broadcast "
+           "back over the scan; Spark's percentile and DuckDB's "
+           "quantile_cont share the rank = p*(n-1) interpolation, so "
+           "the clipped values hash-match.")
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.queries.analytics_sketch import _events
+
+    ev = _events(spark, sf_dir)
+    limits = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05D)").alias("p_lo"),
+        F.expr("percentile(value, 0.95D)").alias("p_hi"),
+    )
+    return (
+        ev.join(F.broadcast(limits), "event_type")
+        .select(
+            "event_id", "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(F.least(F.greatest(F.col("value"), F.col("p_lo")),
+                            F.col("p_hi")), 6).alias("clipped"),
+        )
+        .repartition(1).sortWithinPartitions("event_id")
+    )

@@ -311,3 +311,41 @@ def cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_changelog(base, changes, ["c_custkey"], "seq", "op")
         .repartition(1).sortWithinPartitions("c_custkey")
     )
+
+
+# ------------------------------------------------------- salted exact top-k
+
+_TOPK_ORACLE = """
+SELECT event_type, ROUND(value, 6) AS value, event_id,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT event_type, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn <= 3
+ORDER BY event_type, rank
+"""
+
+
+@query("salted_topk_per_type", oracle=_TOPK_ORACLE,
+       doc="EXACT top-3 events per type via salted two-stage top-k: the "
+           "window form shuffles EVERY row of a key to one reducer (the "
+           "hot-key OOM at 100 TB); here stage 1 bounds per-group state "
+           "at k rows inside each of 16 salt buckets and stage 2 merges "
+           "16*k rows per key — result identical to the window "
+           "definition (the oracle IS the window form), state bounded "
+           "regardless of key heat.")
+def salted_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.skew import salted_topk
+
+    ev = read_table(spark, sf_dir, "events")
+    out = salted_topk(ev, keys=["event_type"],
+                      order_cols=["value", "event_id"],
+                      payload_cols=["value", "event_id"], k=3)
+    return (
+        out.select("event_type", F.round("value", 6).alias("value"),
+                   "event_id", "rank")
+        .repartition(1).sortWithinPartitions("event_type", "rank")
+    )

@@ -146,3 +146,26 @@ def test_cdc_base_not_shuffled(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_salted_topk_matches_window_topk(spark):
+    """Salted two-stage top-k must equal the window definition exactly,
+    including under a hot key holding most rows."""
+    from pyspark.sql import Window
+
+    from streamalert_spark.ops.skew import salted_topk
+
+    df = spark.range(5000).select(
+        F.when(F.col("id") % 10 < 8, F.lit("hot")).otherwise(F.lit("cold")).alias("g"),
+        (F.col("id") * 37 % 1000).cast("double").alias("v"),
+        F.col("id").alias("rid"),
+    )
+    got = sorted(
+        (r["g"], r["v"], r["rid"], r["rank"])
+        for r in salted_topk(df, ["g"], ["v", "rid"], ["v", "rid"], k=5).collect())
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("rid").desc())
+    want = sorted(
+        (r["g"], r["v"], r["rid"], r["rn"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5).collect())
+    assert got == [(g, v, rid, int(rk)) for g, v, rid, rk in want]
