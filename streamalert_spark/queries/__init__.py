@@ -60,6 +60,8 @@ _VERIFY_FIRST = [
     "cdc_merge_snapshot",        # new: MERGE INTO changelog application
     "salted_topk_per_type",      # new: skew-safe exact top-k
     "winsorize_event_values",    # new: percentile clipping
+    "scd2_status_history",       # new: SCD2 dimension build
+    "scd2_point_in_time",        # new: temporal dimension join
     "app_source_salesforce",     # new: salesforce protocol port
     "app_source_stream_resume",  # new: streaming checkpoint-restart resume
     "bpe_learned_merges",        # gained a recursive-CTE oracle (was rows-only)
@@ -134,6 +136,7 @@ def load_all() -> dict[str, RegisteredQuery]:
         sql_tpch_ext,
         surface_ext,
         training_ext,
+        warehouse_ext,
     )
 
     head = [n for n in _VERIFY_FIRST if n in QUERIES]

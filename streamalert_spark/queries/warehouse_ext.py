@@ -1,0 +1,122 @@
+"""Warehouse temporal-dimension surface: SCD2 history build from a
+changelog and the point-in-time join that reads it back — the standard
+pattern for "what did this entity look like when the fact happened?".
+
+Timestamps in history outputs are emitted as explicitly-formatted strings
+(with 'current' for the open interval) — NULL-timestamp cells and raw
+timestamp rendering are both harness hazards; formatted strings are
+engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamalert_spark.queries import query
+from streamalert_spark.session import read_table
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+# changelog -> compressed history, shared by both oracles
+_HIST_CTE = """
+c AS (
+  SELECT user_id, event_type AS status, ts,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events WHERE user_id IS NOT NULL
+),
+ch AS (SELECT user_id, status, ts FROM c WHERE prev IS NULL OR status <> prev),
+hist AS (
+  SELECT user_id, status, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM ch
+)
+"""
+
+_SCD2_ORACLE = f"""
+WITH {_HIST_CTE}
+SELECT user_id, status,
+       strftime(valid_from, '{_TS_FMT_DUCK}') AS valid_from,
+       COALESCE(strftime(valid_to, '{_TS_FMT_DUCK}'), 'current') AS valid_to,
+       CAST(valid_to IS NULL AS BIGINT) AS is_current
+FROM hist
+ORDER BY user_id, valid_from
+"""
+
+
+def _history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.scd import scd2_from_changelog
+
+    ev = read_table(spark, sf_dir, "events")
+    changes = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id", F.col("event_type").alias("status"), "ts")
+    )
+    return scd2_from_changelog(changes, ["user_id"], ["status"], "ts")
+
+
+@query("scd2_status_history", oracle=_SCD2_ORACLE,
+       doc="SCD Type-2 dimension build from a keyed changelog: "
+           "consecutive-duplicate compression (an event that does not "
+           "change the tracked attribute must not open a version), then "
+           "lead(ts) closes each [valid_from, valid_to) interval; the "
+           "open interval is the current row. Two key-partitioned "
+           "windows — one shuffle of the changelog, O(1) state per row. "
+           "The write side of every 'as the entity was then' question.")
+def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _history(spark, sf_dir)
+    return (
+        h.select(
+            "user_id", "status",
+            F.date_format("valid_from", _TS_FMT_SPARK).alias("valid_from"),
+            F.coalesce(F.date_format("valid_to", _TS_FMT_SPARK),
+                       F.lit("current")).alias("valid_to"),
+            "is_current",
+        )
+        .repartition(1).sortWithinPartitions("user_id", "valid_from")
+    )
+
+
+_PIT_ORACLE = f"""
+WITH {_HIST_CTE},
+probes AS (
+  SELECT event_id, user_id, ts + INTERVAL 1 HOUR AS probe_ts
+  FROM events WHERE user_id IS NOT NULL AND event_id % 100 = 0
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.probe_ts, '{_TS_FMT_DUCK}') AS probe_ts, h.status
+FROM probes p JOIN hist h ON h.user_id = p.user_id
+  AND h.valid_from <= p.probe_ts
+  AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)
+ORDER BY p.event_id
+"""
+
+
+@query("scd2_point_in_time", oracle=_PIT_ORACLE,
+       doc="Point-in-time (temporal) join against the SCD2 history: each "
+           "probe attaches the dimension version whose [valid_from, "
+           "valid_to) interval contains its timestamp — at most one "
+           "match because intervals partition the timeline per key. The "
+           "dimension history broadcasts (dimension-sized); the interval "
+           "predicate evaluates fact-side, so the fact table never "
+           "shuffles. Probes are events sampled at event_id % 100, asked "
+           "one hour into their future.")
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.scd import point_in_time_join
+
+    ev = read_table(spark, sf_dir, "events")
+    probes = (
+        ev.filter(F.col("user_id").isNotNull()
+                  & (F.col("event_id") % 100 == 0))
+        .select("event_id", "user_id",
+                (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("probe_ts"))
+    )
+    hist = _history(spark, sf_dir).drop("is_current")
+    out = point_in_time_join(probes, hist, ["user_id"], "probe_ts")
+    return (
+        out.select("event_id", "user_id",
+                   F.date_format("probe_ts", _TS_FMT_SPARK).alias("probe_ts"),
+                   "status")
+        .repartition(1).sortWithinPartitions("event_id")
+    )
