@@ -22,7 +22,7 @@ number rather than folklore.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 Z_BITS = 8  # bits per dimension; z in [0, 2^(2*Z_BITS))
@@ -46,6 +46,38 @@ def z_value_sql(x: str, y: str, bits: int = Z_BITS) -> str:
         terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i)})")
         terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i + 1)})")
     return "(" + " + ".join(terms) + ")"
+
+
+def compaction_plan(
+    files: DataFrame,
+    partition_col: str,
+    order_col: str,
+    size_col: str,
+    target: int,
+) -> DataFrame:
+    """Bin-packing plan for small-file compaction (the OPTIMIZE /
+    auto-compaction primitive): within each table partition, files pack
+    sequentially in ``order_col`` order and a file opens a new output bin
+    whenever the bytes accumulated BEFORE it cross a target-size
+    boundary — bin = floor(cum_before / target). Deterministic, one
+    window pass per partition (no global sort — the window partitions by
+    the table partition), and sequential packing preserves any ordering
+    the partition already has (z-order, time), unlike first-fit-decreasing
+    which shuffles file contents arbitrarily.
+
+    Output: partition, file order key, file size, and the assigned bin.
+    The small-files problem this solves is real at 100 TB: streaming
+    ingest writes minute-sized files; metadata and open() overhead then
+    dominate scans until compaction rewrites them at target size.
+    """
+    w = (Window.partitionBy(partition_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(size_col).over(w)
+    return files.select(
+        partition_col, order_col, F.col(size_col).cast("bigint").alias(size_col),
+        F.floor((cum - F.col(size_col)) / F.lit(target))
+        .cast("bigint").alias("bin"),
+    )
 
 
 def layout_ledger(

@@ -120,3 +120,62 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "status")
         .repartition(1).sortWithinPartitions("event_id")
     )
+
+
+# --------------------------------------------------------- compaction plan
+
+_COMPACT_TARGET = 131072  # bytes per output file (demo scale)
+_ROW_BYTES = 512          # synthetic per-row cost for the file ledger
+
+_COMPACT_ORACLE = f"""
+WITH files AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         COUNT(*) * {_ROW_BYTES} AS bytes
+  FROM events GROUP BY 1, 2
+),
+planned AS (
+  SELECT event_type, hour, bytes,
+         CAST(floor((SUM(bytes) OVER (PARTITION BY event_type ORDER BY hour
+                                      ROWS UNBOUNDED PRECEDING) - bytes)
+                    / {float(_COMPACT_TARGET)!r}) AS BIGINT) AS bin
+  FROM files
+)
+SELECT event_type, bin, COUNT(*) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       strftime(MIN(hour), '{_TS_FMT_DUCK}') AS first_hour,
+       strftime(MAX(hour), '{_TS_FMT_DUCK}') AS last_hour
+FROM planned GROUP BY 1, 2
+ORDER BY event_type, bin
+"""
+
+
+@query("compaction_plan_bins", oracle=_COMPACT_ORACLE,
+       doc="Small-file compaction plan (the OPTIMIZE primitive): "
+           "hour-sized ingest 'files' per event type pack sequentially "
+           "into target-size output bins — bin = floor(bytes_before / "
+           "target), one window pass per table partition, no global "
+           "sort, and sequential packing preserves the partition's "
+           "existing (time) order unlike first-fit-decreasing. The "
+           "output ledger (files and bytes per bin, hour span) is what "
+           "a maintenance job would execute; at 100 TB streaming ingest "
+           "makes this the difference between open()-bound and "
+           "bandwidth-bound scans.")
+def compaction_plan_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.layout import compaction_plan
+
+    ev = read_table(spark, sf_dir, "events")
+    files = (
+        ev.groupBy("event_type",
+                   F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg((F.count(F.lit(1)) * _ROW_BYTES).alias("bytes"))
+    )
+    plan = compaction_plan(files, "event_type", "hour", "bytes",
+                           _COMPACT_TARGET)
+    return (
+        plan.groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n_files"),
+             F.sum("bytes").cast("bigint").alias("total_bytes"),
+             F.date_format(F.min("hour"), _TS_FMT_SPARK).alias("first_hour"),
+             F.date_format(F.max("hour"), _TS_FMT_SPARK).alias("last_hour"))
+        .repartition(1).sortWithinPartitions("event_type", "bin")
+    )

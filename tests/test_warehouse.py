@@ -56,3 +56,16 @@ def test_point_in_time_join_exactly_one_version_per_probe(spark):
     got = {r["pid"]: r["v"]
            for r in point_in_time_join(probes, hist, ["k"], "pts").collect()}
     assert got == {10: "old", 11: "new"}
+
+
+def test_compaction_plan_bins_and_order_preserved(spark):
+    """Sequential packing: bins must cover contiguous order ranges and
+    each bin opens exactly when accumulated bytes cross the target."""
+    from streamalert_spark.ops.layout import compaction_plan
+
+    sizes = [60, 60, 60, 10, 100, 5]  # cum_before: 0,60,120,180,190,290
+    rows = [("p", i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "part string, seq bigint, bytes bigint")
+    got = {r["seq"]: r["bin"]
+           for r in compaction_plan(df, "part", "seq", "bytes", 100).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 1, 5: 2}
