@@ -63,6 +63,7 @@ _VERIFY_FIRST = [
     "scd2_status_history",       # new: SCD2 dimension build
     "scd2_point_in_time",        # new: temporal dimension join
     "compaction_plan_bins",      # new: small-file compaction planner
+    "stream_cdc_apply_bounded",  # new: streaming MERGE INTO loop
     "app_source_salesforce",     # new: salesforce protocol port
     "app_source_stream_resume",  # new: streaming checkpoint-restart resume
     "bpe_learned_merges",        # gained a recursive-CTE oracle (was rows-only)

@@ -426,3 +426,95 @@ def stream_rate_alerts_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "window_end bigint, cnt bigint")
         .repartition(1).sortWithinPartitions("k", "window_start")
     )
+
+
+# ----------------------------------------- streaming CDC apply, bounded
+
+_STREAM_CDC_ORACLE = """
+WITH base AS (
+  SELECT CAST(i AS BIGINT) AS k, 'base-' || CAST(i AS VARCHAR) AS v
+  FROM range(0, 37) t(i)
+),
+changes AS (
+  SELECT CAST(i % 37 AS BIGINT) AS k, i AS seq,
+         CASE WHEN i % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+         'v-' || CAST(i AS VARCHAR) AS v
+  FROM range(1, 301) t(i)
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM changes) WHERE rn = 1
+)
+SELECT k, v FROM (
+  SELECT b.k, b.v FROM base b WHERE b.k NOT IN (SELECT k FROM latest)
+  UNION ALL
+  SELECT k, v FROM latest WHERE op <> 'D'
+)
+ORDER BY k
+"""
+
+
+@query("stream_cdc_apply_bounded", oracle=_STREAM_CDC_ORACLE,
+       doc="STREAMING CDC ingest under the hash gate: 300 change records "
+           "stream through 3 micro-batches; foreachBatch applies each "
+           "batch with MERGE INTO semantics (ops/cdc.apply_changelog) "
+           "against a VERSIONED parquet snapshot — read latest version, "
+           "merge, write next — exactly the Debezium->lakehouse upsert "
+           "loop. The oracle is the ONE-SHOT batch merge of the full "
+           "changelog, so the check proves incremental-apply == "
+           "batch-apply (latest-wins composes across batches when the "
+           "CDC sequence is monotone).")
+def stream_cdc_apply_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from streamalert_spark.ops.cdc import apply_changelog
+    from streamalert_spark.sources.app_source import register_app_source
+
+    register_app_source(spark)
+    work = tempfile.mkdtemp(prefix="cdc_stream_q_")
+    snap = f"{work}/snap"
+    try:
+        base = spark.range(0, 37).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("base-"), F.col("id").cast("string")).alias("v"))
+        base.write.parquet(f"{snap}/v0")
+        state = {"ver": 0}
+
+        def apply_batch(batch_df, epoch_id):
+            changes = batch_df.select(
+                F.pmod("event_timestamp", F.lit(37)).alias("k"),
+                F.col("event_timestamp").alias("seq"),
+                F.when(F.col("event_timestamp") % 10 == 0, "D")
+                 .otherwise("U").alias("op"),
+                F.concat(F.lit("v-"),
+                         F.col("event_timestamp").cast("string")).alias("v"),
+            )
+            sess = batch_df.sparkSession
+            cur = sess.read.schema("k bigint, v string").parquet(
+                f"{snap}/v{state['ver']}")
+            nxt = apply_changelog(cur, changes, ["k"], "seq", "op")
+            nxt.write.parquet(f"{snap}/v{state['ver'] + 1}")
+            state["ver"] += 1
+
+        src = (
+            spark.readStream.format("streamalert_app")
+            .option("app", "synthetic").option("end_timestamp", "300")
+            .load()
+        )
+        q = (
+            src.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = (spark.read.schema("k bigint, v string")
+                .parquet(f"{snap}/v{state['ver']}").collect())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return (spark.createDataFrame(rows, "k bigint, v string")
+            .repartition(1).sortWithinPartitions("k"))
