@@ -64,6 +64,7 @@ _VERIFY_FIRST = [
     "scd2_point_in_time",        # new: temporal dimension join
     "compaction_plan_bins",      # new: small-file compaction planner
     "stream_cdc_apply_bounded",  # new: streaming MERGE INTO loop
+    "equidepth_histogram",       # new: quantile-calibrated buckets
     "app_source_salesforce",     # new: salesforce protocol port
     "app_source_stream_resume",  # new: streaming checkpoint-restart resume
     "bpe_learned_merges",        # gained a recursive-CTE oracle (was rows-only)

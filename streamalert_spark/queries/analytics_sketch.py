@@ -649,3 +649,67 @@ def entity_resolution_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("canonical", F.col("name")).alias("canonical"))
         .repartition(1).sortWithinPartitions("name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram — quantile-calibrated bucket edges.
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_ORACLE = """
+WITH edges AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.50) AS q2,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+),
+bucketed AS (
+  SELECT e.event_type,
+         CASE WHEN e.value <= d.q1 THEN 0
+              WHEN e.value <= d.q2 THEN 1
+              WHEN e.value <= d.q3 THEN 2
+              ELSE 3 END AS bucket,
+         d.q1, d.q2, d.q3
+  FROM events e JOIN edges d USING (event_type)
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS cnt,
+       ROUND(MAX(q1), 6) AS q1, ROUND(MAX(q2), 6) AS q2,
+       ROUND(MAX(q3), 6) AS q3
+FROM bucketed GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+@query("equidepth_histogram", oracle=_EQUIDEPTH_ORACLE,
+       doc="Equi-depth histogram per event type: bucket edges are the "
+           "exact quartiles (the quantile-calibrated edges the "
+           "fixed-width sketch's docstring defers to), then one "
+           "broadcast join buckets the scan — counts land near n/4 by "
+           "construction, which is what selectivity estimation wants "
+           "from a histogram. Two shuffles total (edge agg + bucket "
+           "agg); the edge table is group-cardinality-sized and "
+           "broadcast.")
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    edges = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25D)").alias("q1"),
+        F.expr("percentile(value, 0.50D)").alias("q2"),
+        F.expr("percentile(value, 0.75D)").alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("value") <= F.col("q1"), 0)
+        .when(F.col("value") <= F.col("q2"), 1)
+        .when(F.col("value") <= F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        ev.join(F.broadcast(edges), "event_type")
+        .select("event_type", bucket.cast("bigint").alias("bucket"),
+                "q1", "q2", "q3")
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.round(F.max("q1"), 6).alias("q1"),
+             F.round(F.max("q2"), 6).alias("q2"),
+             F.round(F.max("q3"), 6).alias("q3"))
+        .repartition(1).sortWithinPartitions("event_type", "bucket")
+    )
