@@ -69,3 +69,63 @@ def test_compaction_plan_bins_and_order_preserved(spark):
     got = {r["seq"]: r["bin"]
            for r in compaction_plan(df, "part", "seq", "bytes", 100).collect()}
     assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 1, 5: 2}
+
+
+def test_cdc_incremental_equals_oneshot(spark):
+    """Splitting a changelog into seq-ordered batches and applying them
+    incrementally must produce the same snapshot as one-shot apply —
+    the property the streaming foreachBatch loop relies on."""
+    import hashlib as _h
+
+    from streamalert_spark.ops.cdc import apply_changelog
+
+    base = spark.createDataFrame(
+        [(k, f"base-{k}") for k in range(20)], "k bigint, v string")
+    # deterministic pseudo-random changelog: 60 changes over 25 keys
+    changes = []
+    for seq in range(60):
+        digest = _h.md5(f"cdc-{seq}".encode()).hexdigest()  # noqa: S324
+        key = int(digest[:4], 16) % 25
+        op = "D" if int(digest[4], 16) < 4 else "U"
+        changes.append((key, seq, op, f"v{seq}"))
+    schema = "k bigint, seq bigint, op string, v string"
+    full = spark.createDataFrame(changes, schema)
+    oneshot = sorted(
+        (r["k"], r["v"])
+        for r in apply_changelog(base, full, ["k"], "seq", "op").collect())
+    snap = base
+    for lo, hi in ((0, 20), (20, 40), (40, 60)):
+        batch = spark.createDataFrame(
+            [c for c in changes if lo <= c[1] < hi], schema)
+        snap = apply_changelog(snap, batch, ["k"], "seq", "op")
+    incremental = sorted((r["k"], r["v"]) for r in snap.collect())
+    assert incremental == oneshot
+
+
+def test_profile_is_single_scan(spark, tmp_path):
+    """The table profile must read its parquet input exactly once — one
+    scan plus the multi-distinct Expand, never one scan per column."""
+    from streamalert_spark.ops.profile import profile
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).selectExpr(
+        "id AS a", "CAST(id % 7 AS STRING) AS b",
+        "CAST(id AS DOUBLE) / 3 AS c").write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = (profile(df, {"a": "int", "b": "string", "c": "double"})
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_bloom_member_is_pure_expression(spark):
+    """Bloom membership must compile to expressions only — no join, no
+    shuffle, no Python — so it can sit inside a fact-scan filter."""
+    from streamalert_spark.ops.bloom import bloom_bitmap, bloom_member
+
+    keys = spark.createDataFrame([(str(v),) for v in range(10)], "key string")
+    bitmap = bloom_bitmap(keys, "key", m=128, k=3)
+    probe = spark.range(1000).select(F.col("id").cast("string").alias("key"))
+    plan = (probe.filter(bloom_member(F.col("key"), bitmap, k=3))
+            ._jdf.queryExecution().executedPlan().toString())
+    for bad in ("Exchange", "Join", "BatchEvalPython"):
+        assert bad not in plan, plan
