@@ -65,6 +65,8 @@ _VERIFY_FIRST = [
     "compaction_plan_bins",      # new: small-file compaction planner
     "stream_cdc_apply_bounded",  # new: streaming MERGE INTO loop
     "equidepth_histogram",       # new: quantile-calibrated buckets
+    "referential_integrity_audit",  # new: FK orphan audit
+    "freshness_gap_report",      # new: missing-hour completeness audit
     "app_source_salesforce",     # new: salesforce protocol port
     "app_source_stream_resume",  # new: streaming checkpoint-restart resume
     "bpe_learned_merges",        # gained a recursive-CTE oracle (was rows-only)

@@ -179,3 +179,116 @@ def compaction_plan_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.date_format(F.max("hour"), _TS_FMT_SPARK).alias("last_hour"))
         .repartition(1).sortWithinPartitions("event_type", "bin")
     )
+
+
+# ------------------------------------------------- referential integrity
+
+_RI_ORACLE = """
+SELECT 'events.user_id -> customer' AS fk,
+       COUNT(*) AS orphan_rows,
+       COUNT(DISTINCT e.user_id) AS orphan_keys
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.user_id IS NOT NULL AND c.c_custkey IS NULL
+UNION ALL
+SELECT 'lineitem.l_orderkey -> orders',
+       COUNT(*), COUNT(DISTINCT l.l_orderkey)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       COUNT(*), COUNT(DISTINCT o.o_custkey)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+ORDER BY fk
+"""
+
+
+def _orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str,
+             label: str) -> DataFrame:
+    orphan = (fact.filter(F.col(fk).isNotNull())
+              .join(dim.select(F.col(pk).alias(fk)), [fk], "left_anti"))
+    return orphan.agg(
+        F.lit(label).alias("fk"),
+        F.count(F.lit(1)).alias("orphan_rows"),
+        F.count_distinct(F.col(fk)).alias("orphan_keys"),
+    )
+
+
+@query("referential_integrity_audit", oracle=_RI_ORACLE,
+       doc="Cross-table referential-integrity audit: orphaned foreign "
+           "keys counted for three relationships (events.user_id and "
+           "orders.o_custkey against customer, lineitem.l_orderkey "
+           "against orders) via keys-only left-anti joins — the ingest "
+           "health gate that catches a partial dimension load before "
+           "downstream joins silently drop fact rows. Dim sides project "
+           "to the key column only (broadcastable); a clean relationship "
+           "still reports its zero row, so the audit shape is stable.")
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    parts = [
+        _orphans(ev, "user_id", cust, "c_custkey",
+                 "events.user_id -> customer"),
+        _orphans(li, "l_orderkey", orders, "o_orderkey",
+                 "lineitem.l_orderkey -> orders"),
+        _orphans(orders, "o_custkey", cust, "c_custkey",
+                 "orders.o_custkey -> customer"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(1).sortWithinPartitions("fk")
+
+
+# ------------------------------------------------------- freshness gaps
+
+_GAPS_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h
+  FROM events
+),
+bounds AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM b GROUP BY 1),
+expected AS (
+  SELECT event_type, CAST(x AS BIGINT) AS h
+  FROM bounds, UNNEST(generate_series(lo, hi, 3600)) t(x)
+),
+actual AS (SELECT DISTINCT event_type, h FROM b)
+SELECT e.event_type,
+       strftime(make_timestamp(e.h * 1000000), '%Y-%m-%d %H:00') AS missing_hour
+FROM expected e LEFT JOIN actual a USING (event_type, h)
+WHERE a.h IS NULL
+ORDER BY event_type, missing_hour
+"""
+
+
+@query("freshness_gap_report", oracle=_GAPS_ORACLE,
+       doc="Ingest freshness/completeness audit: hours with ZERO events "
+           "per type between each type's first and last hour — "
+           "sequence() generates the expected hour spine (group-bounds "
+           "sized, no calendar table), a left-anti join against the "
+           "observed hours yields the gaps. The monitoring primitive "
+           "behind 'did the feed stall' alerts; at 100 TB the spine stays "
+           "tiny (hours, not rows) so the audit costs one distinct over "
+           "the scan.")
+def freshness_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("h"))
+    bounds = b.groupBy("event_type").agg(F.min("h").alias("lo"),
+                                         F.max("h").alias("hi"))
+    expected = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("h"))
+    actual = b.distinct()
+    missing = expected.join(actual, ["event_type", "h"], "left_anti")
+    return (
+        missing.select(
+            "event_type",
+            F.date_format(F.timestamp_seconds("h"),
+                          "yyyy-MM-dd HH:00").alias("missing_hour"))
+        .repartition(1).sortWithinPartitions("event_type", "missing_hour")
+    )
