@@ -167,6 +167,52 @@ def rate_spikes(
     )
 
 
+def seasonal_rate_spikes(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    sigma: float = 3.0,
+) -> DataFrame:
+    """Rate spikes against a SEASONAL baseline: each hour compares to the
+    mean of its own hour-of-day across the series, not the flat mean —
+    the fix for diurnal traffic where every evening peak would trip a
+    flat threshold (``rate_spikes``) and real 3am anomalies would hide
+    under the daily average.
+
+    Same integer-exact construction as ``rate_spikes``: per (key,
+    hour-of-day) n/sum/sum-of-squares are exact bigints, compared via
+    (c*n - s) > sigma*sqrt(n*ss - s*s) in DOUBLE — engine-identical.
+    Two partial-aggregated shuffles; the seasonal window holds ~n/24
+    rows per (key, hod) group.
+    """
+    hourly = (
+        df.select(F.col(key_col),
+                  F.date_trunc("hour", F.col(ts_col)).alias("hour"))
+        .groupBy(key_col, "hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("hod", F.hour("hour").cast("bigint"))
+    )
+    w = Window.partitionBy(key_col, "hod")
+    stats = hourly.select(
+        key_col, "hour", "hod", "cnt",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cnt").over(w).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("ss"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    dev = d("cnt") * d("n") - d("s")
+    disc = d("n") * d("ss") - d("s") * d("s")
+    return (
+        stats.filter(dev > F.lit(sigma) * F.sqrt(disc))
+        .select(
+            key_col, "hour", "hod",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(dev, 6).alias("dev"),
+            F.round(F.lit(sigma) * F.sqrt(disc), 6).alias("threshold"),
+        )
+    )
+
+
 def histogram_quantiles(
     df,
     key_col: str,

@@ -67,6 +67,7 @@ _VERIFY_FIRST = [
     "equidepth_histogram",       # new: quantile-calibrated buckets
     "referential_integrity_audit",  # new: FK orphan audit
     "freshness_gap_report",      # new: missing-hour completeness audit
+    "seasonal_rate_spikes",      # new: hour-of-day baseline anomalies
     "app_source_salesforce",     # new: salesforce protocol port
     "app_source_stream_resume",  # new: streaming checkpoint-restart resume
     "bpe_learned_merges",        # gained a recursive-CTE oracle (was rows-only)

@@ -713,3 +713,49 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.max("q3"), 6).alias("q3"))
         .repartition(1).sortWithinPartitions("event_type", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal rate spikes — hour-of-day baselines.
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+hh AS (SELECT *, CAST(extract(hour FROM hour) AS BIGINT) AS hod FROM h),
+st AS (
+  SELECT event_type, hour, hod, cnt,
+         COUNT(*) OVER (PARTITION BY event_type, hod) AS n,
+         SUM(cnt) OVER (PARTITION BY event_type, hod) AS s,
+         SUM(cnt * cnt) OVER (PARTITION BY event_type, hod) AS ss
+  FROM hh
+)
+SELECT event_type, hour, hod, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(CAST(cnt AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s AS DOUBLE), 6) AS dev,
+       ROUND(3.0 * sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS threshold
+FROM st
+WHERE CAST(cnt AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s AS DOUBLE)
+      > 3.0 * sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+ORDER BY event_type, hour
+"""
+
+
+@query("seasonal_rate_spikes", oracle=_SEASONAL_ORACLE,
+       doc="Rate spikes against an HOUR-OF-DAY baseline: each hour "
+           "compares to the mean of its own hour-of-day across the "
+           "series — diurnal peaks stop tripping the flat threshold and "
+           "off-peak anomalies stop hiding under the daily average. "
+           "Same integer-exact (c*n - s) > 3*sqrt(n*ss - s*s) "
+           "construction as event_rate_spikes; the baseline window just "
+           "partitions by (key, hod).")
+def seasonal_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.sketch import seasonal_rate_spikes as _op
+
+    return (
+        _op(_events(spark, sf_dir), "event_type", "ts", sigma=3.0)
+        .repartition(1).sortWithinPartitions("event_type", "hour")
+    )

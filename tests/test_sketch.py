@@ -340,3 +340,32 @@ def test_layout_ledger_pruning_verdicts(spark):
     got = {r["file_id"]: (r["candidate"], r["candidate_yband"])
            for r in layout_ledger(df, (0, 10, 0, 10)).collect()}
     assert got == {0: (1, 1), 1: (0, 1), 2: (0, 0)}
+
+
+def test_seasonal_spikes_flag_off_peak_anomaly_not_diurnal_peak(spark):
+    """A strong diurnal pattern (evening peak every day) must NOT trip
+    the seasonal detector, while a one-off burst at a normally-quiet
+    hour must — the exact failure mode of the flat-mean detector."""
+    from streamalert_spark.ops.sketch import rate_spikes, seasonal_rate_spikes
+
+    # 28 days: a single outlier among n constants has z = sqrt(n-1), so
+    # the per-hod series needs n > 10 for a lone burst to clear 3 sigma
+    rows = []
+    for day in range(1, 29):
+        for hod in range(24):
+            cnt = 40 if hod == 20 else 3          # evening peak daily
+            if day == 5 and hod == 3:
+                cnt = 25                           # the real anomaly
+            for i in range(cnt):
+                rows.append((f"2024-01-{day:02d} {hod:02d}:00:{i % 60:02d}",))
+    df = spark.createDataFrame(rows, "t string").select(
+        F.lit("k").alias("key"), F.to_timestamp("t").alias("ts"))
+
+    seasonal = seasonal_rate_spikes(df, "key", "ts").collect()
+    assert [(r["hod"], r["cnt"]) for r in seasonal] == [(3, 25)]
+    # the flat detector flags the 28 evening peaks and MISSES the 3am
+    # burst (dev 13726 < threshold ~14989, dominated by peak variance)
+    flat = rate_spikes(df, "key", "ts").collect()
+    flat_hours = {(r["hour"].day, r["hour"].hour) for r in flat}
+    assert (5, 3) not in flat_hours
+    assert len(flat_hours) == 28 and all(h == 20 for _, h in flat_hours)
