@@ -68,6 +68,7 @@ _VERIFY_FIRST = [
     "referential_integrity_audit",  # new: FK orphan audit
     "freshness_gap_report",      # new: missing-hour completeness audit
     "seasonal_rate_spikes",      # new: hour-of-day baseline anomalies
+    "stream_dedup_gate_bounded",  # new: streaming ingest dedup gate
     "app_source_salesforce",     # new: salesforce protocol port
     "app_source_stream_resume",  # new: streaming checkpoint-restart resume
     "bpe_learned_merges",        # gained a recursive-CTE oracle (was rows-only)

@@ -830,3 +830,57 @@ def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.cross_corpus_neardup(corpus, increment, threshold=0.5)
         .repartition(1).sortWithinPartitions("new_id", "corpus_id")
     )
+
+
+@query("stream_dedup_gate_bounded", oracle=_incremental_dedup_oracle(),
+       doc="STREAMING ingest dedup gate under the hash gate: the NEW "
+           "batch (odd doc_ids) arrives as a file stream consumed one "
+           "file per micro-batch; foreachBatch LSH-probes each batch "
+           "against the persisted corpus (even doc_ids) and appends "
+           "verified pairs. The oracle is the ONE-SHOT incremental "
+           "gate over the full increment — the union of per-batch "
+           "probes must equal it exactly because each new doc's pairs "
+           "depend only on that doc and the corpus (batch-decomposable), "
+           "which is precisely why this gate can run at ingest time.")
+def stream_dedup_gate_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    increment = docs.filter(F.col("doc_id") % 2 == 1)
+    work = tempfile.mkdtemp(prefix="dedup_gate_q_")
+    in_dir, out_dir, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    try:
+        # land the increment as multiple files; maxFilesPerTrigger=1
+        # then replays the drop as one micro-batch per file
+        increment.repartition(3).write.parquet(in_dir)
+
+        def probe(batch_df, epoch_id):
+            out = dedup.cross_corpus_neardup(corpus, batch_df, threshold=0.5)
+            out.write.mode("append").parquet(out_dir)
+
+        src = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        q = (
+            src.writeStream.foreachBatch(probe)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = (spark.read.schema("new_id bigint, corpus_id bigint, "
+                                  "jaccard double")
+                .parquet(out_dir).collect())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return (
+        spark.createDataFrame(rows, "new_id bigint, corpus_id bigint, "
+                                    "jaccard double")
+        .repartition(1).sortWithinPartitions("new_id", "corpus_id")
+    )
