@@ -129,3 +129,42 @@ def test_bloom_member_is_pure_expression(spark):
             ._jdf.queryExecution().executedPlan().toString())
     for bad in ("Exchange", "Join", "BatchEvalPython"):
         assert bad not in plan, plan
+
+
+def test_new_ops_empty_input_behavior(spark):
+    """Empty inputs must degrade cleanly: profile still emits one row per
+    column (zero counts, NULL min/max), CDC with an empty changelog is
+    the identity, compaction of no files is empty, SCD2 of an empty
+    changelog is empty."""
+    from streamalert_spark.ops.cdc import apply_changelog
+    from streamalert_spark.ops.layout import compaction_plan
+    from streamalert_spark.ops.profile import profile
+    from streamalert_spark.ops.scd import scd2_from_changelog
+
+    empty_docs = spark.createDataFrame([], "a bigint, b string")
+    prof = profile(empty_docs, {"a": "int", "b": "string"}).collect()
+    assert {(r["column_name"], r["n_rows"], r["null_count"], r["n_distinct"],
+             r["min_value"]) for r in prof} == {("a", 0, 0, 0, None),
+                                                ("b", 0, 0, 0, None)}
+
+    base = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    no_changes = spark.createDataFrame([], "k bigint, seq bigint, op string, v string")
+    assert [tuple(r) for r in
+            apply_changelog(base, no_changes, ["k"], "seq", "op").collect()] == [(1, "a")]
+
+    no_files = spark.createDataFrame([], "part string, seq bigint, bytes bigint")
+    assert compaction_plan(no_files, "part", "seq", "bytes", 100).count() == 0
+    assert scd2_from_changelog(no_changes, ["k"], ["v"], "seq").count() == 0
+
+
+def test_salted_topk_bounded_state_plan(spark):
+    """The salted top-k must be two hash aggregates (bounded per-group
+    state), never a window over the full relation."""
+    from streamalert_spark.ops.skew import salted_topk
+
+    df = spark.createDataFrame(
+        [("g", float(i), i) for i in range(100)], "g string, v double, rid bigint")
+    plan = (salted_topk(df, ["g"], ["v", "rid"], ["v", "rid"], k=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan, plan
+    assert "RangePartitioning" not in plan, plan
