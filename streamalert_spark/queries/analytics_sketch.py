@@ -23,6 +23,7 @@ from streamalert_spark.ops.sketch import (
     CMS_W,
     KMV_K,
     cms_point_estimates,
+    hex_fraction,
     hex_fraction_sql,
     hex_prefix_int_sql,
     kmv_distinct,
@@ -758,4 +759,97 @@ def seasonal_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _op(_events(spark, sf_dir), "event_type", "ts", sigma=3.0)
         .repartition(1).sortWithinPartitions("event_type", "hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch rollup — daily sketches merge losslessly into weekly.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = f"""
+WITH hashed AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+daily AS (
+  SELECT event_type, day,
+         list_slice(list_sort(list(DISTINCT h)), 1, {KMV_K}) AS sk
+  FROM hashed GROUP BY 1, 2
+),
+weekly AS (
+  SELECT event_type, date_trunc('week', day) AS week,
+         list_slice(list_sort(list_distinct(flatten(list(sk)))),
+                    1, {KMV_K}) AS msk
+  FROM daily GROUP BY 1, 2
+),
+direct AS (
+  SELECT event_type, date_trunc('week', day) AS wk,
+         COUNT(DISTINCT h) AS n_exact,
+         list_slice(list_sort(list(DISTINCT h)), 1, {KMV_K}) AS dsk
+  FROM hashed GROUP BY 1, 2
+),
+est AS (
+  SELECT w.event_type, strftime(w.week, '%Y-%m-%d') AS week,
+         d.n_exact,
+         msk[LEAST({KMV_K}, len(msk))] AS mth,
+         dsk[LEAST({KMV_K}, len(dsk))] AS dth,
+         len(msk) AS mlen
+  FROM weekly w JOIN direct d
+    ON d.event_type = w.event_type AND d.wk = w.week
+)
+SELECT event_type, week, CAST(n_exact AS BIGINT) AS exact_distinct,
+       CASE WHEN n_exact < {KMV_K} THEN CAST(n_exact AS DOUBLE)
+            ELSE ROUND({float(KMV_K - 1)!r} / ({hex_fraction_sql('mth')}), 4)
+       END AS kmv_merged,
+       CASE WHEN n_exact < {KMV_K} THEN CAST(n_exact AS DOUBLE)
+            ELSE ROUND({float(KMV_K - 1)!r} / ({hex_fraction_sql('dth')}), 4)
+       END AS kmv_direct
+FROM est
+ORDER BY event_type, week
+"""
+
+
+@query("kmv_sketch_rollup", oracle=_ROLLUP_ORACLE,
+       doc="Sketch-merge losslessness, demonstrated: per-(type, day) KMV "
+           "sketches (k min hashes) merge into weekly sketches, and the "
+           "merged estimate EQUALS the directly-computed weekly estimate "
+           "— the k smallest of a union of per-day k-smallest sets IS "
+           "the k smallest overall, which is exactly why KMV state can "
+           "roll up across partitions/days/micro-batches without "
+           "re-scanning raw data. At 100 TB only the daily-merge path "
+           "runs (state O(k) per group); the direct recompute here "
+           "exists to hash-prove the equality.")
+def kmv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    hashed = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    )
+    k = KMV_K
+    daily = (hashed.groupBy("event_type", "day")
+             .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("sk")))
+    weekly = (daily.groupBy("event_type",
+                            F.date_trunc("week", F.col("day")).alias("week"))
+              .agg(F.slice(F.array_sort(F.array_distinct(
+                  F.flatten(F.collect_list("sk")))), 1, k).alias("msk")))
+    direct = (hashed.groupBy("event_type",
+                             F.date_trunc("week", F.col("day")).alias("week"))
+              .agg(F.count_distinct("h").alias("n_exact"),
+                   F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("dsk")))
+    est = weekly.join(direct, ["event_type", "week"])
+    kth = lambda arr: F.element_at(F.col(arr), F.least(F.lit(k), F.size(arr)))  # noqa: E731
+    small = F.col("n_exact") < k
+    mk_est = lambda arr: F.when(small, F.col("n_exact").cast("double")).otherwise(  # noqa: E731
+        F.round(F.lit(float(k - 1)) / hex_fraction(kth(arr)), 4))
+    return (
+        est.select(
+            "event_type",
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            F.col("n_exact").cast("bigint").alias("exact_distinct"),
+            mk_est("msk").alias("kmv_merged"),
+            mk_est("dsk").alias("kmv_direct"),
+        )
+        .repartition(1).sortWithinPartitions("event_type", "week")
     )
