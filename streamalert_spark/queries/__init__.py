@@ -70,6 +70,7 @@ _VERIFY_FIRST = [
     "seasonal_rate_spikes",      # new: hour-of-day baseline anomalies
     "stream_dedup_gate_bounded",  # new: streaming ingest dedup gate
     "kmv_sketch_rollup",         # new: lossless sketch merge proof
+    "train_eval_split_manifest",  # new: reproducible split membership
     "app_source_salesforce",     # new: salesforce protocol port
     "app_source_stream_resume",  # new: streaming checkpoint-restart resume
     "bpe_learned_merges",        # gained a recursive-CTE oracle (was rows-only)

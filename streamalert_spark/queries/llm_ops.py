@@ -884,3 +884,63 @@ def stream_dedup_gate_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "jaccard double")
         .repartition(1).sortWithinPartitions("new_id", "corpus_id")
     )
+
+
+_SPLIT_ORACLE_HEX = """
+(CAST(STRPOS('0123456789abcdef', SUBSTRING(h, 1, 1)) - 1 AS BIGINT) * 16
+ + CAST(STRPOS('0123456789abcdef', SUBSTRING(h, 2, 1)) - 1 AS BIGINT))
+"""
+
+_SPLIT_ORACLE = f"""
+WITH hashed AS (
+  SELECT doc_id, length(text) AS chars,
+         md5('split:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, chars,
+         CASE WHEN ({_SPLIT_ORACLE_HEX}) % 100 < 90 THEN 'train'
+              WHEN ({_SPLIT_ORACLE_HEX}) % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM hashed
+)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(chars) AS BIGINT) AS total_chars,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS membership_md5
+FROM assigned GROUP BY split
+ORDER BY split
+"""
+
+
+@query("train_eval_split_manifest", oracle=_SPLIT_ORACLE,
+       doc="Deterministic train/val/test split manifest (90/5/5 by "
+           "md5(doc_id) bucket): membership depends only on the doc id, "
+           "so the split is reproducible across runs, machines, and "
+           "engines — no RNG state to serialize, disjoint and exhaustive "
+           "by construction. The manifest emits an md5 over each "
+           "split's sorted member list, so the driver check proves the "
+           "EXACT membership, not just the counts. Zero shuffles before "
+           "the 3-group aggregate; at 100 TB the split column is a "
+           "pure codegen expression on the scan.")
+def train_eval_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    # first two hex digits (top 8 bits) of the hash, mod 100 — mirrored
+    # digit-for-digit by the oracle's STRPOS arithmetic
+    h = F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    bucket = F.pmod(F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint"),
+                    F.lit(100))
+    assigned = docs.select(
+        "doc_id", F.length("text").alias("chars"),
+        F.when(bucket < 90, "train").when(bucket < 95, "val")
+         .otherwise("test").alias("split"),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("chars").cast("bigint").alias("total_chars"),
+             F.md5(F.array_join(
+                 F.transform(F.array_sort(F.collect_list("doc_id")),
+                             lambda x: x.cast("string")), ",")
+             ).alias("membership_md5"))
+        .repartition(1).sortWithinPartitions("split")
+    )
