@@ -114,7 +114,14 @@ def edit_distance_pairs(
     )
     cand = blocked.unionByName(short_pairs).distinct()
     dist = F.levenshtein(F.col("n1"), F.col("n2"), max_distance)
-    return (
+    out = (
         cand.select("n1", "n2", dist.cast("bigint").alias("dist"))
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_distance))
     )
+    # cache the verified pairs: downstream consumers iterate over them
+    # (connected components) and sibling queries recompute the identical
+    # plan — Spark's cache manager keys on the analyzed plan, so one
+    # cached frame serves both (same swap discipline as the LSH family)
+    from streamalert_spark.ops.dedup import _swap_cache
+
+    return _swap_cache("fuzzy_pairs", out)

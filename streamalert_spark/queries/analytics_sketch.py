@@ -639,9 +639,11 @@ def entity_resolution_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamalert_spark.ops.fuzzy import edit_distance_pairs
     from streamalert_spark.session import read_table
 
-    names = (read_table(spark, sf_dir, "part")
-             .select(F.col("p_name").alias("name")).distinct())
-    pairs = edit_distance_pairs(names, "name", max_distance=2)
+    part = read_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    # pass `part` (not `names`) so the pair plan is IDENTICAL to
+    # fuzzy_name_pairs' — the cached frame then serves both queries
+    pairs = edit_distance_pairs(part, "p_name", max_distance=2)
     comp = connected_components(pairs, a_col="n1", b_col="n2",
                                 id_out="name", label_out="canonical")
     return (
