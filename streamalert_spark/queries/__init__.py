@@ -71,6 +71,7 @@ _VERIFY_FIRST = [
     "stream_dedup_gate_bounded",  # new: streaming ingest dedup gate
     "kmv_sketch_rollup",         # new: lossless sketch merge proof
     "train_eval_split_manifest",  # new: reproducible split membership
+    "kcore_dense_nodes",         # new: iterative k-core peeling
     "app_source_salesforce",     # new: salesforce protocol port
     "app_source_stream_resume",  # new: streaming checkpoint-restart resume
     "bpe_learned_merges",        # gained a recursive-CTE oracle (was rows-only)

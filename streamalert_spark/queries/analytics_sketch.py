@@ -855,3 +855,81 @@ def kmv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("event_type", "week")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition — iterative degree peeling over the doc graph.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 4
+
+_KCORE_ORACLE = f"""
+WITH RECURSIVE nn AS (SELECT COUNT(*) AS cnt FROM documents),
+raw AS (
+  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT cnt FROM nn) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 3 + 7) % (SELECT cnt FROM nn) FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 5 + 3) % (SELECT cnt FROM nn) FROM documents
+),
+edges AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+alive(iter, node) AS (
+  SELECT 0, a FROM (SELECT DISTINCT a FROM sym)
+  UNION ALL
+  SELECT d.iter + 1, d.node FROM (
+    SELECT a1.iter AS iter, s.a AS node, COUNT(*) AS deg
+    FROM sym s
+    JOIN alive a1 ON a1.node = s.a
+    JOIN alive a2 ON a2.node = s.b AND a2.iter = a1.iter
+    GROUP BY a1.iter, s.a
+  ) d
+  WHERE d.deg >= {_KCORE_K} AND d.iter < 12
+),
+core AS (SELECT node FROM alive WHERE iter = 12)
+SELECT s.a AS node, COUNT(*) AS core_deg
+FROM sym s
+JOIN core c1 ON c1.node = s.a
+JOIN core c2 ON c2.node = s.b
+GROUP BY s.a
+ORDER BY node
+"""
+
+
+@query("kcore_dense_nodes", oracle=_KCORE_ORACLE,
+       doc="k-core decomposition (k=4) over the deterministic doc graph: "
+           "iterative degree peeling — dropping a weak node can demote "
+           "its neighbors, so plain degree filtering is wrong; the peel "
+           "repeats until fixpoint (3 rounds here). Each round is two "
+           "keyed joins against the shrinking alive set with "
+           "localCheckpoint lineage truncation; driver traffic is one "
+           "count per round. The oracle replays the peel as a recursive "
+           "CTE carrying the alive set per iteration (12-round cap, "
+           "converged sets propagate unchanged to the cap). The "
+           "dense-region extractor behind community cores and bot-ring "
+           "detection.")
+def kcore_dense_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.kcore import kcore
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()  # driver scalar: node-space size for the modulus
+    raw = None
+    for mult, add in ((2, 1), (3, 7), (5, 3)):
+        part = docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * mult + add) % n).alias("dst"))
+        raw = part if raw is None else raw.unionByName(part)
+    edges = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    return (
+        kcore(edges, k=_KCORE_K)
+        .repartition(1).sortWithinPartitions("node")
+    )

@@ -369,3 +369,27 @@ def test_seasonal_spikes_flag_off_peak_anomaly_not_diurnal_peak(spark):
     flat_hours = {(r["hour"].day, r["hour"].hour) for r in flat}
     assert (5, 3) not in flat_hours
     assert len(flat_hours) == 28 and all(h == 20 for _, h in flat_hours)
+
+
+def test_kcore_peels_cascading_appendage(spark):
+    """k-core must cascade: in K4-clique + path c0-p0-p1-p2 (p2 also
+    tied to p0), every p node has degree >= 2 initially, but peeling at
+    k=3 must remove ALL of them (each removal demotes the next) and
+    keep exactly the clique with within-core degree 3."""
+    from streamalert_spark.ops.kcore import kcore
+
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    tail = [(0, 10), (10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(clique + tail, "a bigint, b bigint")
+    got = sorted((r["node"], r["core_deg"]) for r in kcore(df, k=3).collect())
+    assert got == [(0, 3), (1, 3), (2, 3), (3, 3)]
+
+
+def test_kcore_keeps_exact_core_degrees(spark):
+    """A 5-clique plus a pendant: 4-core keeps the clique at degree 4."""
+    from streamalert_spark.ops.kcore import kcore
+
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    df = spark.createDataFrame(clique + [(0, 99)], "a bigint, b bigint")
+    got = sorted((r["node"], r["core_deg"]) for r in kcore(df, k=4).collect())
+    assert got == [(i, 4) for i in range(5)]
