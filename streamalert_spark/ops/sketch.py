@@ -390,8 +390,12 @@ def cms_point_estimates(
         .select("k", F.explode(_cms_cells(F.col("k"), w, d)).alias("c"))
         .select("k", F.col("c.depth").alias("depth"), F.col("c.col").alias("col"))
     )
+    # LEFT join: a probe cell no key ever incremented is a ZERO counter —
+    # an inner join would silently take the min over the nonzero cells
+    # only and over-estimate keys absent from (or rare in) the data
     return (
-        probes.join(F.broadcast(sketch), ["depth", "col"])
+        probes.join(F.broadcast(sketch), ["depth", "col"], "left")
         .groupBy("k")
-        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+             .cast("bigint").alias("cms_estimate"))
     )

@@ -393,3 +393,18 @@ def test_kcore_keeps_exact_core_degrees(spark):
     df = spark.createDataFrame(clique + [(0, 99)], "a bigint, b bigint")
     got = sorted((r["node"], r["core_deg"]) for r in kcore(df, k=4).collect())
     assert got == [(i, 4) for i in range(5)]
+
+
+def test_cms_unseen_key_estimates_zero_when_cell_empty(spark):
+    """A probe key whose cells were never incremented must estimate 0 —
+    the left-join/zero-counter semantics of a real CMS (an inner join
+    would over-estimate from collision cells only)."""
+    from streamalert_spark.ops.sketch import cms_point_estimates
+
+    data = spark.createDataFrame([("present",)] * 5, "k string")
+    # large width: the unseen key's cells are almost surely all empty
+    probes = spark.createDataFrame([("absent-key",), ("present",)], "k string")
+    got = {r["k"]: r["cms_estimate"]
+           for r in cms_point_estimates(data, probes, "k", w=4096, d=4).collect()}
+    assert got["present"] == 5
+    assert got["absent-key"] == 0
