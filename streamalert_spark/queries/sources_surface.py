@@ -483,6 +483,15 @@ def stream_cdc_apply_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = {"ver": 0}
 
         def apply_batch(batch_df, epoch_id):
+            # idempotent per epoch: a retried micro-batch (foreachBatch's
+            # at-least-once contract) finds its version already written
+            # and must not re-apply — exactly-once via epoch-keyed output
+            import os as _os
+
+            target = f"{snap}/v{epoch_id + 1}"
+            if _os.path.exists(_os.path.join(target, "_SUCCESS")):
+                state["ver"] = max(state["ver"], epoch_id + 1)
+                return
             changes = batch_df.select(
                 F.pmod("event_timestamp", F.lit(37)).alias("k"),
                 F.col("event_timestamp").alias("seq"),
@@ -493,10 +502,10 @@ def stream_cdc_apply_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             sess = batch_df.sparkSession
             cur = sess.read.schema("k bigint, v string").parquet(
-                f"{snap}/v{state['ver']}")
+                f"{snap}/v{epoch_id}")
             nxt = apply_changelog(cur, changes, ["k"], "seq", "op")
-            nxt.write.parquet(f"{snap}/v{state['ver'] + 1}")
-            state["ver"] += 1
+            nxt.write.parquet(target)
+            state["ver"] = max(state["ver"], epoch_id + 1)
 
         src = (
             spark.readStream.format("streamalert_app")
