@@ -25,6 +25,39 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """The INVERSE of ``apply_changelog``: diff two snapshots into a
+    change feed — 'I' rows exist only in ``new``, 'D' only in ``old``,
+    'U' exist in both with any non-key column changed (null-safe
+    comparison). Unchanged rows emit nothing. Round-trip theorem
+    (pinned in tests): applying the diff of (old, new) onto ``old``
+    reproduces ``new`` exactly.
+
+    One full-outer join on the key — both sides shuffle once; at 100 TB
+    bucket both snapshots on the key and the join is exchange-free.
+    This is how you bootstrap CDC for a source that only hands you
+    periodic full dumps."""
+    val_cols = [c for c in old.columns if c not in key_cols]
+    o = old.select(*key_cols, F.struct(*val_cols).alias("_old"))
+    n = new.select(*key_cols, F.struct(*val_cols).alias("_new"))
+    j = o.join(n, key_cols, "full_outer")
+    op = (
+        F.when(F.col("_old").isNull(), "I")
+        .when(F.col("_new").isNull(), "D")
+        .when(~F.col("_old").eqNullSafe(F.col("_new")), "U")
+    )
+    out = j.withColumn("op", op).filter(F.col("op").isNotNull())
+    cols = [F.col(c) for c in key_cols] + [F.col("op")]
+    for c in val_cols:
+        cols.append(F.col(f"_old.{c}").alias(f"old_{c}"))
+        cols.append(F.col(f"_new.{c}").alias(f"new_{c}"))
+    return out.select(*cols)
+
+
 def apply_changelog(
     base: DataFrame,
     changes: DataFrame,

@@ -72,6 +72,8 @@ _VERIFY_FIRST = [
     "kmv_sketch_rollup",         # new: lossless sketch merge proof
     "train_eval_split_manifest",  # new: reproducible split membership
     "kcore_dense_nodes",         # new: iterative k-core peeling
+    "snapshot_diff_feed",        # new: inverse CDC (snapshot diff)
+    "incremental_agg_maintenance",  # new: lossless moment-state merge
     "app_source_salesforce",     # new: salesforce protocol port
     "app_source_stream_resume",  # new: streaming checkpoint-restart resume
     "bpe_learned_merges",        # gained a recursive-CTE oracle (was rows-only)

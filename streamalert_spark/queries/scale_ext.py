@@ -349,3 +349,77 @@ def salted_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "event_id", "rank")
         .repartition(1).sortWithinPartitions("event_type", "rank")
     )
+
+
+# ------------------------------------------------------ snapshot diff feed
+
+_DIFF_ORACLE = """
+WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+changes AS (
+  SELECT user_id AS c_custkey, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         'updated-' || CAST(user_id AS VARCHAR) AS c_name,
+         ROUND(value, 2) AS c_acctbal
+  FROM events WHERE user_id IS NOT NULL
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+),
+merged AS (
+  SELECT b.* FROM base b
+  WHERE b.c_custkey NOT IN (SELECT c_custkey FROM latest)
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'
+),
+d AS (
+  SELECT COALESCE(b.c_custkey, m.c_custkey) AS c_custkey,
+         CASE WHEN b.c_custkey IS NULL THEN 'I'
+              WHEN m.c_custkey IS NULL THEN 'D'
+              WHEN b.c_name IS DISTINCT FROM m.c_name
+                   OR b.c_acctbal IS DISTINCT FROM m.c_acctbal THEN 'U'
+         END AS op,
+         b.c_name AS old_c_name, m.c_name AS new_c_name,
+         b.c_acctbal AS old_c_acctbal, m.c_acctbal AS new_c_acctbal
+  FROM base b FULL OUTER JOIN merged m ON b.c_custkey = m.c_custkey
+)
+SELECT * FROM d WHERE op IS NOT NULL
+ORDER BY c_custkey
+"""
+
+
+@query("snapshot_diff_feed", oracle=_DIFF_ORACLE,
+       doc="Snapshot-diff CDC feed — the INVERSE of changelog "
+           "application: diffing yesterday's snapshot against today's "
+           "yields the insert/update/delete feed (one full-outer join "
+           "on the key; null-safe struct comparison finds changed "
+           "rows, unchanged rows emit nothing). Round-trip theorem "
+           "pinned in tests: apply(diff(old, new)) onto old == new. "
+           "This is how CDC bootstraps from sources that only hand "
+           "you periodic full dumps; bucket both snapshots on the key "
+           "and the join runs exchange-free.")
+def snapshot_diff_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.cdc import apply_changelog, snapshot_diff
+
+    cust = read_table(spark, sf_dir, "customer")
+    ev = read_table(spark, sf_dir, "events")
+    base = cust.select("c_custkey", "c_name", "c_acctbal")
+    changes = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("user_id").alias("c_custkey"),
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "error", "D")
+             .otherwise("U").alias("op"),
+            F.concat(F.lit("updated-"),
+                     F.col("user_id").cast("string")).alias("c_name"),
+            F.round("value", 2).alias("c_acctbal"),
+        )
+    )
+    new = apply_changelog(base, changes, ["c_custkey"], "seq", "op")
+    return (
+        snapshot_diff(base, new, ["c_custkey"])
+        .repartition(1).sortWithinPartitions("c_custkey")
+    )

@@ -292,3 +292,83 @@ def freshness_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "yyyy-MM-dd HH:00").alias("missing_hour"))
         .repartition(1).sortWithinPartitions("event_type", "missing_hour")
     )
+
+
+# -------------------------------------------- incremental agg maintenance
+
+_INC_AGG_ORACLE = """
+WITH dec AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, COUNT(*) AS cnt, SUM(v) AS s, SUM(v * v) AS ss
+  FROM dec GROUP BY 1, 2
+),
+merged AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n,
+         SUM(s) AS ms, SUM(ss) AS mss
+  FROM daily GROUP BY 1
+),
+direct AS (
+  SELECT event_type, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+  FROM dec GROUP BY 1
+)
+SELECT m.event_type, m.n AS n_events,
+       ROUND(CAST(m.ms AS DOUBLE) / m.n, 6) AS avg_merged,
+       ROUND(CAST(d.s AS DOUBLE) / m.n, 6) AS avg_direct,
+       ROUND(sqrt(CAST(m.mss AS DOUBLE) / m.n
+                  - (CAST(m.ms AS DOUBLE) / m.n)
+                    * (CAST(m.ms AS DOUBLE) / m.n)), 6) AS std_merged,
+       ROUND(sqrt(CAST(d.ss AS DOUBLE) / m.n
+                  - (CAST(d.s AS DOUBLE) / m.n)
+                    * (CAST(d.s AS DOUBLE) / m.n)), 6) AS std_direct
+FROM merged m JOIN direct d ON d.event_type = m.event_type
+ORDER BY m.event_type
+"""
+
+
+@query("incremental_agg_maintenance", oracle=_INC_AGG_ORACLE,
+       doc="Incremental (materialized-view) aggregate maintenance: "
+           "per-day moment state (count, DECIMAL sum, DECIMAL sum of "
+           "squares) merges by addition into totals whose avg/stddev "
+           "EQUAL the direct full-scan computation — both paths are "
+           "output columns, so the hash check proves the merge is "
+           "lossless. Decimal moments are the reason: float sums are "
+           "order-dependent and a daily-merged float avg would drift "
+           "from the recompute; decimal addition is exact and "
+           "associative. At 100 TB only the daily path runs — new days "
+           "merge into the state table and history is never re-scanned.")
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    dec = ev.select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("v"))
+    daily = (dec.groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  F.sum("v").alias("s"),
+                  F.sum(F.col("v") * F.col("v")).alias("ss")))
+    merged = (daily.groupBy("event_type")
+              .agg(F.sum("cnt").cast("bigint").alias("n"),
+                   F.sum("s").alias("ms"), F.sum("ss").alias("mss")))
+    direct = (dec.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("dn"),
+                   F.sum("v").alias("ds"),
+                   F.sum(F.col("v") * F.col("v")).alias("dss")))
+    j = merged.join(direct, "event_type")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean_m = d("ms") / F.col("n")
+    mean_d = d("ds") / F.col("n")
+    return (
+        j.select(
+            "event_type", F.col("n").alias("n_events"),
+            F.round(mean_m, 6).alias("avg_merged"),
+            F.round(mean_d, 6).alias("avg_direct"),
+            F.round(F.sqrt(d("mss") / F.col("n") - mean_m * mean_m), 6)
+             .alias("std_merged"),
+            F.round(F.sqrt(d("dss") / F.col("n") - mean_d * mean_d), 6)
+             .alias("std_direct"),
+        )
+        .repartition(1).sortWithinPartitions("event_type")
+    )

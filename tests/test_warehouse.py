@@ -168,3 +168,29 @@ def test_salted_topk_bounded_state_plan(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan, plan
     assert "RangePartitioning" not in plan, plan
+
+
+def test_snapshot_diff_round_trip(spark):
+    """apply(diff(old, new)) onto old must reproduce new exactly —
+    the theorem that makes snapshot-diff a valid CDC bootstrap."""
+    from streamalert_spark.ops.cdc import apply_changelog, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k bigint, v string, x double")
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged
+         (2, "b2", 20.0),       # value changed
+         (4, "d", 41.0),        # other column changed
+         (9, "new", 90.0)],     # inserted; key 3 deleted
+        "k bigint, v string, x double")
+    diff = snapshot_diff(old, new, ["k"])
+    ops = {r["k"]: r["op"] for r in diff.collect()}
+    assert ops == {2: "U", 3: "D", 4: "U", 9: "I"}
+    changelog = diff.select(
+        "k", F.monotonically_increasing_id().alias("seq"),
+        F.when(F.col("op") == "D", "D").otherwise("U").alias("op"),
+        F.col("new_v").alias("v"), F.col("new_x").alias("x"))
+    rebuilt = sorted(tuple(r) for r in apply_changelog(
+        old, changelog, ["k"], "seq", "op").collect())
+    assert rebuilt == sorted(tuple(r) for r in new.collect())
