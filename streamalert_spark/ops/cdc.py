@@ -77,8 +77,11 @@ def apply_changelog(
     )
     touched = latest.select(*key_cols)
     survivors = base.join(touched, key_cols, "left_anti")
+    # null-safe: only an EXPLICIT delete_op removes the key — a
+    # malformed change with op NULL must not silently drop it (the key
+    # is already in `touched`, so a null-rejecting != would delete it)
     upserts = (
-        latest.filter(F.col(op_col) != delete_op)
+        latest.filter(~F.col(op_col).eqNullSafe(delete_op))
         .select(*base.columns)
     )
     return survivors.unionByName(upserts)

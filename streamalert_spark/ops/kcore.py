@@ -42,6 +42,7 @@ def kcore(
     )
     alive = sym.select(F.col("a").alias("node")).distinct().localCheckpoint()
     n_prev = alive.count()
+    converged = n_prev == 0
     for _ in range(max_iterations):
         deg = (
             sym.join(alive.select(F.col("node").alias("a")), "a")
@@ -54,8 +55,14 @@ def kcore(
         n_new = new_alive.count()
         alive = new_alive
         if n_new == n_prev:
+            converged = True
             break
         n_prev = n_new
+    if not converged:
+        # a silently-unpeeled result is NOT a k-core; callers comparing
+        # against a bounded-iteration oracle must also pass a matching cap
+        raise RuntimeError(
+            f"k-core peel did not converge within {max_iterations} rounds")
     return (
         sym.join(alive.select(F.col("node").alias("a")), "a")
         .join(alive.select(F.col("node").alias("b")), "b")

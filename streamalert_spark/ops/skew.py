@@ -18,7 +18,7 @@ entropy. The engine's own joins are broadcast (IOC, lookups) or bucketed
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SALT = "_sa_salt"
@@ -80,14 +80,15 @@ def salted_topk(
     salt: int = 16,
 ) -> DataFrame:
     """EXACT top-k rows per key group, skew-safe: the hot-key hazard of
-    window ``row_number() <= k`` is that EVERY row of a key shuffles to
-    one reducer; here stage 1 keeps only the top-k within each of
-    ``salt`` buckets (per-group state bounded at k rows however hot the
-    key), and stage 2 merges salt*k rows per key — top-k of a union IS
-    the top-k of merged partial top-ks, so the result is identical to
-    the window form. Ordering is descending over ``order_cols``
-    lexicographically (include a unique tie-break column). Output:
-    keys + payload_cols + rank (1-based)."""
+    plain window ``row_number() <= k`` is that EVERY row of a key lands
+    on ONE reducer's sort; here stage 1 ranks within (key, salt) — a hot
+    key's sort work spreads over ``salt`` buckets running in parallel,
+    each an EXTERNAL (spill-able) window sort, never an in-memory
+    collect_list buffer — and stage 2 re-ranks the surviving salt*k rows
+    per key. Top-k of a union of per-bucket top-ks IS the global top-k,
+    so the result is identical to the window form. Ordering is
+    descending over ``order_cols`` lexicographically (include a unique
+    tie-break column). Output: keys + payload_cols + rank (1-based)."""
     ordered = F.struct(*[F.col(c) for c in order_cols],
                        *[F.col(c) for c in payload_cols if c not in order_cols])
     salt_col = F.pmod(
@@ -95,26 +96,20 @@ def salted_topk(
         .cast("bigint"),
         F.lit(salt),
     )
-
-    def topk(grouped_keys: list[str], src: DataFrame) -> DataFrame:
-        return (
-            src.groupBy(*grouped_keys)
-            .agg(F.slice(F.sort_array(F.collect_list("_row"), asc=False),
-                         1, k).alias("_top"))
-            .select(*grouped_keys, F.col("_top"))
-        )
-
+    staged = df.select(*keys, salt_col.alias(_SALT), ordered.alias("_row"))
+    w1 = Window.partitionBy(*keys, _SALT).orderBy(F.col("_row").desc())
     stage1 = (
-        df.select(*keys, salt_col.alias(_SALT), ordered.alias("_row"))
-        .transform(lambda d: topk([*keys, _SALT], d))
-        .select(*keys, F.explode("_top").alias("_row"))
+        staged.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", _SALT)
     )
-    merged = topk(list(keys), stage1)
-    out = merged.select(
-        *keys, F.posexplode("_top").alias("_pos", "_row"))
+    # stage 2 sees at most salt*k rows per key
+    w2 = Window.partitionBy(*keys).orderBy(F.col("_row").desc())
+    out = (stage1.withColumn("rank", F.row_number().over(w2))
+           .filter(F.col("rank") <= k))
     cols = [F.col(c) for c in keys]
     cols += [F.col(f"_row.{c}").alias(c) for c in payload_cols]
-    cols.append((F.col("_pos") + 1).cast("bigint").alias("rank"))
+    cols.append(F.col("rank").cast("bigint").alias("rank"))
     return out.select(*cols)
 
 

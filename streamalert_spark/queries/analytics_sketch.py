@@ -862,6 +862,7 @@ def kmv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _KCORE_K = 4
+_KCORE_MAX_ITER = 12  # shared by the Spark loop and the oracle CTE cap
 
 _KCORE_ORACLE = f"""
 WITH RECURSIVE nn AS (SELECT COUNT(*) AS cnt FROM documents),
@@ -888,9 +889,9 @@ alive(iter, node) AS (
     JOIN alive a2 ON a2.node = s.b AND a2.iter = a1.iter
     GROUP BY a1.iter, s.a
   ) d
-  WHERE d.deg >= {_KCORE_K} AND d.iter < 12
+  WHERE d.deg >= {_KCORE_K} AND d.iter < {_KCORE_MAX_ITER}
 ),
-core AS (SELECT node FROM alive WHERE iter = 12)
+core AS (SELECT node FROM alive WHERE iter = {_KCORE_MAX_ITER})
 SELECT s.a AS node, COUNT(*) AS core_deg
 FROM sym s
 JOIN core c1 ON c1.node = s.a
@@ -930,6 +931,6 @@ def kcore_dense_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        kcore(edges, k=_KCORE_K)
+        kcore(edges, k=_KCORE_K, max_iterations=_KCORE_MAX_ITER)
         .repartition(1).sortWithinPartitions("node")
     )

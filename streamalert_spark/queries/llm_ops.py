@@ -857,8 +857,11 @@ def stream_dedup_gate_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         increment.repartition(3).write.parquet(in_dir)
 
         def probe(batch_df, epoch_id):
+            # epoch-keyed overwrite: a retried micro-batch (foreachBatch
+            # is at-least-once) replaces its own output instead of
+            # double-appending duplicate pairs
             out = dedup.cross_corpus_neardup(corpus, batch_df, threshold=0.5)
-            out.write.mode("append").parquet(out_dir)
+            out.write.mode("overwrite").parquet(f"{out_dir}/e{epoch_id}")
 
         src = (
             spark.readStream.schema(docs.schema)
@@ -876,6 +879,7 @@ def stream_dedup_gate_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         rows = (spark.read.schema("new_id bigint, corpus_id bigint, "
                                   "jaccard double")
+                .option("recursiveFileLookup", "true")
                 .parquet(out_dir).collect())
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -886,10 +890,12 @@ def stream_dedup_gate_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPLIT_ORACLE_HEX = """
-(CAST(STRPOS('0123456789abcdef', SUBSTRING(h, 1, 1)) - 1 AS BIGINT) * 16
- + CAST(STRPOS('0123456789abcdef', SUBSTRING(h, 2, 1)) - 1 AS BIGINT))
-"""
+from streamalert_spark.ops.sketch import hex_prefix_int_sql as _hex_sql
+
+# 48-bit prefix: 2**48 % 100 = 76, so the %100 bucket bias is ~4e-13
+# relative — an 8-bit prefix (256 % 100) would skew the split to
+# ~92.2/3.9/3.9 instead of 90/5/5
+_SPLIT_ORACLE_HEX = _hex_sql("h")
 
 _SPLIT_ORACLE = f"""
 WITH hashed AS (
@@ -923,12 +929,13 @@ ORDER BY split
            "the 3-group aggregate; at 100 TB the split column is a "
            "pure codegen expression on the scan.")
 def train_eval_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.sketch import hex_prefix_int
+
     docs = _docs(spark, sf_dir)
-    # first two hex digits (top 8 bits) of the hash, mod 100 — mirrored
-    # digit-for-digit by the oracle's STRPOS arithmetic
+    # 48-bit hash prefix mod 100 — mirrored digit-for-digit by the
+    # oracle's STRPOS arithmetic; see _SPLIT_ORACLE_HEX for the bias note
     h = F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
-    bucket = F.pmod(F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint"),
-                    F.lit(100))
+    bucket = F.pmod(hex_prefix_int(h), F.lit(100))
     assigned = docs.select(
         "doc_id", F.length("text").alias("chars"),
         F.when(bucket < 90, "train").when(bucket < 95, "val")

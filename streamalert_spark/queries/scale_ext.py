@@ -252,10 +252,13 @@ def zorder_pruning_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(1).sortWithinPartitions("layout", "file_id"))
 
 
-# ------------------------------------------------------ CDC merge snapshot
+# ----------------------------------------------------- shared CDC fixtures
 
-_CDC_ORACLE = """
-WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+# one definition of the change feed, shared by cdc_merge_snapshot and
+# snapshot_diff_feed (Spark side and oracle CTE text alike) so the two
+# queries can never drift apart
+_CDC_CTES = """
+base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
 changes AS (
   SELECT user_id AS c_custkey, event_id AS seq,
          CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
@@ -269,12 +272,40 @@ latest AS (
     FROM changes
   ) WHERE rn = 1
 ),
-survivors AS (
+merged AS (
   SELECT b.* FROM base b
   WHERE b.c_custkey NOT IN (SELECT c_custkey FROM latest)
-),
-upserts AS (SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D')
-SELECT * FROM survivors UNION ALL SELECT * FROM upserts
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'
+)
+"""
+
+
+def _customer_cdc_frames(spark: SparkSession, sf_dir: str):
+    """(base snapshot, change feed) — the Spark twin of _CDC_CTES."""
+    cust = read_table(spark, sf_dir, "customer")
+    ev = read_table(spark, sf_dir, "events")
+    base = cust.select("c_custkey", "c_name", "c_acctbal")
+    changes = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("user_id").alias("c_custkey"),
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "error", "D")
+             .otherwise("U").alias("op"),
+            F.concat(F.lit("updated-"),
+                     F.col("user_id").cast("string")).alias("c_name"),
+            F.round("value", 2).alias("c_acctbal"),
+        )
+    )
+    return base, changes
+
+
+# ------------------------------------------------------ CDC merge snapshot
+
+_CDC_ORACLE = f"""
+WITH {_CDC_CTES}
+SELECT * FROM merged
 ORDER BY c_custkey
 """
 
@@ -292,21 +323,7 @@ ORDER BY c_custkey
 def cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamalert_spark.ops.cdc import apply_changelog
 
-    cust = read_table(spark, sf_dir, "customer")
-    ev = read_table(spark, sf_dir, "events")
-    base = cust.select("c_custkey", "c_name", "c_acctbal")
-    changes = (
-        ev.filter(F.col("user_id").isNotNull())
-        .select(
-            F.col("user_id").alias("c_custkey"),
-            F.col("event_id").alias("seq"),
-            F.when(F.col("event_type") == "error", "D")
-             .otherwise("U").alias("op"),
-            F.concat(F.lit("updated-"),
-                     F.col("user_id").cast("string")).alias("c_name"),
-            F.round("value", 2).alias("c_acctbal"),
-        )
-    )
+    base, changes = _customer_cdc_frames(spark, sf_dir)
     return (
         apply_changelog(base, changes, ["c_custkey"], "seq", "op")
         .repartition(1).sortWithinPartitions("c_custkey")
@@ -331,12 +348,12 @@ ORDER BY event_type, rank
 
 @query("salted_topk_per_type", oracle=_TOPK_ORACLE,
        doc="EXACT top-3 events per type via salted two-stage top-k: the "
-           "window form shuffles EVERY row of a key to one reducer (the "
-           "hot-key OOM at 100 TB); here stage 1 bounds per-group state "
-           "at k rows inside each of 16 salt buckets and stage 2 merges "
-           "16*k rows per key — result identical to the window "
-           "definition (the oracle IS the window form), state bounded "
-           "regardless of key heat.")
+           "window form sorts EVERY row of a key on one reducer (the "
+           "hot-key serialization point at 100 TB); here stage 1 ranks "
+           "inside (key, salt) — the hot key's sort spreads over 16 "
+           "parallel spill-able bucket sorts — and stage 2 re-ranks the "
+           "surviving 16*k rows per key. Result identical to the window "
+           "definition (the oracle IS the window form).")
 def salted_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamalert_spark.ops.skew import salted_topk
 
@@ -353,27 +370,8 @@ def salted_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------ snapshot diff feed
 
-_DIFF_ORACLE = """
-WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
-changes AS (
-  SELECT user_id AS c_custkey, event_id AS seq,
-         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-         'updated-' || CAST(user_id AS VARCHAR) AS c_name,
-         ROUND(value, 2) AS c_acctbal
-  FROM events WHERE user_id IS NOT NULL
-),
-latest AS (
-  SELECT * FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
-    FROM changes
-  ) WHERE rn = 1
-),
-merged AS (
-  SELECT b.* FROM base b
-  WHERE b.c_custkey NOT IN (SELECT c_custkey FROM latest)
-  UNION ALL
-  SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'
-),
+_DIFF_ORACLE = f"""
+WITH {_CDC_CTES},
 d AS (
   SELECT COALESCE(b.c_custkey, m.c_custkey) AS c_custkey,
          CASE WHEN b.c_custkey IS NULL THEN 'I'
@@ -403,21 +401,7 @@ ORDER BY c_custkey
 def snapshot_diff_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamalert_spark.ops.cdc import apply_changelog, snapshot_diff
 
-    cust = read_table(spark, sf_dir, "customer")
-    ev = read_table(spark, sf_dir, "events")
-    base = cust.select("c_custkey", "c_name", "c_acctbal")
-    changes = (
-        ev.filter(F.col("user_id").isNotNull())
-        .select(
-            F.col("user_id").alias("c_custkey"),
-            F.col("event_id").alias("seq"),
-            F.when(F.col("event_type") == "error", "D")
-             .otherwise("U").alias("op"),
-            F.concat(F.lit("updated-"),
-                     F.col("user_id").cast("string")).alias("c_name"),
-            F.round("value", 2).alias("c_acctbal"),
-        )
-    )
+    base, changes = _customer_cdc_frames(spark, sf_dir)
     new = apply_changelog(base, changes, ["c_custkey"], "seq", "op")
     return (
         snapshot_diff(base, new, ["c_custkey"])

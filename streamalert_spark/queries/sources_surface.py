@@ -504,7 +504,9 @@ def stream_cdc_apply_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur = sess.read.schema("k bigint, v string").parquet(
                 f"{snap}/v{epoch_id}")
             nxt = apply_changelog(cur, changes, ["k"], "seq", "op")
-            nxt.write.parquet(target)
+            # overwrite: a retry after a PARTIAL write (dir exists, no
+            # _SUCCESS) must replace the debris, not ErrorIfExists-fail
+            nxt.write.mode("overwrite").parquet(target)
             state["ver"] = max(state["ver"], epoch_id + 1)
 
         src = (

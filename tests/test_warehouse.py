@@ -158,16 +158,19 @@ def test_new_ops_empty_input_behavior(spark):
 
 
 def test_salted_topk_bounded_state_plan(spark):
-    """The salted top-k must be two hash aggregates (bounded per-group
-    state), never a window over the full relation."""
+    """Stage 1 must rank inside (key, salt) partitions — the hot key's
+    sort spreads over salt buckets (the partitioning carries the salt
+    column) and nothing range-partitions or collects a group into an
+    in-memory array buffer."""
     from streamalert_spark.ops.skew import salted_topk
 
     df = spark.createDataFrame(
         [("g", float(i), i) for i in range(100)], "g string, v double, rid bigint")
     plan = (salted_topk(df, ["g"], ["v", "rid"], ["v", "rid"], k=3)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "Window" not in plan, plan
+    assert "_sa_salt" in plan, plan          # stage-1 partitioning is salted
     assert "RangePartitioning" not in plan, plan
+    assert "collect_list" not in plan, plan  # no unbounded array buffers
 
 
 def test_snapshot_diff_round_trip(spark):
