@@ -74,6 +74,7 @@ _VERIFY_FIRST = [
     "kcore_dense_nodes",         # new: iterative k-core peeling
     "snapshot_diff_feed",        # new: inverse CDC (snapshot diff)
     "incremental_agg_maintenance",  # new: lossless moment-state merge
+    "weighted_sample_docs",      # new: deterministic E-S weighted sample
     "app_source_salesforce",     # new: salesforce protocol port
     "app_source_stream_resume",  # new: streaming checkpoint-restart resume
     "bpe_learned_merges",        # gained a recursive-CTE oracle (was rows-only)

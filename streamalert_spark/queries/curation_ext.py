@@ -521,3 +521,55 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("event_id")
     )
+
+
+# ------------------------------------------------ weighted corpus sampling
+
+_WSAMPLE_ORACLE = """
+WITH w AS (SELECT doc_id, 1 + doc_id % 5 AS weight FROM documents),
+draws AS (
+  SELECT doc_id, weight,
+         MAX(md5('ws:' || CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(j AS VARCHAR))) AS draw
+  FROM w, UNNEST(range(1, weight + 1)) AS t(j)
+  GROUP BY doc_id, weight
+)
+SELECT doc_id, CAST(weight AS BIGINT) AS weight, draw
+FROM draws
+ORDER BY draw DESC, doc_id
+LIMIT 50
+"""
+
+
+@query("weighted_sample_docs", oracle=_WSAMPLE_ORACLE,
+       doc="Deterministic WEIGHTED sampling without replacement "
+           "(Efraimidis-Spirakis): each doc's key is the max of `weight` "
+           "portable md5 draws — max of w uniforms has CDF u^w, exactly "
+           "the u^(1/weight) E-S key, but computed with NO pow()/log() "
+           "(libm low bits differ across engines; hash max does not). "
+           "Top-k by key = a quality-weighted corpus sample that is "
+           "reproducible across runs, engines, and cluster sizes. "
+           "Plan: explode by integer weight, map-side max-combine, "
+           "TakeOrderedAndProject — no global sort, no RNG state.")
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", (1 + F.pmod(F.col("doc_id"), F.lit(5))).alias("weight"))
+    draws = (
+        w.select("doc_id", "weight",
+                 F.explode(F.sequence(F.lit(1), F.col("weight"))).alias("j"))
+        .select("doc_id", "weight",
+                F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"),
+                               F.lit(":"), F.col("j").cast("string")))
+                .alias("h"))
+        .groupBy("doc_id", "weight")
+        .agg(F.max("h").alias("draw"))
+    )
+    return (
+        draws.select("doc_id", F.col("weight").cast("bigint").alias("weight"),
+                     "draw")
+        .orderBy(F.col("draw").desc(), "doc_id")
+        .limit(50)
+    )

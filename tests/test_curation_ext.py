@@ -118,3 +118,32 @@ def test_chunk_context_windows_edges(spark):
     assert rows[(2, 0)] == (0, 1, "x")
     assert rows[(3, 0)] == (0, 1, "")
     assert len(rows) == 5
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """The weighted-sample keys must equal the pure-Python max-of-w-md5
+    computation, and heavier weights must win materially more slots than
+    uniform (the E-S property: P(win) increases with weight)."""
+    import hashlib
+
+    from streamalert_spark.queries.curation_ext import weighted_sample_docs  # noqa: F401
+    from streamalert_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    py = {}
+    for d in ids:
+        w = 1 + d % 5
+        py[d] = max(hashlib.md5(f"ws:{d}:{j}".encode()).hexdigest()  # noqa: S324
+                    for j in range(1, w + 1))
+    want = sorted(py, key=lambda d: (py[d], -d), reverse=True)[:50]
+
+    from streamalert_spark.queries import QUERIES
+
+    got = [r["doc_id"] for r in
+           QUERIES["weighted_sample_docs"].fn(spark, "/root/testdata/sf0.01").collect()]
+    assert got == want
+    # heavier docs (weight>=4) hold a disproportionate share of the top-50
+    heavy_share = sum(1 for d in got if 1 + d % 5 >= 4) / 50
+    heavy_pop = sum(1 for d in ids if 1 + d % 5 >= 4) / len(ids)
+    assert heavy_share > heavy_pop
