@@ -165,8 +165,10 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("key")).distinct()
     )
     bitmap = bloom_bitmap(dim, "key", m=BLOOM_M, k=BLOOM_K)
+    from streamalert_spark.ops.hints import gated_broadcast
+
     flagged = orders.join(
-        F.broadcast(dim.withColumn("_dim", F.lit(1))),
+        gated_broadcast(dim.withColumn("_dim", F.lit(1))),
         orders["o_custkey"] == F.col("key"), "left")
     stats = flagged.agg(
         F.count(F.lit(1)).alias("fact_rows"),

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streamalert_spark.ops.hints import gated_broadcast
 from streamalert_spark.queries import query
 
 
@@ -64,8 +65,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp),
+        .join(gated_broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(gated_broadcast(supp),
               (li.l_suppkey == supp.s_suppkey)
               & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -109,7 +110,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(gated_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal",
                  F.col("n_name").alias("nation"))
@@ -150,7 +151,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", disc) \
              .otherwise(F.lit(0).cast("decimal(18,2)"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(gated_broadcast(part), li.l_partkey == part.p_partkey)
         .agg(F.round(F.lit(100.00) * F.sum(promo) / F.sum(disc), 6)
              .cast("double").alias("promo_revenue_pct"))
     )
@@ -194,7 +195,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(gated_broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))

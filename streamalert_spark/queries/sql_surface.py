@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streamalert_spark.ops.hints import gated_broadcast
 from streamalert_spark.queries import query
 from streamalert_spark.session import load_tables
 
@@ -110,7 +111,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(gated_broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
@@ -152,7 +153,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     out = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(gated_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy(
             F.col("l_orderkey").alias("orderkey"),
             F.col("o_orderdate").alias("orderdate"),
@@ -462,9 +463,9 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     complaints = _t(spark, sf_dir, "supplier") \
         .filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(complaints),
+        li.join(gated_broadcast(complaints),
                 li.l_suppkey == complaints.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(gated_broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .repartition(1)

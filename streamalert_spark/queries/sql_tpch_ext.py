@@ -9,9 +9,14 @@ for partsupp; returnflag/orderpriority stand in for shipmode/late-ness) —
 each query keeps the SHAPE that matters (correlated min, scalar-total
 HAVING, conditional counts, nested IN, EXISTS+NOT-EXISTS self-joins).
 
-Scale notes (100 TB): dimensions broadcast; fact-fact joins shuffle on
-orderkey only; scalar totals ride a 1-row broadcast crossJoin, never a
-driver collect; correlated forms keep identical SQL text on both engines
+Scale notes (100 TB): scale-free dims (nation=25 rows, region=5 at every
+SF) broadcast unconditionally; SF-scaling sides (customer/supplier/part
+and fact-derived aggregates) go through ``gated_broadcast`` — hinted only
+while Catalyst's plan-time size estimate fits the byte budget, otherwise
+left to AQE (at 100 TB a forced customer broadcast is an OOM); fact-fact
+joins shuffle on orderkey only; scalar totals ride a 1-row broadcast
+crossJoin, never a driver collect; correlated forms keep identical SQL
+text on both engines
 and let Catalyst decorrelate (aggregate + join, no per-row re-scan).
 Determinism: money math in DECIMAL (order-independent sums) cast back to
 DOUBLE; ratios round(x, 6) of correctly-rounded IEEE divisions; every
@@ -23,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streamalert_spark.ops.hints import gated_broadcast
 from streamalert_spark.queries import query
 from streamalert_spark.queries.sql_surface import register_views
 
@@ -85,14 +91,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
           .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
           .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
     cand = (
-        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
-        .join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+        ps.join(gated_broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(gated_broadcast(eu), ps.l_suppkey == eu.s_suppkey)
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     min_bal = cand.groupBy(F.col("p_partkey").alias("mk")) \
         .agg(F.min("s_acctbal").alias("min_bal"))
     return (
-        cand.join(F.broadcast(min_bal),
+        cand.join(gated_broadcast(min_bal),
                   (cand.p_partkey == min_bal.mk)
                   & (cand.s_acctbal == min_bal.min_bal))
         .select("s_acctbal", "s_name", F.col("n_name").alias("nation"),
@@ -187,8 +193,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(gated_broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(gated_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -236,8 +242,8 @@ ORDER BY o_year
 
 @query("q8_market_share", oracle=_Q8_ORACLE,
        doc="TPC-H Q8 shape: market-share ratio of conditional to total "
-           "decimal-exact revenue by order year; 8-way join, all "
-           "dimensions broadcast.")
+           "decimal-exact revenue by order year; 8-way join, scale-free "
+           "dims broadcast, SF-scaling sides size-gated.")
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
@@ -257,9 +263,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast("decimal(18,2)"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(gated_broadcast(part), li.l_partkey == part.p_partkey)
+        .join(gated_broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(gated_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
@@ -313,8 +319,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(gated_broadcast(part), li.l_partkey == part.p_partkey)
+        .join(gated_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").alias("o_year"))
@@ -356,7 +362,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     pv = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(gated_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice")).alias("value_dec"))
@@ -501,7 +507,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_dec") == F.col("max_dec"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(gated_broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name",
                 F.col("total_dec").cast("double").alias("total_revenue"))
         .repartition(1).sortWithinPartitions("s_suppkey")
@@ -543,7 +549,7 @@ def q20_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1997-01-01"))
     qualifying = (
-        li.join(F.broadcast(part.select("p_partkey")),
+        li.join(gated_broadcast(part.select("p_partkey")),
                 li.l_partkey == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty"))
@@ -551,7 +557,7 @@ def q20_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     return (
-        supp.join(F.broadcast(qualifying),
+        supp.join(gated_broadcast(qualifying),
                   supp.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
         .repartition(1).sortWithinPartitions("s_name")

@@ -240,8 +240,11 @@ def test_q6_all_predicates_push_to_scan(spark):
 
 
 def test_q7_q8_dimensions_all_broadcast(spark):
-    """The Q7/Q8 star joins must broadcast every dimension — the only
-    SortMergeJoin candidates are fact-fact joins on orderkey."""
+    """The Q7/Q8 star joins must broadcast every dimension AT BENCH SCALE
+    — the only SortMergeJoin candidates are fact-fact joins on orderkey.
+    SF-scaling dims (customer/supplier/part) ride ``gated_broadcast``, so
+    this pin holds only while the plan-time size estimate fits the budget;
+    the gate's over-budget behavior is pinned separately below."""
     from streamalert_spark.queries import load_all
 
     for name in ["q7_volume_shipping", "q8_market_share"]:
@@ -249,6 +252,51 @@ def test_q7_q8_dimensions_all_broadcast(spark):
         assert "BroadcastHashJoin" in plan, plan
         # lineitem-orders is the one allowed shuffle join
         assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_gated_broadcast_hints_small_skips_large(spark):
+    """The gate must hint at bench scale and return the frame UNHINTED
+    when the plan-time estimate exceeds the budget — a forced customer
+    broadcast at 100 TB is an executor OOM and blocks AQE's fallback."""
+    from streamalert_spark.ops.hints import gated_broadcast, plan_size_estimate
+    from streamalert_spark.session import read_table
+
+    cust = read_table(spark, SF_DIR, "customer")
+    est = plan_size_estimate(cust)
+    assert est is not None and est > 0
+    assert gated_broadcast(cust) is not cust, "bench-scale dim must hint"
+    assert gated_broadcast(cust, limit_bytes=est - 1) is cust, \
+        "over-budget dim must come back unhinted"
+
+
+def test_q7_identical_results_when_gate_forces_shuffle(spark, monkeypatch):
+    """Shrinking the gate to 1 byte must flip the SF-scaling dims to
+    shuffle joins WITHOUT changing the result — the gate is a physical
+    hint, never semantics. This is the 100 TB execution path. Spark's own
+    autoBroadcastJoinThreshold is disabled for the duration so the tiny
+    bench-scale frames don't get auto-broadcast anyway (at 100 TB they
+    exceed the threshold on their own)."""
+    from streamalert_spark.ops import hints
+    from streamalert_spark.queries import load_all
+
+    fn = load_all()["q7_volume_shipping"].fn
+    expected = sorted(tuple(r) for r in fn(spark, SF_DIR).collect())
+    monkeypatch.setattr(hints, "BROADCAST_SIZE_LIMIT", 1)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        shuffled = fn(spark, SF_DIR)
+        plan = _plan(shuffled)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert sorted(tuple(r) for r in shuffled.collect()) == expected
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
 
 
 def test_q11_q15_scalar_rides_broadcast_not_collect(spark):
