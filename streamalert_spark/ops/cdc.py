@@ -42,6 +42,13 @@ def snapshot_diff(
     This is how you bootstrap CDC for a source that only hands you
     periodic full dumps."""
     val_cols = [c for c in old.columns if c not in key_cols]
+    if not val_cols:
+        # key-only snapshots (pure membership sets): no payload means no
+        # 'U' rows can exist — the diff is two anti-joins, and the
+        # F.struct(*[]) the general path would build is illegal anyway
+        ins = new.join(old, key_cols, "left_anti").withColumn("op", F.lit("I"))
+        dels = old.join(new, key_cols, "left_anti").withColumn("op", F.lit("D"))
+        return ins.unionByName(dels).select(*key_cols, "op")
     o = old.select(*key_cols, F.struct(*val_cols).alias("_old"))
     n = new.select(*key_cols, F.struct(*val_cols).alias("_new"))
     j = o.join(n, key_cols, "full_outer")

@@ -87,28 +87,41 @@ def salted_topk(
     collect_list buffer — and stage 2 re-ranks the surviving salt*k rows
     per key. Top-k of a union of per-bucket top-ks IS the global top-k,
     so the result is identical to the window form. Ordering is
-    descending over ``order_cols`` lexicographically (include a unique
-    tie-break column). Output: keys + payload_cols + rank (1-based)."""
-    ordered = F.struct(*[F.col(c) for c in order_cols],
-                       *[F.col(c) for c in payload_cols if c not in order_cols])
+    descending over ``order_cols`` lexicographically and over NOTHING
+    else — payload columns never participate in the sort — so
+    ``order_cols`` must totally order rows within a key (include a
+    unique tie-break column) or which tied row survives the k boundary
+    is nondeterministic, exactly as with the plain window form.
+    Output: keys + payload_cols + rank (1-based)."""
+    ordered = F.struct(*[F.col(c) for c in order_cols])
+    extra = [F.col(c) for c in payload_cols if c not in order_cols]
+    # F.struct() with zero fields is illegal — a constant stands in when
+    # every payload column already rides in the ordering struct
+    payload = F.struct(*extra) if extra else F.struct(F.lit(0).alias("_"))
     salt_col = F.pmod(
-        F.conv(F.substring(F.md5(F.to_json(ordered)), 1, 4), 16, 10)
+        F.conv(F.substring(F.md5(F.to_json(F.struct(ordered, payload))),
+                           1, 4), 16, 10)
         .cast("bigint"),
         F.lit(salt),
     )
-    staged = df.select(*keys, salt_col.alias(_SALT), ordered.alias("_row"))
-    w1 = Window.partitionBy(*keys, _SALT).orderBy(F.col("_row").desc())
+    staged = df.select(*keys, salt_col.alias(_SALT),
+                       ordered.alias("_ord"), payload.alias("_pay"))
+    w1 = Window.partitionBy(*keys, _SALT).orderBy(F.col("_ord").desc())
     stage1 = (
         staged.withColumn("_rn", F.row_number().over(w1))
         .filter(F.col("_rn") <= k)
         .drop("_rn", _SALT)
     )
     # stage 2 sees at most salt*k rows per key
-    w2 = Window.partitionBy(*keys).orderBy(F.col("_row").desc())
+    w2 = Window.partitionBy(*keys).orderBy(F.col("_ord").desc())
     out = (stage1.withColumn("rank", F.row_number().over(w2))
            .filter(F.col("rank") <= k))
     cols = [F.col(c) for c in keys]
-    cols += [F.col(f"_row.{c}").alias(c) for c in payload_cols]
+    cols += [
+        F.col(f"_ord.{c}").alias(c) if c in order_cols
+        else F.col(f"_pay.{c}").alias(c)
+        for c in payload_cols
+    ]
     cols.append(F.col("rank").cast("bigint").alias("rank"))
     return out.select(*cols)
 

@@ -50,58 +50,23 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # queries whose underlying operators changed most recently and should be
 # re-verified first. Every other query follows in registration order.
 _VERIFY_FIRST = [
-    # round-5 new or changed operators — verify first
-    "inverted_index_terms",      # r4 driver-red: output now scalar postings
-    "bloom_semijoin_reduction",  # new: portable bloom fact-scan pre-filter
-    "cms_heavy_hitters",         # new: count-min sketch frequency estimates
-    "table_profile_lineitem",    # new: one-pass data-quality profile
-    "kmv_join_overlap",          # new: set-operation sketch (join planning)
-    "zorder_pruning_ledger",     # new: Morton layout + file-skip audit
-    "cdc_merge_snapshot",        # new: MERGE INTO changelog application
-    "salted_topk_per_type",      # new: skew-safe exact top-k
-    "winsorize_event_values",    # new: percentile clipping
-    "scd2_status_history",       # new: SCD2 dimension build
-    "scd2_point_in_time",        # new: temporal dimension join
-    "compaction_plan_bins",      # new: small-file compaction planner
-    "stream_cdc_apply_bounded",  # new: streaming MERGE INTO loop
-    "equidepth_histogram",       # new: quantile-calibrated buckets
-    "referential_integrity_audit",  # new: FK orphan audit
-    "freshness_gap_report",      # new: missing-hour completeness audit
-    "seasonal_rate_spikes",      # new: hour-of-day baseline anomalies
-    "stream_dedup_gate_bounded",  # new: streaming ingest dedup gate
-    "kmv_sketch_rollup",         # new: lossless sketch merge proof
-    "train_eval_split_manifest",  # new: reproducible split membership
-    "kcore_dense_nodes",         # new: iterative k-core peeling
-    "snapshot_diff_feed",        # new: inverse CDC (snapshot diff)
-    "incremental_agg_maintenance",  # new: lossless moment-state merge
-    "weighted_sample_docs",      # new: deterministic E-S weighted sample
-    "app_source_salesforce",     # new: salesforce protocol port
-    "app_source_stream_resume",  # new: streaming checkpoint-restart resume
-    "bpe_learned_merges",        # gained a recursive-CTE oracle (was rows-only)
-    "bpe_encode_tokens",         # new: tokenizer encode step
-    "fuzzy_name_pairs",          # prefix-filtered q-gram blocking
-    "entity_resolution_groups",  # new: fuzzy graph -> components capstone
-    "incremental_dedup_pairs",   # new: cross-corpus ingest dedup gate
-    "salted_exact_distinct_users",  # new: skew-safe exact distinct
-    "stream_first_seen_bounded",    # new: stateful streaming under the hash gate
-    "histogram_quantile_sketch",    # new: mergeable quantile sketch
-    "stream_rate_alerts_bounded",   # new: windowed streaming alerts under the hash gate
-    "app_source_backfill",       # _rows/record_payload seam touched
+    # ---- round-6 new queries prepend HERE (keep list length ~50) ----
+    # round-6 changed operators — gated_broadcast now wraps the
+    # SF-scaling join sides of the whole TPC-H surface; re-verify it
+    "bloom_semijoin_reduction",
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_predicates",
+    "q20_excess_volume_suppliers",
     # last green driver row is ROUND 2 — oldest signal, re-verify now
-    "classify_strict_json",
-    "rule_alerts_native",
-    "normalized_artifacts",
-    "threat_intel_hits",
-    "lookup_enrich",
-    "alert_merge_windowed",
-    "alert_merge_greedy",
-    "alert_merge_greedy_groups",
-    "rule_datatype_routing",
-    "streamquery_feedback",
-    "simhash_neardup_pairs",
-    "source_kinesis_decode",
-    "source_sns_extract",
-    "source_s3_records",
     "q1_pricing_summary",
     "revenue_by_nation",
     "q3_shipping_priority",
@@ -114,7 +79,7 @@ _VERIFY_FIRST = [
     "log_patterns_route",
     "optional_backfill_bool",
     "nested_csv_column",
-    # last green driver row is ROUND 3 — core families next
+    # last green driver row is ROUND 3 — core parse/dedup families next
     "parse_csv_strict",
     "parse_csv_multiline",
     "parse_kv",
@@ -126,6 +91,20 @@ _VERIFY_FIRST = [
     "minhash_lsh_candidates",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "sessionize_events",
+    "rollup_pricing",
+    "corpus_quality_filter",
+    "funnel_stages",
+    "cohort_retention",
+    "latest_event_per_user",
+    "session_window_agg",
+    "event_type_pivot",
+    "moving_day_window",
+    "range_join_windows",
+    "scd2_intervals",
+    "url_domain_filter",
+    "doc_length_histogram",
+    "quality_bucket_filter",
 ]
 
 

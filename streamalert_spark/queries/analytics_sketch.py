@@ -660,10 +660,14 @@ def entity_resolution_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EQUIDEPTH_ORACLE = """
 WITH edges AS (
+  -- edges rounded to 6 decimals BEFORE bucketing, matching the Spark
+  -- side exactly: the raw quartiles may differ between engines in low
+  -- bits (percentile vs quantile_cont interpolation), and a value
+  -- sitting exactly on an edge must bucket identically on both sides
   SELECT event_type,
-         quantile_cont(value, 0.25) AS q1,
-         quantile_cont(value, 0.50) AS q2,
-         quantile_cont(value, 0.75) AS q3
+         ROUND(quantile_cont(value, 0.25), 6) AS q1,
+         ROUND(quantile_cont(value, 0.50), 6) AS q2,
+         ROUND(quantile_cont(value, 0.75), 6) AS q3
   FROM events GROUP BY event_type
 ),
 bucketed AS (
@@ -676,8 +680,7 @@ bucketed AS (
   FROM events e JOIN edges d USING (event_type)
 )
 SELECT event_type, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS cnt,
-       ROUND(MAX(q1), 6) AS q1, ROUND(MAX(q2), 6) AS q2,
-       ROUND(MAX(q3), 6) AS q3
+       MAX(q1) AS q1, MAX(q2) AS q2, MAX(q3) AS q3
 FROM bucketed GROUP BY event_type, bucket
 ORDER BY event_type, bucket
 """
@@ -694,10 +697,14 @@ ORDER BY event_type, bucket
            "broadcast.")
 def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
+    # edges rounded BEFORE bucketing (mirrored in the oracle): both
+    # engines then compare values against bit-identical boundaries, so a
+    # value landing exactly on a quartile buckets the same way even when
+    # percentile vs quantile_cont disagree in low-order bits
     edges = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.25D)").alias("q1"),
-        F.expr("percentile(value, 0.50D)").alias("q2"),
-        F.expr("percentile(value, 0.75D)").alias("q3"),
+        F.round(F.expr("percentile(value, 0.25D)"), 6).alias("q1"),
+        F.round(F.expr("percentile(value, 0.50D)"), 6).alias("q2"),
+        F.round(F.expr("percentile(value, 0.75D)"), 6).alias("q3"),
     )
     bucket = (
         F.when(F.col("value") <= F.col("q1"), 0)
@@ -711,9 +718,9 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "q1", "q2", "q3")
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"),
-             F.round(F.max("q1"), 6).alias("q1"),
-             F.round(F.max("q2"), 6).alias("q2"),
-             F.round(F.max("q3"), 6).alias("q3"))
+             F.max("q1").alias("q1"),
+             F.max("q2").alias("q2"),
+             F.max("q3").alias("q3"))
         .repartition(1).sortWithinPartitions("event_type", "bucket")
     )
 

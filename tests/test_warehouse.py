@@ -197,3 +197,14 @@ def test_snapshot_diff_round_trip(spark):
     rebuilt = sorted(tuple(r) for r in apply_changelog(
         old, changelog, ["k"], "seq", "op").collect())
     assert rebuilt == sorted(tuple(r) for r in new.collect())
+
+def test_snapshot_diff_key_only_tables(spark):
+    """Diffing two pure membership sets (every column a key) must emit
+    I/D rows via anti-joins instead of crashing on an empty value
+    struct; 'U' is impossible with no payload."""
+    from streamalert_spark.ops.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,), (3,)], "k bigint")
+    new = spark.createDataFrame([(2,), (3,), (9,)], "k bigint")
+    diff = sorted(tuple(r) for r in snapshot_diff(old, new, ["k"]).collect())
+    assert diff == [(1, "D"), (9, "I")]
