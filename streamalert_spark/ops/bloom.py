@@ -27,13 +27,31 @@ literal), fully codegen'd, no UDFs, no shuffle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from streamalert_spark.ops.sketch import hex_prefix_int, hex_prefix_int_sql
 
-BLOOM_M = 256  # bits — demo calibration; production sizes m ~ -n*ln(p)/ln(2)^2
+BLOOM_M = 256  # bits — demo calibration; production sizes via bloom_calibrate
 BLOOM_K = 3    # hash functions
+
+
+def bloom_calibrate(n_expected: int, fpp: float) -> tuple[int, int]:
+    """Production sizing: (m, k) for ``n_expected`` keys at target false-
+    positive probability ``fpp`` — the standard optima
+    m = ceil(-n*ln(p)/ln(2)^2) and k = round(m/n * ln 2). Size for the
+    PRODUCTION key count: a filter built over fewer keys than n_expected
+    just runs below the target fpp; one built over more keys degrades
+    smoothly (fpp ~ (1-e^(-kn/m))^k). The m-bit broadcast state is what
+    makes this the 100 TB semi-join move — 10M keys at 1% fpp is ~12 MB
+    of bitmap, broadcastable where the raw key set is not."""
+    if n_expected < 1 or not (0.0 < fpp < 1.0):
+        raise ValueError(f"bad calibration: n={n_expected}, p={fpp}")
+    m = math.ceil(-n_expected * math.log(fpp) / (math.log(2) ** 2))
+    k = max(1, round(m / n_expected * math.log(2)))
+    return m, k
 
 
 def bloom_bit(key: Column, i: int, m: int = BLOOM_M) -> Column:

@@ -71,6 +71,24 @@ def salted_two_stage_agg(
     return staged.groupBy(*keys).agg(*merge_exprs)
 
 
+def topk_salt_parts(order_cols, payload_cols, salt):
+    """(ordered struct, payload struct, salt column) used by salted_topk —
+    exposed so skew fixtures can assert a hot key's rows really spread
+    across salt buckets with the op's own derivation."""
+    ordered = F.struct(*[F.col(c) for c in order_cols])
+    extra = [F.col(c) for c in payload_cols if c not in order_cols]
+    # F.struct() with zero fields is illegal — a constant stands in when
+    # every payload column already rides in the ordering struct
+    payload = F.struct(*extra) if extra else F.struct(F.lit(0).alias("_"))
+    salt_col = F.pmod(
+        F.conv(F.substring(F.md5(F.to_json(F.struct(ordered, payload))),
+                           1, 4), 16, 10)
+        .cast("bigint"),
+        F.lit(salt),
+    )
+    return ordered, payload, salt_col
+
+
 def salted_topk(
     df: DataFrame,
     keys: list[str],
@@ -93,17 +111,8 @@ def salted_topk(
     unique tie-break column) or which tied row survives the k boundary
     is nondeterministic, exactly as with the plain window form.
     Output: keys + payload_cols + rank (1-based)."""
-    ordered = F.struct(*[F.col(c) for c in order_cols])
-    extra = [F.col(c) for c in payload_cols if c not in order_cols]
-    # F.struct() with zero fields is illegal — a constant stands in when
-    # every payload column already rides in the ordering struct
-    payload = F.struct(*extra) if extra else F.struct(F.lit(0).alias("_"))
-    salt_col = F.pmod(
-        F.conv(F.substring(F.md5(F.to_json(F.struct(ordered, payload))),
-                           1, 4), 16, 10)
-        .cast("bigint"),
-        F.lit(salt),
-    )
+    ordered, payload, salt_col = topk_salt_parts(
+        order_cols, payload_cols, salt)
     staged = df.select(*keys, salt_col.alias(_SALT),
                        ordered.alias("_ord"), payload.alias("_pay"))
     w1 = Window.partitionBy(*keys, _SALT).orderBy(F.col("_ord").desc())

@@ -51,6 +51,9 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # re-verified first. Every other query follows in registration order.
 _VERIFY_FIRST = [
     # ---- round-6 new queries prepend HERE (keep list length ~50) ----
+    "alert_merge_digest",   # new: merged-record synthesis digest (closes
+    #                         the last rows-only gap in the merge family)
+    "bloom_calibrated_semijoin",  # new: production m/k sizing path
     # round-6 changed operators — gated_broadcast now wraps the
     # SF-scaling join sides of the whole TPC-H surface; re-verify it
     "bloom_semijoin_reduction",

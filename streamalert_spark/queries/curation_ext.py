@@ -549,24 +549,18 @@ LIMIT 50
            "(libm low bits differ across engines; hash max does not). "
            "Top-k by key = a quality-weighted corpus sample that is "
            "reproducible across runs, engines, and cluster sizes. "
-           "Plan: explode by integer weight, map-side max-combine, "
-           "TakeOrderedAndProject — no global sort, no RNG state.")
+           "Plan: explode by integer weight (guarded by the op's hard "
+           "MAX_SAMPLE_WEIGHT cap — O(Σweights) is the documented "
+           "contract), map-side max-combine, TakeOrderedAndProject — "
+           "no global sort, no RNG state.")
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.sampling import weighted_sample_keys
     from streamalert_spark.session import read_table
 
     docs = read_table(spark, sf_dir, "documents")
     w = docs.select(
         "doc_id", (1 + F.pmod(F.col("doc_id"), F.lit(5))).alias("weight"))
-    draws = (
-        w.select("doc_id", "weight",
-                 F.explode(F.sequence(F.lit(1), F.col("weight"))).alias("j"))
-        .select("doc_id", "weight",
-                F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"),
-                               F.lit(":"), F.col("j").cast("string")))
-                .alias("h"))
-        .groupBy("doc_id", "weight")
-        .agg(F.max("h").alias("draw"))
-    )
+    draws = weighted_sample_keys(w, "doc_id", "weight")
     return (
         draws.select("doc_id", F.col("weight").cast("bigint").alias("weight"),
                      "draw")

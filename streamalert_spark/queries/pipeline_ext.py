@@ -93,6 +93,147 @@ def alert_merge_greedy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule_name", "merge_values", "alert_time_first")
 
 
+# The merged-record SYNTHESIS (common-subset / MergedBy / OtherCommonKeys /
+# per-alert ValueDiffs, alert.py:289-433) IS oracle-checkable once reduced
+# to a scalar: hash a canonical flattening of the merged record. With flat
+# input records a field is "common" iff every record in the group carries
+# the same value (here: user_id and event_type always; event_id only in
+# effectively-singleton groups), MergedBy is the merge-key values,
+# OtherCommonKeys is common-minus-merge-keys, and each alert's ValueDiffs
+# holds exactly the non-common fields. The oracle replays the same greedy
+# walk as _GREEDY_GROUPS_ORACLE, then rebuilds the canonical string with
+# min/max/string_agg per group. Input is deduped on (user_id, created) on
+# BOTH sides so ValueDiffs keys (created timestamps) are unique by
+# construction — a duplicate key would silently drop a diff dict entry.
+_MERGE_DIGEST_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT CAST(user_id AS VARCHAR) AS uid,
+         CAST(event_id AS VARCHAR) AS eid,
+         CAST(ts AS TIMESTAMP) AS created
+  FROM events WHERE event_type = 'error'
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%fZ')
+    ORDER BY event_id DESC) = 1
+), ordered AS (
+  SELECT uid, eid, created,
+         row_number() OVER (PARTITION BY uid ORDER BY created) AS rn
+  FROM base
+), walk AS (
+  SELECT uid, rn, eid, created, created AS grp_start, 1 AS cnt
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.uid, o.rn, o.eid, o.created,
+         CASE WHEN o.created <= w.grp_start + INTERVAL 15 MINUTE AND w.cnt < 50
+              THEN w.grp_start ELSE o.created END,
+         CASE WHEN o.created <= w.grp_start + INTERVAL 15 MINUTE AND w.cnt < 50
+              THEN w.cnt + 1 ELSE 1 END
+  FROM ordered o JOIN walk w ON o.uid = w.uid AND o.rn = w.rn + 1
+), flagged AS (
+  SELECT uid, grp_start, eid, created,
+         MIN(eid) OVER (PARTITION BY uid, grp_start)
+           = MAX(eid) OVER (PARTITION BY uid, grp_start) AS eid_common
+  FROM walk
+), grouped AS (
+  SELECT uid, grp_start,
+         COUNT(*) AS alert_count,
+         strftime(MIN(created), '%Y-%m-%dT%H:%M:%S.%fZ') AS first_ts,
+         strftime(MAX(created), '%Y-%m-%dT%H:%M:%S.%fZ') AS last_ts,
+         bool_and(eid_common) AS eid_common,
+         MIN(eid) AS eid_val,
+         string_agg(
+           strftime(created, '%Y-%m-%dT%H:%M:%S.%fZ') || '=' ||
+           CASE WHEN eid_common THEN ''
+                ELSE 'event_id:' || eid END,
+           ',' ORDER BY created) AS diffs_str
+  FROM flagged
+  GROUP BY uid, grp_start
+)
+SELECT 'error_burst' AS rule_name,
+       '{"user_id":"' || uid || '"}' AS merge_values,
+       CAST(alert_count AS BIGINT) AS alert_count,
+       first_ts AS alert_time_first,
+       last_ts AS alert_time_last,
+       md5('n=' || alert_count || '|first=' || first_ts ||
+           '|last=' || last_ts || '|by=user_id:' || uid || '|common=' ||
+           CASE WHEN eid_common
+                THEN 'event_id:' || eid_val || ',event_type:error'
+                ELSE 'event_type:error' END ||
+           '|diffs=' || diffs_str) AS digest
+FROM grouped
+ORDER BY rule_name, merge_values, alert_time_first
+"""
+
+
+@query("alert_merge_digest", oracle=_MERGE_DIGEST_ORACLE,
+       doc="Full greedy merge INCLUDING the merged-record synthesis "
+           "(common-subset, MergedBy, OtherCommonKeys, per-alert "
+           "ValueDiffs — alert.py:289-433) reduced to a canonical-string "
+           "md5 digest and hash-checked against the recursive-CTE walk: "
+           "closes the one rows-only gap alert_merge_greedy leaves.")
+def alert_merge_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").cast("string").alias("uid"),
+        F.col("event_id").cast("string").alias("eid"),
+        F.col("event_id").alias("eid_num"),
+        F.date_format("ts", ALERT_TS_FMT).alias("created"),
+    )
+    dedup_w = W.partitionBy("uid", "created").orderBy(F.col("eid_num").desc())
+    alerts = (
+        errors.withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.lit("error_burst").alias("rule_name"),
+            F.col("created"),
+            F.to_json(F.struct(
+                F.col("eid").alias("event_id"),
+                F.lit("error").alias("event_type"),
+                F.col("uid").alias("user_id"),
+            )).alias("record"),
+            F.array(F.lit("user_id")).alias("merge_by_keys"),
+            F.lit(15).alias("merge_window_mins"),
+        )
+    )
+    merged_schema = (
+        "AlertCount bigint, AlertTimeFirst string, AlertTimeLast string, "
+        "MergedBy map<string,string>, OtherCommonKeys map<string,string>, "
+        "ValueDiffs map<string,map<string,string>>"
+    )
+    m = F.from_json(F.col("merged_record"), merged_schema)
+    kv = lambda e: F.concat(e.key, F.lit(":"), e.value)  # noqa: E731
+    common_str = F.array_join(
+        F.array_sort(F.transform(F.map_entries(m["OtherCommonKeys"]), kv)),
+        ",")
+    diffs_str = F.array_join(
+        F.array_sort(F.transform(
+            F.map_entries(m["ValueDiffs"]),
+            lambda e: F.concat(
+                e.key, F.lit("="),
+                F.array_join(
+                    F.array_sort(F.transform(F.map_entries(e.value), kv)),
+                    ";")))),
+        ",")
+    by_str = F.concat(F.lit("user_id:"), m["MergedBy"]["user_id"])
+    digest = F.md5(F.concat(
+        F.lit("n="), m["AlertCount"].cast("string"),
+        F.lit("|first="), m["AlertTimeFirst"],
+        F.lit("|last="), m["AlertTimeLast"],
+        F.lit("|by="), by_str,
+        F.lit("|common="), common_str,
+        F.lit("|diffs="), diffs_str,
+    ))
+    return (
+        merge_alerts_batch(alerts)
+        .select("rule_name", "merge_values", "alert_count",
+                "alert_time_first", "alert_time_last",
+                digest.alias("digest"))
+        .repartition(1).sortWithinPartitions(
+            "rule_name", "merge_values", "alert_time_first")
+    )
+
+
 _DATATYPE_ORACLE = """
 SELECT md5(CAST(event_id AS VARCHAR)) AS id,
        'metric_watch' AS rule_name,

@@ -12,7 +12,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamalert_spark.ops import dedup, similarity
-from streamalert_spark.ops.bloom import BLOOM_K, BLOOM_M, bloom_bit_sql
+from streamalert_spark.ops.bloom import (
+    BLOOM_K, BLOOM_M, bloom_bit_sql, bloom_calibrate,
+)
 from streamalert_spark.queries import query
 from streamalert_spark.session import read_table
 
@@ -179,6 +181,87 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim_count = dim.agg(F.count(F.lit(1)).alias("dim_keys"))
     return stats.crossJoin(F.broadcast(dim_count)).select(
+        "dim_keys", "fact_rows", "bloom_pass_rows", "exact_pass_rows",
+        (F.col("bloom_pass_rows") - F.col("exact_pass_rows"))
+        .alias("false_positive_rows"),
+    )
+
+
+# Calibrated (non-demo) bloom: m/k derived from a target capacity and
+# false-positive probability by the production sizing formula, proving the
+# whole surface — bit placement, bitmap build, membership SQL, oracle
+# generation — is parameterized by (m, k), not baked to the 256-bit demo.
+_CAL_M, _CAL_K = bloom_calibrate(2000, 0.01)   # -> m=19171, k=7
+
+_CAL_DIM_PRED = "s_acctbal > 5000"
+
+_CAL_MEMBER_SQL = " AND ".join(
+    f"({bloom_bit_sql('f.key', i, m=_CAL_M)} IN (SELECT pos FROM bits))"
+    for i in range(_CAL_K)
+)
+
+_CAL_BITS_SQL = " UNION ALL ".join(
+    f"SELECT {bloom_bit_sql('key', i, m=_CAL_M)} AS pos FROM dim"
+    for i in range(_CAL_K)
+)
+
+_CAL_BLOOM_ORACLE = f"""
+WITH dim AS (
+  SELECT DISTINCT s_suppkey AS key FROM supplier WHERE {_CAL_DIM_PRED}
+),
+bits AS (SELECT DISTINCT pos FROM ({_CAL_BITS_SQL})),
+fkeys AS (SELECT DISTINCT l_suppkey AS key FROM lineitem),
+fmember AS (SELECT f.key, ({_CAL_MEMBER_SQL}) AS pass FROM fkeys f)
+SELECT {_CAL_M} AS m_bits, {_CAL_K} AS k_hashes,
+       dim_keys, fact_rows, bloom_pass_rows, exact_pass_rows,
+       bloom_pass_rows - exact_pass_rows AS false_positive_rows
+FROM (
+  SELECT
+    (SELECT COUNT(*) FROM dim) AS dim_keys,
+    (SELECT COUNT(*) FROM lineitem) AS fact_rows,
+    (SELECT COUNT(*) FROM lineitem l JOIN fmember m ON l.l_suppkey = m.key
+     WHERE m.pass) AS bloom_pass_rows,
+    (SELECT COUNT(*) FROM lineitem l
+     WHERE l.l_suppkey IN (SELECT key FROM dim)) AS exact_pass_rows
+)
+"""
+
+
+@query("bloom_calibrated_semijoin", oracle=_CAL_BLOOM_ORACLE,
+       doc="Bloom semi-join reduction at PRODUCTION calibration: m and k "
+           "come from bloom_calibrate(capacity=2000, fpp=1%) — the "
+           "-n*ln(p)/ln(2)^2 sizing optimum — instead of the 256-bit "
+           "demo constant, and the DuckDB oracle is GENERATED from the "
+           "same (m, k), proving the portable bit placement and the "
+           "oracle surface scale with the calibration. Supplier dim "
+           "pre-filters the lineitem fact scan; broadcast state is m "
+           "bits (~2.3 KB here, ~12 MB for 10M keys at 1%) however wide "
+           "the keys are.")
+def bloom_calibrated_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.bloom import bloom_bitmap, bloom_member
+    from streamalert_spark.ops.hints import gated_broadcast
+
+    supp = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem")
+    dim = (
+        supp.filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_suppkey").alias("key")).distinct()
+    )
+    bitmap = bloom_bitmap(dim, "key", m=_CAL_M, k=_CAL_K)
+    flagged = li.join(
+        gated_broadcast(dim.withColumn("_dim", F.lit(1))),
+        li["l_suppkey"] == F.col("key"), "left")
+    stats = flagged.agg(
+        F.count(F.lit(1)).alias("fact_rows"),
+        F.sum(F.when(bloom_member(F.col("l_suppkey"), bitmap, k=_CAL_K), 1)
+              .otherwise(0)).cast("bigint").alias("bloom_pass_rows"),
+        F.sum(F.coalesce(F.col("_dim"), F.lit(0)))
+         .cast("bigint").alias("exact_pass_rows"),
+    )
+    dim_count = dim.agg(F.count(F.lit(1)).alias("dim_keys"))
+    return stats.crossJoin(F.broadcast(dim_count)).select(
+        F.lit(_CAL_M).cast("bigint").alias("m_bits"),
+        F.lit(_CAL_K).cast("bigint").alias("k_hashes"),
         "dim_keys", "fact_rows", "bloom_pass_rows", "exact_pass_rows",
         (F.col("bloom_pass_rows") - F.col("exact_pass_rows"))
         .alias("false_positive_rows"),

@@ -147,3 +147,24 @@ def test_weighted_sample_matches_python_reference(spark):
     heavy_share = sum(1 for d in got if 1 + d % 5 >= 4) / 50
     heavy_pop = sum(1 for d in ids if 1 + d % 5 >= 4) / len(ids)
     assert heavy_share > heavy_pop
+
+def test_weighted_sample_weight_cap_guard(spark):
+    """The op's scale contract: a weight beyond MAX_SAMPLE_WEIGHT fails
+    fast at execution (distributed raise_error, no driver pass) instead of
+    silently exploding the scan by the weight; in-range weights work."""
+    import pytest
+
+    from streamalert_spark.ops.sampling import (
+        MAX_SAMPLE_WEIGHT, weighted_sample_keys,
+    )
+
+    ok = spark.createDataFrame([(1, 3), (2, MAX_SAMPLE_WEIGHT)], "id int, w int")
+    rows = weighted_sample_keys(ok, "id", "w").collect()
+    assert len(rows) == 2 and all(len(r["draw"]) == 32 for r in rows)
+
+    bad = spark.createDataFrame([(1, MAX_SAMPLE_WEIGHT + 1)], "id int, w int")
+    with pytest.raises(Exception, match="weight out of"):
+        weighted_sample_keys(bad, "id", "w").collect()
+    zero = spark.createDataFrame([(1, 0)], "id int, w int")
+    with pytest.raises(Exception, match="weight out of"):
+        weighted_sample_keys(zero, "id", "w").collect()

@@ -169,3 +169,40 @@ def test_salted_topk_matches_window_topk(spark):
         for r in df.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5).collect())
     assert got == [(g, v, rid, int(rk)) for g, v, rid, rk in want]
+
+def test_salted_topk_hot_key_spreads_buckets(spark):
+    """Skew fixture (one key = 50% of all rows): stage 1 must spread the
+    hot key's sort across most of the 16 salt buckets — the whole point
+    of the two-stage form — and still return the exact window top-k."""
+    from pyspark.sql import Window
+
+    from streamalert_spark.ops.skew import salted_topk, topk_salt_parts
+
+    n = 10000
+    df = spark.range(n).select(
+        # key 'hot' holds exactly half of all rows
+        F.when(F.col("id") < n / 2, F.lit("hot"))
+         .otherwise(F.concat(F.lit("cold"), (F.col("id") % 97).cast("string")))
+         .alias("g"),
+        (F.col("id") * 37 % 1000).cast("double").alias("v"),
+        F.col("id").alias("rid"),
+    )
+
+    _, _, salt_col = topk_salt_parts(["v", "rid"], ["v", "rid"], 16)
+    occupied = (
+        df.filter(F.col("g") == "hot")
+        .groupBy(salt_col.alias("b")).count()
+    ).collect()
+    assert len(occupied) >= 12, f"hot key in only {len(occupied)} buckets"
+    # no bucket hoards the hot key: the largest holds far less than all
+    assert max(r["count"] for r in occupied) < 0.25 * n / 2
+
+    got = sorted(
+        (r["g"], r["v"], r["rid"], r["rank"])
+        for r in salted_topk(df, ["g"], ["v", "rid"], ["v", "rid"], k=4).collect())
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("rid").desc())
+    want = sorted(
+        (r["g"], r["v"], r["rid"], r["rn"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4).collect())
+    assert got == [(g, v, rid, int(rk)) for g, v, rid, rk in want]
