@@ -17,9 +17,11 @@ every JSON value (number/bool/object/array) as its raw text in one parse;
 per-field coercion happens later with reference semantics. Key-set checking
 uses ``json_object_keys`` + array algebra — native, codegen-friendly, no UDF.
 
-json_path support covers the reference's shipped shapes: 'a[*]',
-'a[*].b', and dotted 'a.b' — implemented as from_json + explode, which is
-the idiomatic Spark equivalent of a JMESPath list projection.
+json_path supports the jmespath subset the reference's configs can carry:
+the shipped shapes 'a[*]', 'a[*].b', dotted 'a.b' (fast paths below), plus
+indexes, slices, and filter projections via the subset compiler in
+parsers/jmespath_subset.py — all from_json + explode + get_json_object,
+the idiomatic Spark equivalents of JMESPath projections.
 """
 
 from __future__ import annotations
@@ -115,24 +117,15 @@ class JsonParser(ParserBase):
                 inner = F.from_json(F.col(raw_col), ddl)[head]
                 df = df.withColumn("_sa_raw", F.explode(inner))
             return df, "_sa_raw"
-        if "[*]" in path:
-            # general list-projection chain (the jmespath subset
-            # 'a.b[*].c.d[*].e'): each [*] explodes the array at its
-            # dotted prefix, the final dotted suffix projects out of the
-            # exploded element. Covers dotted tails and multi-level
-            # arrays the fast paths above don't.
-            parts = path.split("[*]")
-            cur = F.col(raw_col)
-            for i, pre in enumerate(parts[:-1]):
-                pre = pre.lstrip(".")
-                arr_text = F.get_json_object(cur, "$." + pre) if pre else cur
-                step = f"_sa_jp{i}"
-                df = df.withColumn(step, F.explode(F.from_json(arr_text, "array<string>")))
-                cur = F.col(step)
-            suffix = parts[-1].lstrip(".")
-            if suffix:
-                cur = F.get_json_object(cur, "$." + suffix)
-            df = df.withColumn("_sa_raw", cur)
+        if "[" in path:
+            # general jmespath subset — projections ([*], slices, filter
+            # expressions), indexes, dotted prefixes/suffixes — compiled
+            # to get_json_object / explode chains by the subset compiler
+            # (see parsers/jmespath_subset.py for the exact grammar).
+            from streamalert_spark.parsers.jmespath_subset import apply_json_path
+
+            df, cur, temps = apply_json_path(df, raw_col, path, tag="jp")
+            df = df.withColumn("_sa_raw", cur).drop(*temps)
             return df, "_sa_raw"
         # plain dotted path 'a.b' — single record extraction
         df = df.withColumn("_sa_raw", F.get_json_object(F.col(raw_col), "$." + path))

@@ -54,6 +54,8 @@ _VERIFY_FIRST = [
     "alert_merge_digest",   # new: merged-record synthesis digest (closes
     #                         the last rows-only gap in the merge family)
     "bloom_calibrated_semijoin",  # new: production m/k sizing path
+    "parse_json_path_filter",   # new: jmespath filter projection compile
+    "parse_json_path_slice",    # new: jmespath index+slice compile
     # round-6 changed operators — gated_broadcast now wraps the
     # SF-scaling join sides of the whole TPC-H surface; re-verify it
     "bloom_semijoin_reduction",

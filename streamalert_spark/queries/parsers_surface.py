@@ -285,3 +285,109 @@ def parse_json_envelope_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("record.event_type").alias("event_type"),
         F.col("streamalert_envelope_keys.logGroup").alias("log_group"),
     ).repartition(1).sortWithinPartitions("src_key", "event_id")
+
+
+# ------------------------------------------- jmespath filter / slice paths
+
+_JP_FILTER_ORACLE = """
+SELECT src_key, event_id, event_type
+FROM (
+  SELECT event_id AS src_key, CAST(event_id AS BIGINT) AS event_id, event_type
+  FROM events
+  UNION ALL
+  SELECT event_id AS src_key, CAST(event_id + 1000000000 AS BIGINT) AS event_id,
+         event_type
+  FROM events
+) t
+ORDER BY src_key, event_id
+"""
+
+
+@query("parse_json_path_filter", oracle=_JP_FILTER_ORACLE,
+       doc="json_path with a jmespath FILTER projection "
+           "(items[?level == 'error'].payload): the subset compiler "
+           "(parsers/jmespath_subset.py) turns the filter into an "
+           "explode + native predicate, so only matching elements reach "
+           "strict classification — mirrors jmespath.search in the "
+           "reference's record extraction (classifier/parsers.py:429-448) "
+           "without leaving the JVM.")
+def parse_json_path_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+
+    def item(level: str, offset: int):
+        return F.struct(
+            F.lit(level).alias("level"),
+            F.struct(
+                (F.col("event_id") + offset).cast("string").alias("event_id"),
+                F.col("event_type"),
+            ).alias("payload"),
+        )
+
+    payload = F.to_json(F.struct(F.array(
+        item("error", 0),
+        item("info", 500000000),
+        item("error", 1000000000),
+    ).alias("items")))
+    df = ev.select(F.col("event_id").alias("src_key"), payload.alias("payload"))
+    schema = LogSchema(
+        name="app:error_items",
+        schema={"event_id": "integer", "event_type": "string"},
+        configuration={"json_path": "items[?level == 'error'].payload"},
+    )
+    batch = _classify(df, schema, keep=["src_key"])
+    return batch.by_log_type["app:error_items"].select(
+        "src_key",
+        F.col("record.event_id").alias("event_id"),
+        F.col("record.event_type").alias("event_type"),
+    ).repartition(1).sortWithinPartitions("src_key", "event_id")
+
+
+_JP_SLICE_ORACLE = """
+SELECT src_key, event_id, event_type
+FROM (
+  SELECT event_id AS src_key, CAST(event_id + 1000000000 AS BIGINT) AS event_id,
+         event_type
+  FROM events
+  UNION ALL
+  SELECT event_id AS src_key, CAST(event_id + 2000000000 AS BIGINT) AS event_id,
+         event_type
+  FROM events
+) t
+ORDER BY src_key, event_id
+"""
+
+
+@query("parse_json_path_slice", oracle=_JP_SLICE_ORACLE,
+       doc="json_path chaining an INDEX and a SLICE projection "
+           "(batches[-1].items[1:3].payload): negative index via "
+           "try_element_at, slice bounds resolved against the runtime "
+           "array size, each surviving element classified strictly — "
+           "the jmespath grammar beyond [*] compiled to native "
+           "posexplode + bound predicates.")
+def parse_json_path_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+
+    def item(offset: int):
+        return F.struct(F.struct(
+            (F.col("event_id") + offset).cast("string").alias("event_id"),
+            F.col("event_type"),
+        ).alias("payload"))
+
+    batch_items = F.struct(F.array(
+        item(0), item(1000000000), item(2000000000), item(3000000000),
+    ).alias("items"))
+    decoy = F.struct(F.array(item(7000000000)).alias("items"))
+    payload = F.to_json(F.struct(
+        F.array(decoy, batch_items).alias("batches")))
+    df = ev.select(F.col("event_id").alias("src_key"), payload.alias("payload"))
+    schema = LogSchema(
+        name="app:sliced_items",
+        schema={"event_id": "integer", "event_type": "string"},
+        configuration={"json_path": "batches[-1].items[1:3].payload"},
+    )
+    batch = _classify(df, schema, keep=["src_key"])
+    return batch.by_log_type["app:sliced_items"].select(
+        "src_key",
+        F.col("record.event_id").alias("event_id"),
+        F.col("record.event_type").alias("event_type"),
+    ).repartition(1).sortWithinPartitions("src_key", "event_id")
