@@ -92,3 +92,88 @@ def profile_oracle_sql(table: str, spec: dict[str, str]) -> str:
             f"FROM {table}"
         )
     return " UNION ALL ".join(parts)
+
+
+def profile_sketched(df: DataFrame, spec: dict[str, str], k: int | None = None):
+    """The 100-TB variant of ``profile``: distinct counts via the KMV
+    sketch instead of the exact multi-distinct Expand (which multiplies
+    the map stage by the column count). Columns stack into (column_name,
+    rendered_value) pairs — ONE scan — then a partial-agg-deduped
+    distinct shuffle carries O(Σ per-column distincts) hash rows, never
+    rows x columns. Values hash through the same portable renderings as
+    ``profile``'s min/max (doubles at 4 decimals — lossless for
+    money-scale decimals; the sketch profiles the rendered domain).
+    Output: (column_name, n_rows, null_count, kth_min_hash,
+    kmv_distinct, exact_distinct) — exact_distinct rides along from the
+    dedup (it is free here) to expose the estimate's error."""
+    from pyspark.sql import Window
+
+    from streamalert_spark.ops.sketch import KMV_K, hex_fraction
+
+    kk = KMV_K if k is None else k
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 _render(F.col(c), dt).alias("v"))
+        for c, dt in spec.items()
+    ])
+    stacked = df.select(F.explode(pairs).alias("p")).select("p.*")
+    counts = stacked.groupBy("column_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+         .cast("bigint").alias("null_count"),
+    )
+    hashed = (
+        stacked.filter(F.col("v").isNotNull()).distinct()
+        .select("column_name", F.md5(F.col("v")).alias("h"))
+    )
+    w = Window.partitionBy("column_name").orderBy("h")
+    ranked = hashed.select(
+        "column_name", "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("column_name")).alias("nd"),
+    )
+    kth = ranked.filter(F.col("rn") == F.least(F.lit(kk), F.col("nd")))
+    est = F.when(
+        F.col("nd") < kk, F.col("nd").cast("double")
+    ).otherwise(F.round(F.lit(float(kk - 1)) / hex_fraction(F.col("h")), 4))
+    return (
+        counts.join(kth, "column_name")
+        .select("column_name", "n_rows", "null_count",
+                F.col("h").alias("kth_min_hash"),
+                est.alias("kmv_distinct"),
+                F.col("nd").cast("bigint").alias("exact_distinct"))
+    )
+
+
+def profile_sketched_oracle_sql(table: str, spec: dict[str, str],
+                                k: int | None = None) -> str:
+    """Engine-portable SQL twin of ``profile_sketched`` — generated from
+    the same spec and the same KMV primitives."""
+    from streamalert_spark.ops.sketch import KMV_K, hex_fraction_sql
+
+    kk = KMV_K if k is None else k
+    parts = []
+    for c, dtype in spec.items():
+        rexpr = _render_sql(c, dtype)
+        parts.append(f"""
+SELECT '{c}' AS column_name, a.n_rows, a.null_count,
+       b.kth_min_hash, b.kmv_distinct, b.exact_distinct
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS null_count
+  FROM {table}
+) a CROSS JOIN (
+  SELECT h AS kth_min_hash,
+         CASE WHEN nd < {kk} THEN CAST(nd AS DOUBLE)
+              ELSE ROUND({float(kk - 1)!r} / ({hex_fraction_sql('h')}), 4)
+         END AS kmv_distinct,
+         CAST(nd AS BIGINT) AS exact_distinct
+  FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn, COUNT(*) OVER () AS nd
+    FROM (SELECT DISTINCT md5({rexpr}) AS h FROM {table}
+          WHERE {c} IS NOT NULL)
+  )
+  WHERE rn = LEAST({kk}, nd)
+) b""")
+        parts.append(" UNION ALL ")
+    return "".join(parts[:-1])

@@ -56,6 +56,8 @@ _VERIFY_FIRST = [
     "bloom_calibrated_semijoin",  # new: production m/k sizing path
     "parse_json_path_filter",   # new: jmespath filter projection compile
     "parse_json_path_slice",    # new: jmespath index+slice compile
+    "bm25_retrieval_scores",    # new: engine-exact fixed-point BM25
+    "table_profile_sketched",   # new: KMV profile (100-TB Expand-free)
     # round-6 changed operators — gated_broadcast now wraps the
     # SF-scaling join sides of the whole TPC-H surface; re-verify it
     "bloom_semijoin_reduction",

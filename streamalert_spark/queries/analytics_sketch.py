@@ -265,6 +265,31 @@ def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(1).sortWithinPartitions("column_name"))
 
 
+def _profile_sketched_oracle() -> str:
+    from streamalert_spark.ops.profile import profile_sketched_oracle_sql
+
+    return ("SELECT * FROM (" + profile_sketched_oracle_sql(
+        "lineitem", _LINEITEM_SPEC) + ") ORDER BY column_name")
+
+
+@query("table_profile_sketched", oracle=_profile_sketched_oracle(),
+       doc="The 100-TB profile variant: per-column distinct counts via "
+           "the KMV sketch instead of table_profile_lineitem's exact "
+           "multi-distinct Expand (which multiplies the map stage by the "
+           "column count). Columns stack into (column, rendered value) "
+           "pairs in one scan; the distinct shuffle is partial-agg "
+           "deduped so it carries O(Σ per-column distincts) md5 rows. "
+           "Output pairs the estimate with the exact count so the "
+           "sketch's error is visible and hash-pinned.")
+def table_profile_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.profile import profile_sketched
+    from streamalert_spark.session import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return (profile_sketched(li, _LINEITEM_SPEC)
+            .repartition(1).sortWithinPartitions("column_name"))
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch heavy hitters — fixed-memory frequency estimation.
 # ---------------------------------------------------------------------------
@@ -940,4 +965,66 @@ def kcore_dense_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         kcore(edges, k=_KCORE_K, max_iterations=_KCORE_MAX_ITER)
         .repartition(1).sortWithinPartitions("node")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval — engine-exact fixed-point scoring over the inverted corpus.
+# ---------------------------------------------------------------------------
+
+_BM25_ORACLE = """
+WITH docs_len AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+toks AS (
+  SELECT doc_id, w AS term
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w IN ('spark', 'merge', 'window')
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS t FROM docs_len
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           (CAST((2*n - 2*df + 1) * 22 * tf * t AS DOUBLE)
+            / CAST((2*df + 1) * (10*tf*t + 3*t + 9*dl*n) AS DOUBLE))
+           * 1000000.0) AS BIGINT) AS score_t
+  FROM tf
+  JOIN df USING (term)
+  JOIN docs_len USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS matched_terms,
+       CAST(SUM(score_t) AS BIGINT) AS score_fp
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("bm25_retrieval_scores", oracle=_BM25_ORACLE,
+       doc="BM25 retrieval scoring (rational idf variant, k1=1.2, b=0.75) "
+           "for a 3-term query over the documents corpus: the per-term "
+           "score folds into ONE exact integer fraction emitted as "
+           "floor(num/den * 1e6) fixed point — no ln/pow, so the engines "
+           "agree bit-for-bit — and the per-doc score is an exact BIGINT "
+           "sum, immune to accumulation order. Tokens are filtered to "
+           "the query terms BEFORE any shuffle: the aggregate carries "
+           "O(matching docs x |Q|) rows, df is |Q| broadcast rows, and "
+           "corpus stats ride a 1-row broadcast crossJoin — nothing "
+           "scales with vocabulary size.")
+def bm25_retrieval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.retrieval import bm25_rational_scores
+
+    out = bm25_rational_scores(
+        _docs(spark, sf_dir), "doc_id", "text",
+        ["spark", "merge", "window"])
+    return (
+        out.select("doc_id",
+                   F.col("matched_terms").cast("bigint").alias("matched_terms"),
+                   "score_fp")
+        .repartition(1).sortWithinPartitions("doc_id")
     )
