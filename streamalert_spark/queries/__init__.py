@@ -58,6 +58,7 @@ _VERIFY_FIRST = [
     "parse_json_path_slice",    # new: jmespath index+slice compile
     "bm25_retrieval_scores",    # new: engine-exact fixed-point BM25
     "table_profile_sketched",   # new: KMV profile (100-TB Expand-free)
+    "winnowing_fingerprints",   # new: rolling-hash local fingerprints
     # round-6 changed operators — gated_broadcast now wraps the
     # SF-scaling join sides of the whole TPC-H surface; re-verify it
     "bloom_semijoin_reduction",

@@ -951,3 +951,97 @@ def train_eval_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
              ).alias("membership_md5"))
         .repartition(1).sortWithinPartitions("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints — rolling-hash local fingerprinting (MOSS).
+# ---------------------------------------------------------------------------
+
+_WINNOW_N = 3   # tokens per k-gram
+_WINNOW_W = 4   # winnowing window (k-gram hashes per window)
+
+_WINNOW_ORACLE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos,
+         md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+hashed AS (
+  SELECT doc_id, pos, ({{hex}}) AS hv FROM grams
+),
+wins AS (
+  SELECT doc_id, pos,
+         MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+           AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM hashed
+),
+fps AS (
+  -- pos is 1-BASED here (range starts at 1); the last full-window start
+  -- is n_grams - W + 1, unlike the Spark side's 0-based n_grams - W
+  SELECT DISTINCT doc_id, fp FROM wins
+  WHERE pos <= n_grams - {_WINNOW_W} + 1
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+       md5(string_agg(CAST(fp AS VARCHAR), ',' ORDER BY fp)) AS fp_digest
+FROM fps
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def _winnow_oracle() -> str:
+    from streamalert_spark.ops.sketch import hex_prefix_int_sql
+
+    return _WINNOW_ORACLE.replace("{hex}", hex_prefix_int_sql("h"))
+
+
+@query("winnowing_fingerprints", oracle=_winnow_oracle(),
+       doc="Winnowing document fingerprints (Schleimer et al., the MOSS "
+           "local fingerprinting scheme): hash every 3-token k-gram "
+           "(portable md5-prefix ints), slide a window of 4 hashes, keep "
+           "each window's MINIMUM — guaranteed to share fingerprints "
+           "with any document containing a sufficiently long identical "
+           "passage, unlike whole-doc md5 (exact dedup) or MinHash "
+           "(global similarity). One scan, one window over (doc, pos), "
+           "distinct selected prints, then a per-doc sorted digest. "
+           "State per doc is O(len/window); the shuffle key is doc_id.")
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from streamalert_spark.ops.sketch import hex_prefix_int
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, size(w) - {_WINNOW_N}), "
+            f"i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+        )).alias("pos", "sh"),
+    ).filter(F.col("sh").isNotNull())
+    hashed = grams.select(
+        "doc_id", "pos", hex_prefix_int(F.md5(F.col("sh"))).alias("hv"))
+    win = W.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(W.currentRow, _WINNOW_W - 1)
+    n_grams = W.partitionBy("doc_id")
+    wins = hashed.select(
+        "doc_id", "pos",
+        F.min("hv").over(win).alias("fp"),
+        F.count(F.lit(1)).over(n_grams).alias("n_grams"),
+    )
+    fps = (
+        wins.filter(F.col("pos") <= F.col("n_grams") - _WINNOW_W)
+        .select("doc_id", "fp").distinct()
+    )
+    return (
+        fps.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+             F.md5(F.array_join(
+                 F.transform(F.array_sort(F.collect_list("fp")),
+                             lambda x: x.cast("string")),
+                 ",")).alias("fp_digest"))
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
