@@ -59,6 +59,7 @@ _VERIFY_FIRST = [
     "bm25_retrieval_scores",    # new: engine-exact fixed-point BM25
     "table_profile_sketched",   # new: KMV profile (100-TB Expand-free)
     "winnowing_fingerprints",   # new: rolling-hash local fingerprints
+    "stream_session_windows_bounded",  # new: streaming gap sessionization
     # round-6 changed operators — gated_broadcast now wraps the
     # SF-scaling join sides of the whole TPC-H surface; re-verify it
     "bloom_semijoin_reduction",

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamalert_spark.queries import query
+from streamalert_spark.streaming.bounded import bounded_stream_shuffle
 from streamalert_spark.session import read_table
 from streamalert_spark.sources.decode import kinesis_decode, s3_records, sns_extract
 
@@ -334,16 +335,17 @@ def stream_first_seen_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("event_timestamp"))
         )
         firsts = first_seen(src, ["k"], ts_col="event_timestamp")
-        q = (
-            firsts.writeStream.format("parquet")
-            .option("path", f"{work}/out")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with bounded_stream_shuffle(spark):
+            q = (
+                firsts.writeStream.format("parquet")
+                .option("path", f"{work}/out")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         # bounded showcase output (37 rows): materialize, then drop the
         # work dir so repeated invocations leave no /tmp residue
         rows = (spark.read.schema("k bigint, event_timestamp bigint")
@@ -406,16 +408,17 @@ def stream_rate_alerts_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("window_end").alias("window_end"),
             "cnt",
         )
-        q = (
-            out.writeStream.format("parquet")
-            .option("path", f"{work}/out")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with bounded_stream_shuffle(spark):
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", f"{work}/out")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         rows = (spark.read.schema("k bigint, window_start bigint, "
                                   "window_end bigint, cnt bigint")
                 .parquet(f"{work}/out").collect())
@@ -514,18 +517,107 @@ def stream_cdc_apply_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("app", "synthetic").option("end_timestamp", "300")
             .load()
         )
-        q = (
-            src.writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", f"{work}/ckpt")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with bounded_stream_shuffle(spark):
+            q = (
+                src.writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", f"{work}/ckpt")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         rows = (spark.read.schema("k bigint, v string")
                 .parquet(f"{snap}/v{state['ver']}").collect())
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return (spark.createDataFrame(rows, "k bigint, v string")
             .repartition(1).sortWithinPartitions("k"))
+
+
+# -------------------------------------- streaming session windows, bounded
+
+_SESSION_ORACLE = """
+WITH ev AS (
+  SELECT CAST(i % 3 AS BIGINT) AS k,
+         i // 100 AS burst,
+         i + (i // 100) * 120 AS s
+  FROM range(1, 601) t(i)
+),
+sess AS (
+  -- within a burst a key's events are 3 apart (< the 30s gap: one
+  -- session); consecutive bursts are 120s apart (> gap: sessions split)
+  SELECT k,
+         CAST(MIN(s) AS BIGINT) AS session_start,
+         CAST(MAX(s) + 30 AS BIGINT) AS session_end,
+         COUNT(*) AS cnt
+  FROM ev
+  GROUP BY k, burst
+)
+SELECT k, session_start, session_end, cnt
+FROM sess
+WHERE session_end <= (SELECT MAX(s) FROM ev)
+ORDER BY k, session_start
+"""
+
+
+@query("stream_session_windows_bounded", oracle=_SESSION_ORACLE,
+       doc="STREAMING gap-based sessionization under the hash gate: 600 "
+           "events whose timeline has a 120s silence every 100 events "
+           "stream through 6 micro-batches; session_window (30s gap) "
+           "merges each key's burst into ONE session in the state store "
+           "even when the burst spans micro-batch boundaries, and emits "
+           "it exactly once when the watermark passes session end (the "
+           "still-open final burst is withheld). Oracle is the batch "
+           "islands definition over the same timeline.")
+def stream_session_windows_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from streamalert_spark.sources.app_source import register_app_source
+    from streamalert_spark.streaming.sessions import session_windows
+
+    register_app_source(spark)
+    work = tempfile.mkdtemp(prefix="session_q_")
+    try:
+        src = (
+            spark.readStream.format("streamalert_app")
+            .option("app", "synthetic").option("end_timestamp", "600")
+            .load()
+            .select(
+                F.pmod("event_timestamp", F.lit(3)).alias("k"),
+                F.timestamp_seconds(
+                    F.col("event_timestamp")
+                    + F.expr("event_timestamp DIV 100") * 120
+                ).alias("ts"),
+            )
+        )
+        sessions = session_windows(src, "k", "ts", gap="30 seconds",
+                                   watermark="0 seconds")
+        out = sessions.select(
+            "k",
+            F.unix_timestamp("session_start").alias("session_start"),
+            F.unix_timestamp("session_end").alias("session_end"),
+            "cnt",
+        )
+        with bounded_stream_shuffle(spark):
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", f"{work}/out")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        rows = (spark.read.schema("k bigint, session_start bigint, "
+                                  "session_end bigint, cnt bigint")
+                .parquet(f"{work}/out").collect())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return (
+        spark.createDataFrame(rows, "k bigint, session_start bigint, "
+                                    "session_end bigint, cnt bigint")
+        .repartition(1).sortWithinPartitions("k", "session_start")
+    )
