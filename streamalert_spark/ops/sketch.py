@@ -399,3 +399,96 @@ def cms_point_estimates(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
              .cast("bigint").alias("cms_estimate"))
     )
+
+
+# --------------------------------------------------------------- HyperLogLog
+
+HLL_B = 6                      # 2^6 = 64 registers
+HLL_M = 1 << HLL_B
+HLL_RHO_BITS = 48              # rho derived from a 12-hex-digit (48-bit) hash
+HLL_RHO_MAX = HLL_RHO_BITS + 1
+# alpha_m * m^2 * 2^49 precomputed in Python — BOTH engines receive the
+# same double literal, so the one division below is the only float op.
+# alpha for m=64 is 0.709 (Flajolet et al. Fig. 3 constant).
+HLL_NUMERATOR = 0.709 * HLL_M * HLL_M * float(1 << HLL_RHO_MAX)
+
+def _hll_rho_from(prefix: Column) -> Column:
+    """rho(value) = 1 + leading zero BITS of the 48-bit hash prefix,
+    computed from hex-string shape alone — no log2, no loops: 4 bits per
+    leading '0' hex digit, plus the first non-zero digit's own leading
+    zeros (1->3, 2-3->2, 4-7->1, 8-f->0). All-zero prefix -> 49."""
+    trimmed = F.regexp_replace(prefix, "^0+", "")
+    n0 = F.lit(HEX_INT_DIGITS) - F.length(trimmed)
+    d = F.substring(trimmed, 1, 1)
+    lz = (
+        F.when(d == "1", 3)
+        .when(d.isin("2", "3"), 2)
+        .when(d.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return F.when(F.length(trimmed) == 0, F.lit(HLL_RHO_MAX)) \
+        .otherwise(n0 * 4 + lz + 1)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group HyperLogLog cardinality estimate, CROSS-ENGINE-EXACT.
+
+    Register j holds max(rho) over values hashing to bucket j (64
+    buckets). The harmonic-mean denominator sum_j 2^(-M_j) is computed as
+    the EXACT integer sum_j 2^(49-M_j) (bit shifts, <= 64 * 2^49 < 2^63 —
+    no float accumulation, no ordering sensitivity); empty registers
+    contribute 2^49. The single float op is the final division by the
+    precomputed alpha*m^2*2^49 literal. No small/large-range corrections
+    (they need ln) — the raw estimator, accurate for n >> 2.5*m, which is
+    the regime a 64-register sketch is for; the exact count rides along
+    to expose the error. Output: (group, hll_sum, hll_estimate,
+    exact_distinct)."""
+    v = F.col(value_col).cast("string")
+    hashed = (
+        df.select(F.col(group_col), v.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .distinct()
+        .select(
+            group_col,
+            F.pmod(hex_prefix_int(F.md5(F.concat(F.lit("hb:"), F.col("v")))),
+                   F.lit(HLL_M)).alias("bucket"),
+            _hll_rho_from(
+                F.substring(F.md5(F.concat(F.lit("hr:"), F.col("v"))),
+                            1, HEX_INT_DIGITS)).alias("rho"),
+        )
+    )
+    regs = hashed.groupBy(group_col, "bucket").agg(F.max("rho").alias("m_j"))
+    exact = (
+        df.select(F.col(group_col), v.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy(group_col)
+        .agg(F.count_distinct("v").alias("exact_distinct"))
+    )
+    # register spine: every (group, bucket) — empty registers must
+    # contribute 2^49 to the sum (M_j = 0)
+    spine = exact.select(group_col).crossJoin(
+        F.broadcast(df.sparkSession.range(HLL_M)
+                    .select(F.col("id").cast("int").alias("bucket"))))
+    terms = (
+        spine.join(regs, [group_col, "bucket"], "left")
+        .select(
+            group_col,
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                   f"{HLL_RHO_MAX} - coalesce(m_j, 0))").alias("term"),
+        )
+    )
+    sums = terms.groupBy(group_col).agg(F.sum("term").alias("hll_sum"))
+    return (
+        sums.join(exact, group_col)
+        .select(
+            group_col,
+            F.col("hll_sum").cast("bigint").alias("hll_sum"),
+            F.round(F.lit(HLL_NUMERATOR) / F.col("hll_sum").cast("double"), 4)
+             .alias("hll_estimate"),
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        )
+    )

@@ -60,6 +60,7 @@ _VERIFY_FIRST = [
     "table_profile_sketched",   # new: KMV profile (100-TB Expand-free)
     "winnowing_fingerprints",   # new: rolling-hash local fingerprints
     "stream_session_windows_bounded",  # new: streaming gap sessionization
+    "hll_distinct_users",       # new: portable HyperLogLog registers
     # round-6 changed operators — gated_broadcast now wraps the
     # SF-scaling join sides of the whole TPC-H surface; re-verify it
     "bloom_semijoin_reduction",

@@ -1028,3 +1028,84 @@ def bm25_retrieval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "score_fp")
         .repartition(1).sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — portable 64-register cardinality sketch.
+# ---------------------------------------------------------------------------
+
+def _hll_oracle() -> str:
+    from streamalert_spark.ops.sketch import (
+        HEX_INT_DIGITS, HLL_M, HLL_NUMERATOR, HLL_RHO_MAX, hex_prefix_int_sql,
+    )
+
+    bucket = f"({hex_prefix_int_sql('hb')}) % {HLL_M}"
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
+  FROM events WHERE user_id IS NOT NULL
+),
+hashed AS (
+  SELECT event_type,
+         md5('hb:' || v) AS hb,
+         regexp_replace(substring(md5('hr:' || v), 1, {HEX_INT_DIGITS}),
+                        '^0+', '') AS trimmed
+  FROM vals
+),
+rhos AS (
+  SELECT event_type, {bucket} AS bucket,
+         CASE WHEN length(trimmed) = 0 THEN {HLL_RHO_MAX}
+              ELSE ({HEX_INT_DIGITS} - length(trimmed)) * 4
+                   + CASE WHEN substring(trimmed, 1, 1) = '1' THEN 3
+                          WHEN substring(trimmed, 1, 1) IN ('2','3') THEN 2
+                          WHEN substring(trimmed, 1, 1) IN ('4','5','6','7') THEN 1
+                          ELSE 0 END + 1
+         END AS rho
+  FROM hashed
+),
+regs AS (SELECT event_type, bucket, MAX(rho) AS m_j FROM rhos GROUP BY 1, 2),
+spine AS (
+  SELECT g.event_type, t.b AS bucket
+  FROM (SELECT DISTINCT event_type FROM vals) g, range(0, {HLL_M}) t(b)
+),
+terms AS (
+  SELECT s.event_type,
+         (CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - COALESCE(r.m_j, 0))) AS term
+  FROM spine s LEFT JOIN regs r
+    ON r.event_type = s.event_type AND r.bucket = s.bucket
+),
+sums AS (
+  SELECT event_type, CAST(SUM(term) AS BIGINT) AS hll_sum
+  FROM terms GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+  FROM vals GROUP BY event_type
+)
+SELECT s.event_type, s.hll_sum,
+       ROUND({HLL_NUMERATOR!r} / CAST(s.hll_sum AS DOUBLE), 4) AS hll_estimate,
+       e.exact_distinct
+FROM sums s JOIN exact e USING (event_type)
+ORDER BY event_type
+"""
+
+
+@query("hll_distinct_users", oracle=_hll_oracle(),
+       doc="HyperLogLog per-type distinct users, cross-engine-exact: rho "
+           "comes from hex-string leading zeros (no log2), the harmonic "
+           "denominator is the EXACT integer sum of 2^(49-M_j) bit "
+           "shifts (order-free, <= 64*2^49 < 2^63), and the single float "
+           "op is one division by a shared precomputed alpha*m^2*2^49 "
+           "literal — so the estimate hash-matches DuckDB bit for bit, "
+           "which Spark's native approx_count_distinct HLL++ never can. "
+           "Raw estimator (no ln-based range corrections); the exact "
+           "count rides along to expose the error. State is 64 registers "
+           "per group at ANY cardinality.")
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.sketch import hll_distinct
+
+    ev = _events(spark, sf_dir)
+    return (
+        hll_distinct(ev, "event_type", "user_id")
+        .repartition(1).sortWithinPartitions("event_type")
+    )
