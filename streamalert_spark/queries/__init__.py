@@ -61,6 +61,7 @@ _VERIFY_FIRST = [
     "winnowing_fingerprints",   # new: rolling-hash local fingerprints
     "stream_session_windows_bounded",  # new: streaming gap sessionization
     "hll_distinct_users",       # new: portable HyperLogLog registers
+    "alert_output_writer_ledger",  # new: DataSource streaming SINK
     # round-6 changed operators — gated_broadcast now wraps the
     # SF-scaling join sides of the whole TPC-H surface; re-verify it
     "bloom_semijoin_reduction",

@@ -621,3 +621,84 @@ def stream_session_windows_bounded(spark: SparkSession, sf_dir: str) -> DataFram
                                     "session_end bigint, cnt bigint")
         .repartition(1).sortWithinPartitions("k", "session_start")
     )
+
+
+# --------------------------------------- streaming alert delivery, bounded
+
+_ALERT_WRITER_ORACLE = """
+WITH alerts AS (
+  SELECT 'al-' || CAST(i AS VARCHAR) AS id,
+         'rule_' || CAST(i % 3 AS VARCHAR) AS rule_name,
+         'chan-' || CAST(i % 2 AS VARCHAR) AS descriptor,
+         i
+  FROM range(1, 201) t(i)
+)
+SELECT id, 'json:' || descriptor AS output,
+       md5('{"descriptor": "' || descriptor || '", "id": "' || id
+           || '", "rule_name": "' || rule_name || '"}') AS body_md5
+FROM alerts
+ORDER BY id, output
+"""
+
+
+@query("alert_output_writer_ledger", oracle=_ALERT_WRITER_ORACLE,
+       doc="Alert DELIVERY as a Python DataSource streaming SINK "
+           "(format streamalert_outputs): 200 alerts stream through "
+           "micro-batches; write(iterator) runs ON THE EXECUTORS, builds "
+           "each output's request body with the transport-free builders, "
+           "stages a task-local ledger file keyed by taskAttemptId, and "
+           "commit() promotes staged files to epoch-keyed names exactly "
+           "once (re-commit skips, abort removes staging) — the "
+           "object-store commit pattern, replacing the driver-side "
+           "foreachBatch iterator for delivery at scale. The hash check "
+           "covers the committed ledger receipts (id, output, canonical "
+           "body md5).")
+def alert_output_writer_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from streamalert_spark.sources.alert_writer import (
+        read_ledger, register_alert_writer,
+    )
+    from streamalert_spark.sources.app_source import register_app_source
+
+    register_app_source(spark)
+    register_alert_writer(spark)
+    work = tempfile.mkdtemp(prefix="alert_writer_q_")
+    ledger_dir = f"{work}/ledger"
+    try:
+        src = (
+            spark.readStream.format("streamalert_app")
+            .option("app", "synthetic").option("end_timestamp", "200")
+            .load()
+            .select(
+                F.concat(F.lit("al-"),
+                         F.col("event_timestamp").cast("string")).alias("id"),
+                F.concat(F.lit("rule_"),
+                         F.pmod("event_timestamp", F.lit(3)).cast("string"))
+                 .alias("rule_name"),
+                F.concat(F.lit('["json:chan-'),
+                         F.pmod("event_timestamp", F.lit(2)).cast("string"),
+                         F.lit('"]')).alias("outputs"),
+            )
+        )
+        with bounded_stream_shuffle(spark):
+            q = (
+                src.writeStream.format("streamalert_outputs")
+                .option("path", ledger_dir)
+                .option("checkpointLocation", f"{work}/ckpt")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        rows = [tuple(r) for r in
+                read_ledger(spark, ledger_dir)
+                .select("id", "output", "body_md5").collect()]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return (
+        spark.createDataFrame(rows, "id string, output string, body_md5 string")
+        .repartition(1).sortWithinPartitions("id", "output")
+    )
