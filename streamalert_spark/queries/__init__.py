@@ -62,6 +62,7 @@ _VERIFY_FIRST = [
     "stream_session_windows_bounded",  # new: streaming gap sessionization
     "hll_distinct_users",       # new: portable HyperLogLog registers
     "alert_output_writer_ledger",  # new: DataSource streaming SINK
+    "incremental_join_maintenance",  # new: join IVM delta rule
     # round-6 changed operators — gated_broadcast now wraps the
     # SF-scaling join sides of the whole TPC-H surface; re-verify it
     "bloom_semijoin_reduction",

@@ -372,3 +372,50 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("event_type")
     )
+
+
+# ---------------------------------------------------------- join IVM
+
+_IVM_JOIN_ORACLE = """
+SELECT o.o_orderkey AS orderkey,
+       o.o_custkey AS custkey,
+       c.c_name AS c_name,
+       CAST(o.o_totalprice AS DOUBLE) AS totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY orderkey
+"""
+
+
+@query("incremental_join_maintenance", oracle=_IVM_JOIN_ORACLE,
+       doc="Incremental view maintenance for a JOIN (insert-only delta "
+           "rule): the materialized orders x customer join is maintained "
+           "under an insert batch on EACH side via dJ = dA><B + A><dB + "
+           "dA><dB — every term joins a DELTA against a stored side "
+           "(delta broadcast size-gated), so the stored relations are "
+           "scanned but never shuffled and maintenance costs O(|delta| + "
+           "matches), independent of the view size. The oracle is the "
+           "full recompute over the complete tables: maintained == "
+           "recomputed IS the IVM correctness theorem, hash-checked.")
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.ivm import maintain_join
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name")
+    a_old = orders.filter(F.col("o_orderkey") % 4 != 0)
+    a_delta = orders.filter(F.col("o_orderkey") % 4 == 0)
+    b_old = cust.filter(F.col("custkey") % 5 != 0)
+    b_delta = cust.filter(F.col("custkey") % 5 == 0)
+    j_old = a_old.join(b_old, ["custkey"])
+    maintained = maintain_join(j_old, a_old, a_delta, b_old, b_delta,
+                               ["custkey"])
+    return (
+        maintained.select(
+            F.col("o_orderkey").alias("orderkey"),
+            "custkey",
+            "c_name",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+        .repartition(1).sortWithinPartitions("orderkey")
+    )
