@@ -448,6 +448,37 @@ def hll_distinct(
     to expose the error. Output: (group, hll_sum, hll_estimate,
     exact_distinct)."""
     v = F.col(value_col).cast("string")
+    regs = hll_registers(df, group_col, value_col)
+    exact = (
+        df.select(F.col(group_col), v.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy(group_col)
+        .agg(F.count_distinct("v").alias("exact_distinct"))
+    )
+    sums = hll_sums(exact.select(group_col), regs, group_col)
+    return (
+        sums.join(exact, group_col)
+        .select(
+            group_col,
+            F.col("hll_sum").cast("bigint").alias("hll_sum"),
+            F.round(F.lit(HLL_NUMERATOR) / F.col("hll_sum").cast("double"), 4)
+             .alias("hll_estimate"),
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        )
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group HLL register table (group, bucket, m_j) — the sketch
+    STATE. Registers merge LOSSLESSLY by MAX(m_j) per bucket across any
+    partitioning of the data (days, sources, executors): max of maxes is
+    the max — why HLL sketches union without recomputation, hash-proven
+    by the hll_sketch_rollup query."""
+    v = F.col(value_col).cast("string")
     hashed = (
         df.select(F.col(group_col), v.alias("v"))
         .filter(F.col("v").isNotNull())
@@ -461,17 +492,15 @@ def hll_distinct(
                             1, HEX_INT_DIGITS)).alias("rho"),
         )
     )
-    regs = hashed.groupBy(group_col, "bucket").agg(F.max("rho").alias("m_j"))
-    exact = (
-        df.select(F.col(group_col), v.alias("v"))
-        .filter(F.col("v").isNotNull())
-        .groupBy(group_col)
-        .agg(F.count_distinct("v").alias("exact_distinct"))
-    )
-    # register spine: every (group, bucket) — empty registers must
-    # contribute 2^49 to the sum (M_j = 0)
-    spine = exact.select(group_col).crossJoin(
-        F.broadcast(df.sparkSession.range(HLL_M)
+    return hashed.groupBy(group_col, "bucket").agg(F.max("rho").alias("m_j"))
+
+
+def hll_sums(groups: DataFrame, regs: DataFrame, group_col: str) -> DataFrame:
+    """(group, hll_sum): the exact-integer harmonic denominator from a
+    register table. ``groups`` supplies the group spine so EMPTY registers
+    contribute 2^49 (M_j = 0) — crossJoined with the 64-bucket range."""
+    spine = groups.crossJoin(
+        F.broadcast(groups.sparkSession.range(HLL_M)
                     .select(F.col("id").cast("int").alias("bucket"))))
     terms = (
         spine.join(regs, [group_col, "bucket"], "left")
@@ -481,14 +510,5 @@ def hll_distinct(
                    f"{HLL_RHO_MAX} - coalesce(m_j, 0))").alias("term"),
         )
     )
-    sums = terms.groupBy(group_col).agg(F.sum("term").alias("hll_sum"))
-    return (
-        sums.join(exact, group_col)
-        .select(
-            group_col,
-            F.col("hll_sum").cast("bigint").alias("hll_sum"),
-            F.round(F.lit(HLL_NUMERATOR) / F.col("hll_sum").cast("double"), 4)
-             .alias("hll_estimate"),
-            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
-        )
-    )
+    return terms.groupBy(group_col).agg(
+        F.sum("term").cast("bigint").alias("hll_sum"))

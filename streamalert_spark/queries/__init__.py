@@ -63,6 +63,7 @@ _VERIFY_FIRST = [
     "hll_distinct_users",       # new: portable HyperLogLog registers
     "alert_output_writer_ledger",  # new: DataSource streaming SINK
     "incremental_join_maintenance",  # new: join IVM delta rule
+    "hll_sketch_rollup",        # new: lossless register-merge proof
     # round-6 changed operators — gated_broadcast now wraps the
     # SF-scaling join sides of the whole TPC-H surface; re-verify it
     "bloom_semijoin_reduction",

@@ -1109,3 +1109,100 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_distinct(ev, "event_type", "user_id")
         .repartition(1).sortWithinPartitions("event_type")
     )
+
+
+def _hll_rollup_oracle() -> str:
+    from streamalert_spark.ops.sketch import (
+        HEX_INT_DIGITS, HLL_M, HLL_NUMERATOR, HLL_RHO_MAX, hex_prefix_int_sql,
+    )
+
+    bucket = f"({hex_prefix_int_sql('hb')}) % {HLL_M}"
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS v
+  FROM events WHERE user_id IS NOT NULL
+),
+hashed AS (
+  SELECT md5('hb:' || v) AS hb,
+         regexp_replace(substring(md5('hr:' || v), 1, {HEX_INT_DIGITS}),
+                        '^0+', '') AS trimmed
+  FROM vals
+),
+rhos AS (
+  SELECT {bucket} AS bucket,
+         CASE WHEN length(trimmed) = 0 THEN {HLL_RHO_MAX}
+              ELSE ({HEX_INT_DIGITS} - length(trimmed)) * 4
+                   + CASE WHEN substring(trimmed, 1, 1) = '1' THEN 3
+                          WHEN substring(trimmed, 1, 1) IN ('2','3') THEN 2
+                          WHEN substring(trimmed, 1, 1) IN ('4','5','6','7') THEN 1
+                          ELSE 0 END + 1
+         END AS rho
+  FROM hashed
+),
+regs AS (SELECT bucket, MAX(rho) AS m_j FROM rhos GROUP BY bucket),
+sums AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - COALESCE(r.m_j, 0)))
+              AS BIGINT) AS s
+  FROM range(0, {HLL_M}) t(b) LEFT JOIN regs r ON r.bucket = t.b
+)
+SELECT
+  (SELECT CAST(COUNT(DISTINCT date_part('day', CAST(ts AS TIMESTAMP)) % 5)
+               AS BIGINT) FROM events) AS n_shards,
+  s AS merged_hll_sum,
+  s AS direct_hll_sum,
+  TRUE AS sums_match,
+  ROUND({HLL_NUMERATOR!r} / CAST(s AS DOUBLE), 4) AS merged_estimate,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM vals) AS exact_distinct
+FROM sums
+"""
+
+
+@query("hll_sketch_rollup", oracle=_hll_rollup_oracle(),
+       doc="HLL mergeability proof: per-day-shard register tables over "
+           "OVERLAPPING value sets union by MAX(m_j) per bucket, and the "
+           "merged sketch's harmonic sum equals the direct whole-corpus "
+           "sketch's EXACTLY (max of maxes is the max) — the property "
+           "that lets per-day/per-partition sketches roll up without "
+           "recomputation. Spark computes both paths genuinely (shard "
+           "registers -> merge vs direct); the oracle computes the "
+           "register table once — equality of the two engine-exact sums "
+           "is the theorem under test.")
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.sketch import (
+        HLL_NUMERATOR, hll_registers, hll_sums,
+    )
+
+    ev = _events(spark, sf_dir)
+    shards = ev.select(
+        (F.dayofmonth("ts") % 5).alias("shard"), "user_id")
+    shard_regs = hll_registers(shards, "shard", "user_id")
+    merged_regs = (
+        shard_regs.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+        .withColumn("g", F.lit(1))
+    )
+    one = spark.range(1).select(F.lit(1).alias("g"))
+    merged_sum = hll_sums(one, merged_regs, "g").select(
+        F.col("hll_sum").alias("merged_hll_sum"))
+    direct_regs = hll_registers(
+        ev.select(F.lit(1).alias("g"), "user_id"), "g", "user_id")
+    direct_sum = hll_sums(one, direct_regs, "g").select(
+        F.col("hll_sum").alias("direct_hll_sum"))
+    stats = ev.agg(
+        F.count_distinct(F.dayofmonth("ts") % 5).cast("bigint")
+         .alias("n_shards"),
+        F.count_distinct(F.col("user_id").cast("string"))
+         .cast("bigint").alias("exact_distinct"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(merged_sum))
+        .crossJoin(F.broadcast(direct_sum))
+        .select(
+            "n_shards", "merged_hll_sum", "direct_hll_sum",
+            (F.col("merged_hll_sum") == F.col("direct_hll_sum"))
+            .alias("sums_match"),
+            F.round(F.lit(HLL_NUMERATOR)
+                    / F.col("merged_hll_sum").cast("double"), 4)
+             .alias("merged_estimate"),
+            "exact_distinct",
+        )
+    )
