@@ -308,3 +308,54 @@ def test_q11_q15_scalar_rides_broadcast_not_collect(spark):
     for name in ["q11_important_parts", "q15_top_supplier"]:
         plan = _plan(load_all()[name].fn(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_bm25_filters_tokens_before_any_shuffle(spark):
+    """BM25's (doc, term, tf) aggregate must see only query-term tokens:
+    the isin filter sits below the first Exchange, so the shuffle carries
+    O(matching docs x |Q|) rows, never the corpus vocabulary."""
+    from streamalert_spark.queries import load_all
+
+    df = load_all()["bm25_retrieval_scores"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    # the isin filter must sit BELOW the first Exchange (map side)
+    first_exchange = plan.index("Exchange")
+    assert "IN (spark,merge,window)" in plan[first_exchange:], \
+        "query-term filter not below the shuffle"
+    # and it filters the exploded tokens directly above their Generate
+    gen = plan.index("Generate explode")
+    assert "IN (spark,merge,window)" in plan[max(0, gen - 400):gen + 400], \
+        "token explode not gated by the query-term filter"
+
+
+def test_profile_sketched_has_no_expand(spark):
+    """The KMV profile exists to avoid the exact profile's multi-distinct
+    Expand (map-stage rows x column count). Its plan must not contain
+    Expand at all — the stack is a single Generate."""
+    from streamalert_spark.queries import load_all
+
+    plan = _plan(load_all()["table_profile_sketched"].fn(spark, SF_DIR))
+    assert "Expand" not in plan, plan[:2000]
+
+
+def test_ivm_stored_sides_not_shuffled_under_gate(spark):
+    """Join IVM's reason to exist: each delta term joins a DELTA against
+    a stored side with the delta broadcast, so the stored relations are
+    scanned, never exchanged on the join key (bench scale: every side
+    fits the gate, so NO shuffle join appears at all)."""
+    from streamalert_spark.queries import load_all
+
+    plan = _plan(load_all()["incremental_join_maintenance"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hll_sum_is_integer_no_libm(spark):
+    """The HLL estimate must stay libm-free: no POWER/LOG/EXP expressions
+    anywhere in the plan — the harmonic denominator is shiftleft sums."""
+    from streamalert_spark.queries import load_all
+
+    plan = _plan(load_all()["hll_distinct_users"].fn(spark, SF_DIR)).lower()
+    for fn in ("power(", "pow(", "log(", "ln(", "exp("):
+        assert fn not in plan, fn
+    assert "shiftleft" in plan
