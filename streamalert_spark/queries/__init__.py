@@ -64,6 +64,7 @@ _VERIFY_FIRST = [
     "alert_output_writer_ledger",  # new: DataSource streaming SINK
     "incremental_join_maintenance",  # new: join IVM delta rule
     "hll_sketch_rollup",        # new: lossless register-merge proof
+    "stream_outer_join_bounded",  # new: left-outer stream-stream join
     # round-6 changed operators — gated_broadcast now wraps the
     # SF-scaling join sides of the whole TPC-H surface; re-verify it
     "bloom_semijoin_reduction",

@@ -702,3 +702,83 @@ def alert_output_writer_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(rows, "id string, output string, body_md5 string")
         .repartition(1).sortWithinPartitions("id", "output")
     )
+
+
+# ---------------------------------- streaming outer join, bounded
+
+_STREAM_OUTER_JOIN_ORACLE = """
+SELECT CAST(i AS BIGINT) AS k,
+       CASE WHEN i % 2 = 0 THEN CAST(i AS BIGINT) END AS matched_k,
+       i % 2 = 0 AS matched
+FROM range(1, 301) t(i)
+WHERE i % 2 = 0            -- inner matches emit as they arrive
+   OR i + 10 < 300         -- unmatched emit nulls once the watermark
+                           -- (max event time 300, 0s delay) passes
+                           -- their join horizon lts + 10s
+ORDER BY k
+"""
+
+
+@query("stream_outer_join_bounded", oracle=_STREAM_OUTER_JOIN_ORACLE,
+       doc="STREAMING LEFT OUTER stream-stream join under the hash gate: "
+           "two live streams join on key + a 10s event-time range; "
+           "matches emit as they arrive, and an UNMATCHED left row emits "
+           "its null-padded form only when the watermark proves no match "
+           "can still come (state evicted at lts + range) — rows whose "
+           "horizon is still open at end of stream are correctly "
+           "withheld. The oracle is the batch definition restricted to "
+           "the closed horizon.")
+def stream_outer_join_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from streamalert_spark.sources.app_source import register_app_source
+    from streamalert_spark.streaming.join import stream_stream_join
+
+    register_app_source(spark)
+    work = tempfile.mkdtemp(prefix="sjoin_q_")
+    try:
+        left = (
+            spark.readStream.format("streamalert_app")
+            .option("app", "synthetic").option("end_timestamp", "300")
+            .load()
+            .select(F.col("event_timestamp").alias("k"),
+                    F.timestamp_seconds("event_timestamp").alias("lts"))
+        )
+        # right keys are the EVEN numbers 2..600: every even left key
+        # matches at the same event time, every odd one never does
+        right = (
+            spark.readStream.format("streamalert_app")
+            .option("app", "synthetic").option("end_timestamp", "300")
+            .load()
+            .select((F.col("event_timestamp") * 2).alias("k2"),
+                    F.timestamp_seconds(F.col("event_timestamp") * 2)
+                     .alias("rts"))
+        )
+        joined = stream_stream_join(
+            left, right, F.col("k") == F.col("k2"),
+            left_ts="lts", right_ts="rts",
+            left_watermark="0 seconds", right_watermark="0 seconds",
+            range_after="10 seconds", how="left_outer",
+        )
+        out = joined.select("k", F.col("k2").alias("matched_k"),
+                            F.col("k2").isNotNull().alias("matched"))
+        with bounded_stream_shuffle(spark):
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", f"{work}/out")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        rows = (spark.read.schema("k bigint, matched_k bigint, matched boolean")
+                .parquet(f"{work}/out").collect())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return (
+        spark.createDataFrame(rows, "k bigint, matched_k bigint, matched boolean")
+        .repartition(1).sortWithinPartitions("k")
+    )
