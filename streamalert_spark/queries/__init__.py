@@ -65,6 +65,7 @@ _VERIFY_FIRST = [
     "incremental_join_maintenance",  # new: join IVM delta rule
     "hll_sketch_rollup",        # new: lossless register-merge proof
     "stream_outer_join_bounded",  # new: left-outer stream-stream join
+    "lsh_quality_audit",        # new: LSH precision/recall vs truth
     # round-6 changed operators — gated_broadcast now wraps the
     # SF-scaling join sides of the whole TPC-H surface; re-verify it
     "bloom_semijoin_reduction",

@@ -1045,3 +1045,90 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ",")).alias("fp_digest"))
         .repartition(1).sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality audit — precision/recall of the candidate generator vs truth.
+# ---------------------------------------------------------------------------
+
+def _lsh_quality_oracle(num_hashes: int = 16, band_size: int = 4,
+                        threshold: float = 0.5) -> str:
+    bands = []
+    for bi in range(num_hashes // band_size):
+        cols = " || '|' || ".join(
+            f"mh_{bi * band_size + j}" for j in range(band_size))
+        bands.append(
+            f"SELECT doc_id, {bi} AS band_idx, md5({cols}) AS band_key FROM sig")
+    bands_sql = "\nUNION ALL\n".join(bands)
+    mh = ",".join(
+        f"MIN(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id),
+bands AS (
+{bands_sql}
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+truth AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         COUNT(*) AS inter, sa.sz AS sza, sb.sz AS szb
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  JOIN sizes sa ON sa.doc_id = x.doc_id
+  JOIN sizes sb ON sb.doc_id = y.doc_id
+  GROUP BY x.doc_id, y.doc_id, sa.sz, sb.sz
+  HAVING ROUND(CAST(COUNT(*) AS DOUBLE) / (sa.sz + sb.sz - COUNT(*)), 6)
+         >= {threshold}
+)
+SELECT
+  (SELECT COUNT(*) FROM cands) AS candidate_pairs,
+  (SELECT COUNT(*) FROM truth) AS true_pairs,
+  (SELECT COUNT(*) FROM truth t JOIN cands c ON c.a = t.a AND c.b = t.b)
+    AS true_candidates,
+  ROUND((SELECT COUNT(*) FROM truth t JOIN cands c ON c.a = t.a AND c.b = t.b)
+        / CAST(GREATEST((SELECT COUNT(*) FROM cands), 1) AS DOUBLE), 6)
+    AS precision_,
+  ROUND((SELECT COUNT(*) FROM truth t JOIN cands c ON c.a = t.a AND c.b = t.b)
+        / CAST(GREATEST((SELECT COUNT(*) FROM truth), 1) AS DOUBLE), 6)
+    AS recall_
+"""
+
+
+@query("lsh_quality_audit", oracle=_lsh_quality_oracle(),
+       doc="LSH candidate-generator QUALITY AUDIT: precision and recall "
+           "of the 16-hash/4-band MinHash blocking against the exact "
+           "Jaccard>=0.5 pair truth — the measured guarantee behind "
+           "using LSH as the scale path (recall is what dedup "
+           "completeness rests on; precision is the verify-stage cost "
+           "multiplier). Truth restricted to shared-shingle pairs, so "
+           "the audit itself never goes quadratic in the corpus.")
+def lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    cands = dedup.minhash_lsh_candidates(docs).select("a", "b")
+    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select("a", "b")
+    tc = truth.join(cands, ["a", "b"], "left_semi")
+    counts = (
+        cands.agg(F.count(F.lit(1)).alias("candidate_pairs"))
+        .crossJoin(F.broadcast(
+            truth.agg(F.count(F.lit(1)).alias("true_pairs"))))
+        .crossJoin(F.broadcast(
+            tc.agg(F.count(F.lit(1)).alias("true_candidates"))))
+    )
+    return counts.select(
+        "candidate_pairs", "true_pairs", "true_candidates",
+        F.round(F.col("true_candidates")
+                / F.greatest(F.col("candidate_pairs"), F.lit(1))
+                .cast("double"), 6).alias("precision_"),
+        F.round(F.col("true_candidates")
+                / F.greatest(F.col("true_pairs"), F.lit(1))
+                .cast("double"), 6).alias("recall_"),
+    )
