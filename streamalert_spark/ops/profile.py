@@ -136,12 +136,16 @@ def profile_sketched(df: DataFrame, spec: dict[str, str], k: int | None = None):
     est = F.when(
         F.col("nd") < kk, F.col("nd").cast("double")
     ).otherwise(F.round(F.lit(float(kk - 1)) / hex_fraction(F.col("h")), 4))
+    # LEFT join: a column whose every value is NULL has no kth row — a
+    # data-quality profile exists to SURFACE that column (null_count =
+    # n_rows, distinct 0), never to silently drop it from the report
     return (
-        counts.join(kth, "column_name")
+        counts.join(kth, "column_name", "left")
         .select("column_name", "n_rows", "null_count",
                 F.col("h").alias("kth_min_hash"),
-                est.alias("kmv_distinct"),
-                F.col("nd").cast("bigint").alias("exact_distinct"))
+                F.coalesce(est, F.lit(0.0)).alias("kmv_distinct"),
+                F.coalesce(F.col("nd"), F.lit(0))
+                 .cast("bigint").alias("exact_distinct"))
     )
 
 
@@ -157,12 +161,14 @@ def profile_sketched_oracle_sql(table: str, spec: dict[str, str],
         rexpr = _render_sql(c, dtype)
         parts.append(f"""
 SELECT '{c}' AS column_name, a.n_rows, a.null_count,
-       b.kth_min_hash, b.kmv_distinct, b.exact_distinct
+       b.kth_min_hash,
+       COALESCE(b.kmv_distinct, 0.0) AS kmv_distinct,
+       CAST(COALESCE(b.exact_distinct, 0) AS BIGINT) AS exact_distinct
 FROM (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
          CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS null_count
   FROM {table}
-) a CROSS JOIN (
+) a LEFT JOIN (
   SELECT h AS kth_min_hash,
          CASE WHEN nd < {kk} THEN CAST(nd AS DOUBLE)
               ELSE ROUND({float(kk - 1)!r} / ({hex_fraction_sql('h')}), 4)
@@ -174,6 +180,6 @@ FROM (
           WHERE {c} IS NOT NULL)
   )
   WHERE rn = LEAST({kk}, nd)
-) b""")
+) b ON TRUE""")
         parts.append(" UNION ALL ")
     return "".join(parts[:-1])

@@ -43,7 +43,18 @@ def weighted_sample_keys(
     without replacement. Weights must be integers in [1, max_weight];
     out-of-range weights raise at execution time (the guard is a Column
     expression, so it rides the distributed scan — no driver-side pass).
+
+    Contract: ``id_col`` identifies the sampled ITEM — rows sharing an id
+    are one item (the groupBy merges them, non-id columns via first());
+    dedupe upstream if duplicate ids are not intended. Reserved column
+    names (_w/_j/_h/draw) must not exist on the input — collisions fail
+    fast here rather than silently clobbering data.
     """
+    reserved = {"_w", "_j", "_h", "draw"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"weighted_sample_keys: input columns collide with reserved "
+            f"names: {sorted(reserved)}")
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     guarded = F.when(
         (w >= 1) & (w <= F.lit(max_weight)), w,

@@ -444,17 +444,16 @@ def hll_distinct(
     contribute 2^49. The single float op is the final division by the
     precomputed alpha*m^2*2^49 literal. No small/large-range corrections
     (they need ln) — the raw estimator, accurate for n >> 2.5*m, which is
-    the regime a 64-register sketch is for; the exact count rides along
-    to expose the error. Output: (group, hll_sum, hll_estimate,
+    the regime a 64-register sketch is for; the exact count is derived
+    from the registers' own deduped frame to expose the error. Output: (group, hll_sum, hll_estimate,
     exact_distinct)."""
-    v = F.col(value_col).cast("string")
-    regs = hll_registers(df, group_col, value_col)
-    exact = (
-        df.select(F.col(group_col), v.alias("v"))
-        .filter(F.col("v").isNotNull())
-        .groupBy(group_col)
-        .agg(F.count_distinct("v").alias("exact_distinct"))
-    )
+    deduped = _hll_deduped(df, group_col, value_col)
+    regs = _hll_regs_from_deduped(deduped, group_col)
+    # exact count from the SAME deduped frame the registers hash — one
+    # distinct subtree, ReusedExchange-eligible, never a second
+    # count_distinct scan of the input
+    exact = deduped.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("exact_distinct"))
     sums = hll_sums(exact.select(group_col), regs, group_col)
     return (
         sums.join(exact, group_col)
@@ -478,19 +477,27 @@ def hll_registers(
     partitioning of the data (days, sources, executors): max of maxes is
     the max — why HLL sketches union without recomputation, hash-proven
     by the hll_sketch_rollup query."""
+    return _hll_regs_from_deduped(
+        _hll_deduped(df, group_col, value_col), group_col)
+
+
+def _hll_deduped(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     v = F.col(value_col).cast("string")
-    hashed = (
+    return (
         df.select(F.col(group_col), v.alias("v"))
         .filter(F.col("v").isNotNull())
         .distinct()
-        .select(
-            group_col,
-            F.pmod(hex_prefix_int(F.md5(F.concat(F.lit("hb:"), F.col("v")))),
-                   F.lit(HLL_M)).alias("bucket"),
-            _hll_rho_from(
-                F.substring(F.md5(F.concat(F.lit("hr:"), F.col("v"))),
-                            1, HEX_INT_DIGITS)).alias("rho"),
-        )
+    )
+
+
+def _hll_regs_from_deduped(deduped: DataFrame, group_col: str) -> DataFrame:
+    hashed = deduped.select(
+        group_col,
+        F.pmod(hex_prefix_int(F.md5(F.concat(F.lit("hb:"), F.col("v")))),
+               F.lit(HLL_M)).alias("bucket"),
+        _hll_rho_from(
+            F.substring(F.md5(F.concat(F.lit("hr:"), F.col("v"))),
+                        1, HEX_INT_DIGITS)).alias("rho"),
     )
     return hashed.groupBy(group_col, "bucket").agg(F.max("rho").alias("m_j"))
 
@@ -512,3 +519,35 @@ def hll_sums(groups: DataFrame, regs: DataFrame, group_col: str) -> DataFrame:
     )
     return terms.groupBy(group_col).agg(
         F.sum("term").cast("bigint").alias("hll_sum"))
+
+
+# Engine-portable SQL twins of the HLL pieces — generated next to the
+# Column forms above so a change to the rho/bucket/term derivation can
+# never drift between the Spark plan and the DuckDB oracles that check it.
+
+def hll_trimmed_sql(v: str) -> str:
+    """SQL: the zero-trimmed 12-hex-digit rho-hash prefix of value ``v``."""
+    return (f"regexp_replace(substring(md5('hr:' || {v}), 1, "
+            f"{HEX_INT_DIGITS}), '^0+', '')")
+
+
+def hll_bucket_sql(v: str) -> str:
+    """SQL: the register bucket of value ``v``."""
+    hb = "md5('hb:' || " + v + ")"
+    return f"({hex_prefix_int_sql(hb)}) % {HLL_M}"
+
+
+def hll_rho_sql(trimmed: str) -> str:
+    """SQL: rho from a zero-trimmed hex prefix — mirrors _hll_rho_from."""
+    d = f"substring({trimmed}, 1, 1)"
+    return (f"CASE WHEN length({trimmed}) = 0 THEN {HLL_RHO_MAX} "
+            f"ELSE ({HEX_INT_DIGITS} - length({trimmed})) * 4 "
+            f"+ CASE WHEN {d} = '1' THEN 3 "
+            f"WHEN {d} IN ('2','3') THEN 2 "
+            f"WHEN {d} IN ('4','5','6','7') THEN 1 "
+            f"ELSE 0 END + 1 END")
+
+
+def hll_term_sql(m_j: str) -> str:
+    """SQL: a register's exact-integer harmonic term 2^(49 - M_j)."""
+    return f"(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - COALESCE({m_j}, 0)))"

@@ -53,8 +53,14 @@ def parse_path(path: str) -> list[tuple]:
             i += 1
             continue
         if ch == "[":
-            j = path.find("]", i)
-            if j < 0:
+            # scan for the closing bracket OUTSIDE single-quoted literals
+            # (a filter like [?m == 'a]b'] carries ']' in its literal)
+            j, in_quote = i + 1, False
+            while j < n and (in_quote or path[j] != "]"):
+                if path[j] == "'":
+                    in_quote = not in_quote
+                j += 1
+            if j >= n:
                 raise ValueError(f"unclosed bracket in json_path: {path!r}")
             body = path[i + 1:j].strip()
             if body == "*":
@@ -84,10 +90,31 @@ def parse_path(path: str) -> list[tuple]:
     return segs
 
 
+def _split_conjuncts(expr: str) -> list[str]:
+    """Split on ``&&`` OUTSIDE single-quoted literals — ``m == 'a && b'``
+    is one comparison whose string literal contains the operator."""
+    parts, buf, in_quote, i = [], [], False, 0
+    while i < len(expr):
+        ch = expr[i]
+        if ch == "'":
+            in_quote = not in_quote
+            buf.append(ch)
+        elif not in_quote and expr.startswith("&&", i):
+            parts.append("".join(buf))
+            buf = []
+            i += 2
+            continue
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
 def _parse_filter(expr: str, path: str) -> list[tuple]:
     """``a == 'x' && b > 3`` -> list of (field, op, kind, value)."""
     comparisons = []
-    for part in expr.split("&&"):
+    for part in _split_conjuncts(expr):
         m = _CMP_RE.match(part)
         if not m:
             raise ValueError(f"unsupported filter expression {part!r} in {path!r}")

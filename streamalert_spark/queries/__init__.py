@@ -106,20 +106,13 @@ _VERIFY_FIRST = [
     "minhash_lsh_candidates",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
-    "sessionize_events",
-    "rollup_pricing",
-    "corpus_quality_filter",
-    "funnel_stages",
-    "cohort_retention",
-    "latest_event_per_user",
-    "session_window_agg",
-    "event_type_pivot",
-    "moving_day_window",
-    "range_join_windows",
-    "scd2_intervals",
-    "url_domain_filter",
-    "doc_length_histogram",
-    "quality_bucket_filter",
+    # ^ exactly 50 entries — the external sampler's prefix. Entries past
+    # position 50 are inert; the remaining r3-stale queries
+    # (sessionize_events, rollup_pricing, corpus_quality_filter,
+    # funnel_stages, cohort_retention, latest_event_per_user,
+    # session_window_agg, event_type_pivot, moving_day_window,
+    # range_join_windows, scd2_intervals, url_domain_filter,
+    # doc_length_histogram, quality_bucket_filter) lead round 7's prefix.
 ]
 
 

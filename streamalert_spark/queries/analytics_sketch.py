@@ -1036,31 +1036,21 @@ def bm25_retrieval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hll_oracle() -> str:
     from streamalert_spark.ops.sketch import (
-        HEX_INT_DIGITS, HLL_M, HLL_NUMERATOR, HLL_RHO_MAX, hex_prefix_int_sql,
+        HLL_NUMERATOR, HLL_M, hll_bucket_sql, hll_rho_sql, hll_term_sql,
+        hll_trimmed_sql,
     )
 
-    bucket = f"({hex_prefix_int_sql('hb')}) % {HLL_M}"
     return f"""
 WITH vals AS (
   SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
   FROM events WHERE user_id IS NOT NULL
 ),
 hashed AS (
-  SELECT event_type,
-         md5('hb:' || v) AS hb,
-         regexp_replace(substring(md5('hr:' || v), 1, {HEX_INT_DIGITS}),
-                        '^0+', '') AS trimmed
-  FROM vals
+  SELECT event_type, v, {hll_trimmed_sql('v')} AS trimmed FROM vals
 ),
 rhos AS (
-  SELECT event_type, {bucket} AS bucket,
-         CASE WHEN length(trimmed) = 0 THEN {HLL_RHO_MAX}
-              ELSE ({HEX_INT_DIGITS} - length(trimmed)) * 4
-                   + CASE WHEN substring(trimmed, 1, 1) = '1' THEN 3
-                          WHEN substring(trimmed, 1, 1) IN ('2','3') THEN 2
-                          WHEN substring(trimmed, 1, 1) IN ('4','5','6','7') THEN 1
-                          ELSE 0 END + 1
-         END AS rho
+  SELECT event_type, {hll_bucket_sql('v')} AS bucket,
+         {hll_rho_sql('trimmed')} AS rho
   FROM hashed
 ),
 regs AS (SELECT event_type, bucket, MAX(rho) AS m_j FROM rhos GROUP BY 1, 2),
@@ -1069,8 +1059,7 @@ spine AS (
   FROM (SELECT DISTINCT event_type FROM vals) g, range(0, {HLL_M}) t(b)
 ),
 terms AS (
-  SELECT s.event_type,
-         (CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - COALESCE(r.m_j, 0))) AS term
+  SELECT s.event_type, {hll_term_sql('r.m_j')} AS term
   FROM spine s LEFT JOIN regs r
     ON r.event_type = s.event_type AND r.bucket = s.bucket
 ),
@@ -1113,36 +1102,25 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hll_rollup_oracle() -> str:
     from streamalert_spark.ops.sketch import (
-        HEX_INT_DIGITS, HLL_M, HLL_NUMERATOR, HLL_RHO_MAX, hex_prefix_int_sql,
+        HLL_NUMERATOR, HLL_M, hll_bucket_sql, hll_rho_sql, hll_term_sql,
+        hll_trimmed_sql,
     )
 
-    bucket = f"({hex_prefix_int_sql('hb')}) % {HLL_M}"
     return f"""
 WITH vals AS (
   SELECT DISTINCT CAST(user_id AS VARCHAR) AS v
   FROM events WHERE user_id IS NOT NULL
 ),
 hashed AS (
-  SELECT md5('hb:' || v) AS hb,
-         regexp_replace(substring(md5('hr:' || v), 1, {HEX_INT_DIGITS}),
-                        '^0+', '') AS trimmed
-  FROM vals
+  SELECT v, {hll_trimmed_sql('v')} AS trimmed FROM vals
 ),
 rhos AS (
-  SELECT {bucket} AS bucket,
-         CASE WHEN length(trimmed) = 0 THEN {HLL_RHO_MAX}
-              ELSE ({HEX_INT_DIGITS} - length(trimmed)) * 4
-                   + CASE WHEN substring(trimmed, 1, 1) = '1' THEN 3
-                          WHEN substring(trimmed, 1, 1) IN ('2','3') THEN 2
-                          WHEN substring(trimmed, 1, 1) IN ('4','5','6','7') THEN 1
-                          ELSE 0 END + 1
-         END AS rho
+  SELECT {hll_bucket_sql('v')} AS bucket, {hll_rho_sql('trimmed')} AS rho
   FROM hashed
 ),
 regs AS (SELECT bucket, MAX(rho) AS m_j FROM rhos GROUP BY bucket),
 sums AS (
-  SELECT CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - COALESCE(r.m_j, 0)))
-              AS BIGINT) AS s
+  SELECT CAST(SUM({hll_term_sql('r.m_j')}) AS BIGINT) AS s
   FROM range(0, {HLL_M}) t(b) LEFT JOIN regs r ON r.bucket = t.b
 )
 SELECT

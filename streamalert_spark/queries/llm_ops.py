@@ -1015,7 +1015,13 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.split(F.col("text"), " ").alias("w"))
-    grams = toks.select(
+    grams = toks.filter(
+        # sequence(0, size-3) counts DOWN when size(w) < 3 and the
+        # transform then indexes past the array — ANSI crash; a doc too
+        # short for one k-gram has no fingerprints on either engine
+        # (the oracle's range(1, len-1) is simply empty)
+        F.size("w") >= _WINNOW_N
+    ).select(
         "doc_id",
         F.posexplode(F.expr(
             f"transform(sequence(0, size(w) - {_WINNOW_N}), "

@@ -318,43 +318,23 @@ ORDER BY k
            "batch definition (MIN ts per key), so the check proves the "
            "stateful operator's suppress-after-first behavior exactly.")
 def stream_first_seen_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from streamalert_spark.sources.app_source import register_app_source
+    from streamalert_spark.streaming.bounded import run_bounded_to_rows
     from streamalert_spark.streaming.first_seen import first_seen
 
     register_app_source(spark)
-    work = tempfile.mkdtemp(prefix="first_seen_q_")
-    try:
-        src = (
-            spark.readStream.format("streamalert_app")
-            .option("app", "synthetic").option("end_timestamp", "300")
-            .load()
-            .select(F.pmod("event_timestamp", F.lit(37)).alias("k"),
-                    F.col("event_timestamp"))
-        )
-        firsts = first_seen(src, ["k"], ts_col="event_timestamp")
-        with bounded_stream_shuffle(spark):
-            q = (
-                firsts.writeStream.format("parquet")
-                .option("path", f"{work}/out")
-                .option("checkpointLocation", f"{work}/ckpt")
-                .start()
-            )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
-        # bounded showcase output (37 rows): materialize, then drop the
-        # work dir so repeated invocations leave no /tmp residue
-        rows = (spark.read.schema("k bigint, event_timestamp bigint")
-                .parquet(f"{work}/out").collect())
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    src = (
+        spark.readStream.format("streamalert_app")
+        .option("app", "synthetic").option("end_timestamp", "300")
+        .load()
+        .select(F.pmod("event_timestamp", F.lit(37)).alias("k"),
+                F.col("event_timestamp"))
+    )
+    firsts = first_seen(src, ["k"], ts_col="event_timestamp")
+    out = run_bounded_to_rows(spark, firsts,
+                              "k bigint, event_timestamp bigint")
     return (
-        spark.createDataFrame(rows, "k bigint, event_timestamp bigint")
-        .select("k", F.col("event_timestamp").alias("first_ts"))
+        out.select("k", F.col("event_timestamp").alias("first_ts"))
         .repartition(1).sortWithinPartitions("k")
     )
 
@@ -383,52 +363,31 @@ ORDER BY k, window_start
            "window is correctly withheld). The oracle is the batch "
            "GROUP BY definition over the closed range.")
 def stream_rate_alerts_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from streamalert_spark.sources.app_source import register_app_source
+    from streamalert_spark.streaming.bounded import run_bounded_to_rows
     from streamalert_spark.streaming.spikes import rate_threshold_alerts
 
     register_app_source(spark)
-    work = tempfile.mkdtemp(prefix="rate_alerts_q_")
-    try:
-        src = (
-            spark.readStream.format("streamalert_app")
-            .option("app", "synthetic").option("end_timestamp", "601")
-            .load()
-            .select(F.pmod("event_timestamp", F.lit(3)).alias("k"),
-                    F.timestamp_seconds("event_timestamp").alias("ts"))
-        )
-        alerts = rate_threshold_alerts(
-            src, "k", "ts", window="1 minute",
-            watermark="0 seconds", threshold=5)
-        out = alerts.select(
-            "k",
-            F.unix_timestamp("window_start").alias("window_start"),
-            F.unix_timestamp("window_end").alias("window_end"),
-            "cnt",
-        )
-        with bounded_stream_shuffle(spark):
-            q = (
-                out.writeStream.format("parquet")
-                .option("path", f"{work}/out")
-                .option("checkpointLocation", f"{work}/ckpt")
-                .start()
-            )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
-        rows = (spark.read.schema("k bigint, window_start bigint, "
-                                  "window_end bigint, cnt bigint")
-                .parquet(f"{work}/out").collect())
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return (
-        spark.createDataFrame(rows, "k bigint, window_start bigint, "
-                                    "window_end bigint, cnt bigint")
-        .repartition(1).sortWithinPartitions("k", "window_start")
+    src = (
+        spark.readStream.format("streamalert_app")
+        .option("app", "synthetic").option("end_timestamp", "601")
+        .load()
+        .select(F.pmod("event_timestamp", F.lit(3)).alias("k"),
+                F.timestamp_seconds("event_timestamp").alias("ts"))
     )
+    alerts = rate_threshold_alerts(
+        src, "k", "ts", window="1 minute",
+        watermark="0 seconds", threshold=5)
+    out = alerts.select(
+        "k",
+        F.unix_timestamp("window_start").alias("window_start"),
+        F.unix_timestamp("window_end").alias("window_end"),
+        "cnt",
+    )
+    rows = run_bounded_to_rows(
+        spark, out,
+        "k bigint, window_start bigint, window_end bigint, cnt bigint")
+    return rows.repartition(1).sortWithinPartitions("k", "window_start")
 
 
 # ----------------------------------------- streaming CDC apply, bounded
@@ -571,56 +530,35 @@ ORDER BY k, session_start
            "still-open final burst is withheld). Oracle is the batch "
            "islands definition over the same timeline.")
 def stream_session_windows_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from streamalert_spark.sources.app_source import register_app_source
+    from streamalert_spark.streaming.bounded import run_bounded_to_rows
     from streamalert_spark.streaming.sessions import session_windows
 
     register_app_source(spark)
-    work = tempfile.mkdtemp(prefix="session_q_")
-    try:
-        src = (
-            spark.readStream.format("streamalert_app")
-            .option("app", "synthetic").option("end_timestamp", "600")
-            .load()
-            .select(
-                F.pmod("event_timestamp", F.lit(3)).alias("k"),
-                F.timestamp_seconds(
-                    F.col("event_timestamp")
-                    + F.expr("event_timestamp DIV 100") * 120
-                ).alias("ts"),
-            )
+    src = (
+        spark.readStream.format("streamalert_app")
+        .option("app", "synthetic").option("end_timestamp", "600")
+        .load()
+        .select(
+            F.pmod("event_timestamp", F.lit(3)).alias("k"),
+            F.timestamp_seconds(
+                F.col("event_timestamp")
+                + F.expr("event_timestamp DIV 100") * 120
+            ).alias("ts"),
         )
-        sessions = session_windows(src, "k", "ts", gap="30 seconds",
-                                   watermark="0 seconds")
-        out = sessions.select(
-            "k",
-            F.unix_timestamp("session_start").alias("session_start"),
-            F.unix_timestamp("session_end").alias("session_end"),
-            "cnt",
-        )
-        with bounded_stream_shuffle(spark):
-            q = (
-                out.writeStream.format("parquet")
-                .option("path", f"{work}/out")
-                .option("checkpointLocation", f"{work}/ckpt")
-                .start()
-            )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
-        rows = (spark.read.schema("k bigint, session_start bigint, "
-                                  "session_end bigint, cnt bigint")
-                .parquet(f"{work}/out").collect())
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return (
-        spark.createDataFrame(rows, "k bigint, session_start bigint, "
-                                    "session_end bigint, cnt bigint")
-        .repartition(1).sortWithinPartitions("k", "session_start")
     )
+    sessions = session_windows(src, "k", "ts", gap="30 seconds",
+                               watermark="0 seconds")
+    out = sessions.select(
+        "k",
+        F.unix_timestamp("session_start").alias("session_start"),
+        F.unix_timestamp("session_end").alias("session_end"),
+        "cnt",
+    )
+    rows = run_bounded_to_rows(
+        spark, out,
+        "k bigint, session_start bigint, session_end bigint, cnt bigint")
+    return rows.repartition(1).sortWithinPartitions("k", "session_start")
 
 
 # --------------------------------------- streaming alert delivery, bounded
@@ -648,11 +586,11 @@ ORDER BY id, output
            "each output's request body with the transport-free builders, "
            "stages a task-local ledger file keyed by taskAttemptId, and "
            "commit() promotes staged files to epoch-keyed names exactly "
-           "once (re-commit skips, abort removes staging) — the "
-           "object-store commit pattern, replacing the driver-side "
-           "foreachBatch iterator for delivery at scale. The hash check "
-           "covers the committed ledger receipts (id, output, canonical "
-           "body md5).")
+           "once (epoch _DONE marker; re-commit discards its staging, "
+           "abort removes it) — the object-store commit pattern, "
+           "replacing the driver-side foreachBatch iterator for delivery "
+           "at scale. The hash check covers the committed ledger "
+           "receipts (id, output, canonical body md5).")
 def alert_output_writer_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
@@ -729,56 +667,36 @@ ORDER BY k
            "withheld. The oracle is the batch definition restricted to "
            "the closed horizon.")
 def stream_outer_join_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from streamalert_spark.sources.app_source import register_app_source
+    from streamalert_spark.streaming.bounded import run_bounded_to_rows
     from streamalert_spark.streaming.join import stream_stream_join
 
     register_app_source(spark)
-    work = tempfile.mkdtemp(prefix="sjoin_q_")
-    try:
-        left = (
-            spark.readStream.format("streamalert_app")
-            .option("app", "synthetic").option("end_timestamp", "300")
-            .load()
-            .select(F.col("event_timestamp").alias("k"),
-                    F.timestamp_seconds("event_timestamp").alias("lts"))
-        )
-        # right keys are the EVEN numbers 2..600: every even left key
-        # matches at the same event time, every odd one never does
-        right = (
-            spark.readStream.format("streamalert_app")
-            .option("app", "synthetic").option("end_timestamp", "300")
-            .load()
-            .select((F.col("event_timestamp") * 2).alias("k2"),
-                    F.timestamp_seconds(F.col("event_timestamp") * 2)
-                     .alias("rts"))
-        )
-        joined = stream_stream_join(
-            left, right, F.col("k") == F.col("k2"),
-            left_ts="lts", right_ts="rts",
-            left_watermark="0 seconds", right_watermark="0 seconds",
-            range_after="10 seconds", how="left_outer",
-        )
-        out = joined.select("k", F.col("k2").alias("matched_k"),
-                            F.col("k2").isNotNull().alias("matched"))
-        with bounded_stream_shuffle(spark):
-            q = (
-                out.writeStream.format("parquet")
-                .option("path", f"{work}/out")
-                .option("checkpointLocation", f"{work}/ckpt")
-                .start()
-            )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
-        rows = (spark.read.schema("k bigint, matched_k bigint, matched boolean")
-                .parquet(f"{work}/out").collect())
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return (
-        spark.createDataFrame(rows, "k bigint, matched_k bigint, matched boolean")
-        .repartition(1).sortWithinPartitions("k")
+    left = (
+        spark.readStream.format("streamalert_app")
+        .option("app", "synthetic").option("end_timestamp", "300")
+        .load()
+        .select(F.col("event_timestamp").alias("k"),
+                F.timestamp_seconds("event_timestamp").alias("lts"))
     )
+    # right keys are the EVEN numbers 2..600: every even left key
+    # matches at the same event time, every odd one never does
+    right = (
+        spark.readStream.format("streamalert_app")
+        .option("app", "synthetic").option("end_timestamp", "300")
+        .load()
+        .select((F.col("event_timestamp") * 2).alias("k2"),
+                F.timestamp_seconds(F.col("event_timestamp") * 2)
+                 .alias("rts"))
+    )
+    joined = stream_stream_join(
+        left, right, F.col("k") == F.col("k2"),
+        left_ts="lts", right_ts="rts",
+        left_watermark="0 seconds", right_watermark="0 seconds",
+        range_after="10 seconds", how="left_outer",
+    )
+    out = joined.select("k", F.col("k2").alias("matched_k"),
+                        F.col("k2").isNotNull().alias("matched"))
+    rows = run_bounded_to_rows(
+        spark, out, "k bigint, matched_k bigint, matched boolean")
+    return rows.repartition(1).sortWithinPartitions("k")

@@ -46,8 +46,23 @@ def _body_for(service: str, descriptor: str, alert: dict) -> dict:
 
 def promote_staged(path: str, messages, batch_id: int) -> None:
     """Epoch commit: rename each staged task file to its final
-    epoch-keyed name. Idempotent — a retried commit finds the promoted
-    target, drops its (duplicate) staged file, and changes nothing."""
+    epoch-keyed name, then drop an epoch ``_DONE`` marker. Idempotent at
+    the EPOCH level — a retried commit of a batch whose marker exists
+    discards its staged files wholesale and changes nothing, so a replay
+    that repartitioned differently (AQE after restart) can never append
+    extra receipts next to the already-committed set. A crash BETWEEN the
+    renames and the marker leaves a partially promoted epoch whose retry
+    completes it; the residual window where a differently-partitioned
+    retry interleaves with partially promoted files is the documented
+    non-transactional-sink caveat (the same one Spark's own file sink
+    closes with a driver-side manifest — use a transactional table format
+    for stronger guarantees)."""
+    marker = os.path.join(path, f"epoch-{batch_id}._DONE")
+    if os.path.exists(marker):
+        for m in messages or []:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+        return
     for i, m in enumerate(messages):
         if m is None:
             continue
@@ -57,6 +72,10 @@ def promote_staged(path: str, messages, batch_id: int) -> None:
                 os.remove(m.staged)
             continue
         os.replace(m.staged, final)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(len(messages or [])))
+    os.replace(tmp, marker)
 
 
 def register_alert_writer(spark) -> None:
@@ -133,11 +152,17 @@ def register_alert_writer(spark) -> None:
     spark.dataSource.register(AlertOutputsDataSource)
 
 
+_LEDGER_SCHEMA = ("id string, output string, service string, "
+                  "descriptor string, body_md5 string")
+
+
 def read_ledger(spark, path: str):
-    """Committed ledger rows (staged files are never visible here)."""
-    return (
-        spark.read.schema(
-            "id string, output string, service string, "
-            "descriptor string, body_md5 string")
-        .json(os.path.join(path, "epoch-*.jsonl"))
-    )
+    """Committed ledger rows (staged files are never visible here). A
+    run that committed no epochs — zero alerts, or every row's outputs
+    malformed — yields the EMPTY typed ledger, not a PATH_NOT_FOUND."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(path, "epoch-*.jsonl")))
+    if not files:
+        return spark.createDataFrame([], _LEDGER_SCHEMA)
+    return spark.read.schema(_LEDGER_SCHEMA).json(files)

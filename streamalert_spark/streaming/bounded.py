@@ -32,3 +32,31 @@ def bounded_stream_shuffle(spark, n: int = 8):
             spark.conf.set(key, saved)
         else:
             spark.conf.unset(key)
+
+
+def run_bounded_to_rows(spark, df, schema: str, shuffle_n: int = 8):
+    """Drain a BOUNDED stream through a temp parquet sink under the
+    scoped state-shuffle conf and hand back its rows as a fresh local
+    DataFrame of ``schema`` — the shared shape of every stream_*_bounded
+    showcase query (materialize, then remove the work dir so repeated
+    driver/bench invocations leave no /tmp residue)."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bounded_stream_")
+    try:
+        with bounded_stream_shuffle(spark, shuffle_n):
+            q = (
+                df.writeStream.format("parquet")
+                .option("path", f"{work}/out")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        rows = spark.read.schema(schema).parquet(f"{work}/out").collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -74,7 +74,8 @@ def test_commit_is_idempotent(spark, tmp_path):
     first = sorted(tuple(r) for r in read_ledger(spark, str(ledger)).collect())
 
     # simulate the retry: re-stage a file and re-commit the same epoch
-    committed = [f for f in os.listdir(str(ledger)) if f.startswith("epoch-")]
+    committed = [f for f in os.listdir(str(ledger))
+                 if f.startswith("epoch-") and f.endswith(".jsonl")]
     assert committed
     staging = os.path.join(str(ledger), "_staging")
     os.makedirs(staging, exist_ok=True)
@@ -106,3 +107,11 @@ def test_commit_is_idempotent(spark, tmp_path):
         os.path.join(str(ledger), f"epoch-{epoch + 1}-part-0.jsonl"))
     grown = read_ledger(spark, str(ledger)).count()
     assert grown == len(first) + 1
+
+
+def test_empty_ledger_reads_as_typed_empty_frame(spark, tmp_path):
+    """Zero committed epochs (no alerts, or all outputs malformed) must
+    read back as the empty typed ledger, never PATH_NOT_FOUND."""
+    out = read_ledger(spark, str(tmp_path / "nothing"))
+    assert out.count() == 0
+    assert out.columns == ["id", "output", "service", "descriptor", "body_md5"]

@@ -122,3 +122,17 @@ def test_classifier_end_to_end_filter_path(spark):
         (r["record"]["id"], r["record"]["msg"])
         for r in out.by_log_type["app:errors"].collect())
     assert rows == [("e1", "boom"), ("e2", "bam")]
+
+
+def test_filter_literals_containing_operators(spark):
+    """&& and ] inside a quoted literal are literal characters, not
+    grammar — the tokenizer must respect quotes."""
+    doc = {"items": [
+        {"m": "a && b", "payload": {"id": "amp"}},
+        {"m": "a]b", "payload": {"id": "br"}},
+        {"m": "plain", "payload": {"id": "pl"}},
+    ]}
+    assert _ids(_run(spark, "items[?m == 'a && b'].payload", doc)) == ["amp"]
+    assert _ids(_run(spark, "items[?m == 'a]b'].payload", doc)) == ["br"]
+    assert _ids(
+        _run(spark, "items[?m == 'a && b' && m != 'x'].payload", doc)) == ["amp"]

@@ -208,3 +208,56 @@ def test_snapshot_diff_key_only_tables(spark):
     new = spark.createDataFrame([(2,), (3,), (9,)], "k bigint")
     diff = sorted(tuple(r) for r in snapshot_diff(old, new, ["k"]).collect())
     assert diff == [(1, "D"), (9, "I")]
+
+
+def test_profile_sketched_keeps_all_null_columns(spark):
+    """An all-NULL column is the canonical broken drop a profile exists
+    to surface — it must appear with null_count = n_rows, distinct 0,
+    on BOTH engines, not vanish from the report."""
+    import duckdb
+
+    from streamalert_spark.ops.profile import (
+        profile_sketched, profile_sketched_oracle_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None)], "a int, b string")
+    rows = {r["column_name"]: r for r in
+            profile_sketched(df, {"a": "int", "b": "string"}).collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["b"]["null_count"] == 3
+    assert rows["b"]["exact_distinct"] == 0
+    assert rows["b"]["kmv_distinct"] == 0.0
+    assert rows["b"]["kth_min_hash"] is None
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (a INTEGER, b VARCHAR)")
+    con.execute("INSERT INTO t VALUES (1, NULL), (2, NULL), (3, NULL)")
+    duck = {r[0]: r for r in con.execute(
+        profile_sketched_oracle_sql("t", {"a": "int", "b": "string"})
+    ).fetchall()}
+    assert set(duck) == {"a", "b"}
+    assert duck["b"][2] == 3 and duck["b"][5] == 0
+
+
+def test_winnowing_survives_short_docs(spark):
+    """Docs with fewer tokens than one k-gram must contribute nothing —
+    not crash the ANSI array index (sequence counts DOWN below n)."""
+    from streamalert_spark.queries import load_all
+    import duckdb
+
+    # patch a short doc in by unioning with the real table via a temp dir
+    import tempfile, shutil, os
+    work = tempfile.mkdtemp(prefix="winnow_short_")
+    try:
+        src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        extra = spark.createDataFrame(
+            [(990001, "one two", "en", "srcX", 7),
+             (990002, "", "en", "srcX", 0)],
+            src.schema)
+        src.unionByName(extra).write.parquet(f"{work}/documents.parquet")
+        out = load_all()["winnowing_fingerprints"].fn(spark, work).collect()
+        ids = {r["doc_id"] for r in out}
+        assert 990001 not in ids and 990002 not in ids and len(ids) > 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
