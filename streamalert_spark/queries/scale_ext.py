@@ -109,6 +109,80 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, n_cells=8, n_probe=2, k=10)
 
 
+# IVF quality audit — recall@k of the cell-pruned search vs brute force.
+
+_IVF_RECALL_ORACLE = f"""
+WITH seeds AS (SELECT vec_id AS seed_id, embedding AS sv FROM embeddings ORDER BY vec_id LIMIT 8),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.seed_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_IVF_COS.format(a="e.embedding", b="s.sv")} DESC, s.seed_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT s.seed_id FROM seeds s CROSS JOIN q
+  ORDER BY {_IVF_COS.format(a="q.qv", b="s.sv")} DESC, s.seed_id
+  LIMIT 2
+),
+ivf AS (
+  SELECT e.vec_id
+  FROM assign a
+  JOIN embeddings e ON a.vec_id = e.vec_id
+  CROSS JOIN q
+  WHERE a.cell IN (SELECT seed_id FROM probes)
+  ORDER BY {_IVF_COS.format(a="e.embedding", b="q.qv")} DESC, e.vec_id
+  LIMIT 10
+),
+exact AS (
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN q
+  ORDER BY {_IVF_COS.format(a="e.embedding", b="q.qv")} DESC, e.vec_id
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM exact WHERE vec_id IN (SELECT vec_id FROM ivf)) AS ivf_hits,
+       ROUND((SELECT COUNT(*) FROM exact
+              WHERE vec_id IN (SELECT vec_id FROM ivf)) / 10.0, 6) AS recall
+"""
+
+
+@query("ivf_recall_audit", oracle=_IVF_RECALL_ORACLE,
+       doc="IVF ANN QUALITY AUDIT: recall@10 of the n_probe=2/8-cell "
+           "pruned search against the exact brute-force cosine top-10 — "
+           "the measured guarantee behind scanning ~n_probe/n_cells of "
+           "the corpus. The companion of lsh_quality_audit on the "
+           "embedding side; both engines replay the identical "
+           "quantize/probe/rank arithmetic, so the recall itself "
+           "hash-checks.")
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id",
+                F.round(similarity.cosine(F.col("embedding"), F.col("qv")), 6)
+                 .alias("score"))
+        .repartition(1)
+        .sortWithinPartitions(F.col("score").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    ivf = similarity.ivf_topk(emb, n_cells=8, n_probe=2, k=10).select("vec_id")
+    hits = exact.join(ivf, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ivf_hits"))
+    return hits.select(
+        F.lit(10).cast("bigint").alias("k"),
+        "ivf_hits",
+        F.round(F.col("ivf_hits") / F.lit(10.0), 6).alias("recall"),
+    )
+
+
 # ------------------------------------------------- bloom semi-join reduction
 
 _DIM_PRED = "c_mktsegment = 'BUILDING' AND c_acctbal > 9000"
