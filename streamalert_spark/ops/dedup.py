@@ -14,7 +14,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_NUM_HASHES = 16
@@ -154,6 +154,55 @@ def ngram_jaccard_pairs(
         inter.select("a", "b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard >= threshold pairs via PREFIX FILTERING
+    (SSJoin/PPJoin): identical output to ngram_jaccard_pairs with NO
+    false negatives, but the candidate join touches only each doc's
+    |d| - ceil(t*|d|) + 1 RAREST shingles under the global (document
+    frequency, shingle) order — so a corpus-wide hot shingle sits at the
+    END of the rarity order and enters almost no prefix, killing the
+    hot-shingle quadratic bucket that makes the all-shared-shingle join
+    (ngram_jaccard_pairs) unsafe on skewed corpora. Completeness is the
+    classic prefix-filter lemma: J(a,b) >= t forces |a∩b| >= ceil(t|a|)
+    and >= ceil(t|b|), so each prefix contains a common element, and the
+    globally-smallest such element lies in BOTH prefixes. Verification
+    re-runs the exact Jaccard over the candidate-doc subset only
+    (broadcast size-gated like lsh_verified_pairs).
+
+    LSH (lsh_verified_pairs) remains the probabilistic scale path; this
+    is the EXACT scale path — no recall loss, candidate volume governed
+    by prefix-shingle bucket sizes instead of band collisions."""
+    hashed = _swap_cache(
+        "jacprefix", _shingle_hash_rows(df, text_col, id_col, n))
+    dfreq = hashed.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "sh")
+    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = (
+        hashed.join(dfreq, "sh")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= plen)
+        .select(id_col, "sh")
+    )
+    pa = prefix.select(F.col(id_col).alias("a"), "sh")
+    pb = prefix.select(F.col(id_col).alias("b"), "sh")
+    cands = (
+        pa.join(pb, "sh").filter(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
+    cands = _swap_cache("jacprefix_cands", cands)
+    hint = F.broadcast if cands.count() <= BROADCAST_PAIR_LIMIT else (lambda d: d)
+    cand_ids = cands.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
+    subset = df.join(hint(cand_ids), id_col, "left_semi")
+    verified = ngram_jaccard_pairs(subset, text_col, id_col, n, threshold)
+    return verified.join(hint(cands), ["a", "b"], "left_semi")
 
 
 def _minhash_expr(i: int) -> Column:

@@ -67,6 +67,7 @@ _VERIFY_FIRST = [
     "stream_outer_join_bounded",  # new: left-outer stream-stream join
     "lsh_quality_audit",        # new: LSH precision/recall vs truth
     "ivf_recall_audit",         # new: IVF recall@k vs brute force
+    "jaccard_prefix_pairs",     # new: exact PPJoin-style prefix filter
     # round-6 changed operators — gated_broadcast now wraps the
     # SF-scaling join sides of the whole TPC-H surface; re-verify it
     "bloom_semijoin_reduction",
@@ -105,10 +106,9 @@ _VERIFY_FIRST = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "minhash_lsh_candidates",
-    "ann_cosine_topk",
     # ^ exactly 50 entries — the external sampler's prefix. Entries past
     # position 50 are inert; the remaining r3-stale queries
-    # (ann_lsh_bucketed, sessionize_events, rollup_pricing,
+    # (ann_cosine_topk, ann_lsh_bucketed, sessionize_events, rollup_pricing,
     # corpus_quality_filter, funnel_stages, cohort_retention,
     # latest_event_per_user, session_window_agg, event_type_pivot,
     # moving_day_window, range_join_windows, scd2_intervals,

@@ -1138,3 +1138,20 @@ def lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.greatest(F.col("true_pairs"), F.lit(1))
                 .cast("double"), 6).alias("recall_"),
     )
+
+
+@query("jaccard_prefix_pairs", oracle=_JACCARD_ORACLE,
+       doc="EXACT Jaccard>=0.5 pairs via PREFIX FILTERING (SSJoin/"
+           "PPJoin): candidates join only on each doc's rarest "
+           "|d|-ceil(t|d|)+1 shingles under the global (df, shingle) "
+           "order — a corpus-wide hot shingle enters almost no prefix, "
+           "so the exact path survives skewed corpora where the "
+           "all-shared-shingle join goes quadratic. No false negatives "
+           "(prefix-filter lemma); the oracle is the brute-force "
+           "DEFINITION, so the hash check proves completeness, not just "
+           "agreement with the plan.")
+def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        dedup.jaccard_prefix_pairs(_docs(spark, sf_dir), threshold=0.5)
+        .repartition(1).sortWithinPartitions("a", "b")
+    )

@@ -206,3 +206,45 @@ def test_salted_topk_hot_key_spreads_buckets(spark):
         for r in df.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 4).collect())
     assert got == [(g, v, rid, int(rk)) for g, v, rid, rk in want]
+
+
+def test_jaccard_prefix_filter_excludes_hot_shingle(spark):
+    """The prefix filter's reason to exist: a shingle shared by EVERY doc
+    sits last in the (df, shingle) rarity order and must enter (almost)
+    no prefix — the hot bucket that makes the all-shared-shingle join
+    quadratic never forms — while the output still equals the brute-force
+    definition exactly."""
+    from streamalert_spark.ops.dedup import (
+        _shingle_hash_rows, jaccard_prefix_pairs, ngram_jaccard_pairs,
+    )
+
+    # 60 docs, each with a UNIQUE body plus one GLOBAL hot phrase; docs
+    # 2i/2i+1 are near-identical pairs
+    rows = []
+    for i in range(30):
+        body = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append((2 * i, f"{body} common hot phrase"))
+        rows.append((2 * i + 1, f"{body} tail{i} common hot phrase"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    got = sorted((r["a"], r["b"]) for r in
+                 jaccard_prefix_pairs(df, threshold=0.5).collect())
+    want = sorted((r["a"], r["b"]) for r in
+                  ngram_jaccard_pairs(df, threshold=0.5).collect())
+    assert got == want and len(got) >= 30
+
+    # the global 'common hot phrase' 3-gram has df=60 (every doc); count
+    # how many prefixes it enters — rarity ordering must keep it out
+    from pyspark.sql import Window
+
+    hashed = _shingle_hash_rows(df, "text", "doc_id", 3)
+    dfreq = hashed.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    plen = F.col("sz") - F.ceil(F.lit(0.5) * F.col("sz")) + 1
+    prefix = (hashed.join(dfreq, "sh")
+              .withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= plen))
+    hot_df = prefix.groupBy("sh").count().orderBy(F.col("count").desc())
+    top = hot_df.first()
+    # no shingle's prefix bucket covers a large fraction of the corpus
+    assert top["count"] <= 12, top
