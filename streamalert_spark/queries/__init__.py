@@ -68,6 +68,7 @@ _VERIFY_FIRST = [
     "lsh_quality_audit",        # new: LSH precision/recall vs truth
     "ivf_recall_audit",         # new: IVF recall@k vs brute force
     "jaccard_prefix_pairs",     # new: exact PPJoin-style prefix filter
+    "unpivot_measure_totals",   # new: native wide-to-long melt surface
     # round-6 changed operators — gated_broadcast now wraps the
     # SF-scaling join sides of the whole TPC-H surface; re-verify it
     "bloom_semijoin_reduction",
@@ -105,10 +106,10 @@ _VERIFY_FIRST = [
     "parse_json_envelope_explode",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "minhash_lsh_candidates",
     # ^ exactly 50 entries — the external sampler's prefix. Entries past
     # position 50 are inert; the remaining r3-stale queries
-    # (ann_cosine_topk, ann_lsh_bucketed, sessionize_events, rollup_pricing,
+    # (minhash_lsh_candidates, ann_cosine_topk, ann_lsh_bucketed,
+    # sessionize_events, rollup_pricing,
     # corpus_quality_filter, funnel_stages, cohort_retention,
     # latest_event_per_user, session_window_agg, event_type_pivot,
     # moving_day_window, range_join_windows, scd2_intervals,

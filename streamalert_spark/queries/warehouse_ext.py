@@ -419,3 +419,50 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("orderkey")
     )
+
+
+# ---------------------------------------------------------- unpivot/melt
+
+_UNPIVOT_ORACLE = """
+SELECT measure, CAST(n AS BIGINT) AS n,
+       CAST(total AS DOUBLE) AS total
+FROM (
+  SELECT 'l_quantity' AS measure, COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', COUNT(*),
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', COUNT(*),
+         SUM(CAST(l_discount AS DECIMAL(18,2))) FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', COUNT(*),
+         SUM(CAST(l_tax AS DECIMAL(18,2))) FROM lineitem
+)
+ORDER BY measure
+"""
+
+
+@query("unpivot_measure_totals", oracle=_UNPIVOT_ORACLE,
+       doc="Wide-to-long UNPIVOT (DataFrame.unpivot — Spark's native "
+           "melt, the inverse of the pivot surface): four lineitem "
+           "measures unpivot into (measure, value) rows in the map "
+           "stage, then one partial-aggregated groupBy(measure) — 4 "
+           "groups however wide the table, decimal-exact sums. The "
+           "long-form shape every per-metric monitoring/quality rollup "
+           "consumes.")
+def unpivot_measure_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)"))
+              .cast("double").alias("total"))
+        .repartition(1).sortWithinPartitions("measure")
+    )
