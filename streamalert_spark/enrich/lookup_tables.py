@@ -12,8 +12,10 @@ Spark mapping (SURVEY.md §2.3):
   used engine-side as a join (enrich_join) rather than point lookups.
 
 At 100 TB the join form is the scale path: a broadcast join adds zero
-shuffle; only if the lookup side outgrew broadcast would it become a
-shuffled hash join on the key.
+shuffle, and the hint is size-gated (``gated_broadcast``) — a Dynamo-like
+lookup table has no size bound by construction, so over the budget the
+un-hinted equi-join falls back to AQE, which picks a shuffled hash/merge
+join on the key.
 """
 
 from __future__ import annotations
@@ -23,7 +25,8 @@ import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+
+from streamalert_spark.ops.hints import gated_broadcast
 
 DEFAULT_CACHE_REFRESH_MINUTES = 10  # conf/lookup_tables.json:5-18 default
 
@@ -111,7 +114,7 @@ class LookupTables:
         lk = self._frames[table]
         if value_cols:
             lk = lk.select("__lookup_key", *value_cols)
-        out = df.join(F.broadcast(lk), df[key_col] == lk["__lookup_key"], how)
+        out = df.join(gated_broadcast(lk), df[key_col] == lk["__lookup_key"], how)
         return out.drop("__lookup_key")
 
 

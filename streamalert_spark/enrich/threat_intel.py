@@ -15,9 +15,14 @@ record into the ioc map. The 100-key batching disappears — the join IS the
 batch. CIDR exclusion is a native bitmask comparison on the IPv4 integer
 (no UDF): ip & mask == net & mask.
 
-Scale: ioc tables are millions of rows at most -> broadcast; candidate
-explosion is bounded by normalization fan-out; the groupBy re-aggregation
-shuffles only matched records (a tiny fraction), keyed by record id.
+Scale: ioc tables are usually MBs -> broadcast, but the reference's feed
+downloader paginates an UNBOUNDED ThreatStream feed (tens of millions of
+IOCs are real), so the hint is size-gated (``gated_broadcast``): under the
+budget the join broadcasts; over it the un-hinted equi-join falls to AQE,
+which shuffles both sides on ioc_value — the only safe plan for a huge
+feed. Candidate explosion is bounded by normalization fan-out; the groupBy
+re-aggregation shuffles only matched records (a tiny fraction), keyed by
+record id.
 """
 
 from __future__ import annotations
@@ -26,6 +31,8 @@ import ipaddress
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from streamalert_spark.ops.hints import gated_broadcast
 
 
 def ipv4_to_long(col: Column) -> Column:
@@ -109,7 +116,7 @@ class ThreatIntel:
         the broadcast join replacing the reference's DynamoDB batch probe."""
         cands = self._candidates(df, id_col)
         return cands.join(
-            F.broadcast(self.ioc_df),
+            gated_broadcast(self.ioc_df),
             cands["value"] == self.ioc_df["ioc_value"],
             "inner",
         ).select(

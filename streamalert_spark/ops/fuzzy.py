@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from streamalert_spark.ops.hints import gated_broadcast
+
 
 def char_ngrams(col: Column, n: int = 3) -> Column:
     """Array of character n-grams (empty for strings shorter than n —
@@ -100,12 +102,15 @@ def edit_distance_pairs(
 
     blocked = qgram_block_candidates(names, n=n, max_distance=max_distance)
     # short strings: exhaustive against everything within k in length —
-    # the SHORT side broadcasts (it is the small set by construction;
-    # broadcasting all names would not survive a large corpus)
+    # the SHORT side broadcasts (distinct strings shorter than n*(k+1)
+    # chars: the universe is bounded by alphabet^(n*(k+1)), and in any
+    # real corpus the distinct short-name set is tiny). The hint is still
+    # size-gated — a pathological corpus of millions of distinct short
+    # strings falls back to AQE's shuffle join instead of OOMing.
     shorts = names.filter(F.length("name") < guarantee_len)
     short_pairs = (
         names.select(F.col("name").alias("other"))
-        .join(F.broadcast(shorts.select(F.col("name").alias("short"))),
+        .join(gated_broadcast(shorts.select(F.col("name").alias("short"))),
               (F.col("short") != F.col("other"))
               & (F.abs(F.length("short") - F.length("other"))
                  <= max_distance))

@@ -28,28 +28,60 @@ both sides of the gate and that query results are identical either way.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Byte budget for an explicit broadcast hint. Well under a sane executor
-# heap share and Spark's 8 GB broadcast hard limit, but far above the
-# default 10 MB autoBroadcastJoinThreshold: TPC-H dims at bench SFs are
+log = logging.getLogger(__name__)
+
+# Default byte budget for an explicit broadcast hint. Well under a sane
+# executor heap share and Spark's 8 GB broadcast hard limit, but far above
+# the default 10 MB autoBroadcastJoinThreshold: TPC-H dims at bench SFs are
 # kilobytes, and at production SFs a customer/part/supplier relation blows
-# past this and correctly falls back to a shuffle join.
+# past this and correctly falls back to a shuffle join. Override per
+# deployment via ``spark.streamalert.broadcastHintBytes`` so the budget can
+# be aligned with the actual executor memory (e.g. smaller executors ->
+# smaller budget).
 BROADCAST_SIZE_LIMIT = 256 * 1024 * 1024
+
+BROADCAST_LIMIT_CONF = "spark.streamalert.broadcastHintBytes"
+
+_warned_no_estimate = False
+
+
+def broadcast_limit(df: DataFrame) -> int:
+    """The active hint budget: ``spark.streamalert.broadcastHintBytes`` if
+    set on the session, else ``BROADCAST_SIZE_LIMIT``."""
+    try:
+        conf = df.sparkSession.conf.get(BROADCAST_LIMIT_CONF, None)
+        if conf is not None:
+            return int(conf)
+    except Exception:  # noqa: BLE001 — conf access is best-effort
+        pass
+    return BROADCAST_SIZE_LIMIT
 
 
 def plan_size_estimate(df: DataFrame) -> int | None:
     """Catalyst's plan-time sizeInBytes estimate for ``df``, or None.
 
     Reads the optimized logical plan's statistics (no job runs). Returns
-    None when the internal API is unavailable (e.g. Spark Connect) — the
-    caller must then treat the size as unknown/unbounded.
+    None when the internal API is unavailable (e.g. Spark Connect, where
+    ``_jdf`` does not exist) — the caller must then treat the size as
+    unknown/unbounded. Logs once per process when that happens so a
+    deployment whose every gate silently degrades to no-hint is observable.
     """
+    global _warned_no_estimate
     try:
         stats = df._jdf.queryExecution().optimizedPlan().stats()
         return int(str(stats.sizeInBytes()))
     except Exception:  # noqa: BLE001 — estimate is best-effort by contract
+        if not _warned_no_estimate:
+            _warned_no_estimate = True
+            log.warning(
+                "plan-time size estimate unavailable (Spark Connect?); "
+                "every gated_broadcast degrades to no-hint and AQE decides"
+            )
         return None
 
 
@@ -62,7 +94,7 @@ def gated_broadcast(df: DataFrame, limit_bytes: int | None = None) -> DataFrame:
     so the conservative path costs nothing at bench scale that the
     optimizer can't win back, and never OOMs at 100 TB.
     """
-    limit = BROADCAST_SIZE_LIMIT if limit_bytes is None else limit_bytes
+    limit = broadcast_limit(df) if limit_bytes is None else limit_bytes
     est = plan_size_estimate(df)
     if est is not None and est <= limit:
         return F.broadcast(df)

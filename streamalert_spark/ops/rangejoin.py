@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streamalert_spark.ops.hints import gated_broadcast
+
 
 def bucketed_range_join(
     points: DataFrame,
@@ -47,7 +49,10 @@ def bucketed_range_join(
         ),
     )
     if broadcast_intervals:
-        iv = F.broadcast(iv)
+        # size-gated: an interval table that outgrows the budget (IP
+        # geolocation feeds run to tens of millions of ranges) falls back
+        # to AQE's shuffle equi-join on _bucket — same results, no OOM
+        iv = gated_broadcast(iv)
     return (
         p.join(iv, "_bucket")
         .filter(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from streamalert_spark.ops.hints import gated_broadcast
+
 
 def scd2_from_changelog(
     changes: DataFrame,
@@ -62,15 +64,24 @@ def point_in_time_join(
 ) -> DataFrame:
     """Attach the dimension version valid AT each fact's timestamp:
     key equality + valid_from <= ts < valid_to (NULL valid_to = open).
-    History is broadcast (dimension-sized); each fact matches at most
-    one version because intervals partition the timeline per key."""
+    Each fact matches at most one version because intervals partition the
+    timeline per key.
+
+    The history side is SIZE-GATED broadcast (``gated_broadcast``): a
+    dimension history usually fits, but an SCD2 history of a large
+    dimension (customer at the 100 TB design point) is multi-TB, and a
+    hard hint there is an executor/driver OOM that also blocks AQE from
+    ever choosing a shuffle join. Over the gate the join condition's key
+    equality lets Catalyst plan a sort-merge join on the keys with the
+    interval predicate as a post-join filter — the correct large-history
+    plan (or bucket both sides on the key to remove the shuffle)."""
     cond = F.lit(True)
     for c in key_cols:
         cond = cond & (facts[c] == history[c])
     cond = cond & (history["valid_from"] <= facts[fact_ts_col])
     cond = cond & (history["valid_to"].isNull()
                    | (facts[fact_ts_col] < history["valid_to"]))
-    joined = facts.join(F.broadcast(history), cond, how)
+    joined = facts.join(gated_broadcast(history), cond, how)
     drop = [history[c] for c in key_cols]
     for c in drop:
         joined = joined.drop(c)

@@ -247,11 +247,15 @@ def lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_bucket", (F.col("user_id") % 5).cast("string")
     )
     lookups = LookupTables(spark)
+    # VALUES builds a LocalRelation whose size statistic Catalyst knows,
+    # so the enrich join's size-gated broadcast hint can fire; a
+    # createDataFrame-from-list frame is a stat-less ExistingRDD and
+    # would (correctly, conservatively) fail the gate.
     lookups.register_frame(
         "tiers",
-        spark.createDataFrame(
-            [("0", "bronze"), ("1", "silver"), ("2", "gold"), ("3", "platinum"), ("4", "diamond")],
-            "key string, tier string",
+        spark.sql(
+            "SELECT * FROM VALUES ('0','bronze'), ('1','silver'), "
+            "('2','gold'), ('3','platinum'), ('4','diamond') AS t(key, tier)"
         ),
     )
     out = lookups.enrich_join(ev, "tiers", key_col="user_bucket", value_cols=["tier"])

@@ -98,10 +98,12 @@ ORDER BY p.event_id
            "probe attaches the dimension version whose [valid_from, "
            "valid_to) interval contains its timestamp — at most one "
            "match because intervals partition the timeline per key. The "
-           "dimension history broadcasts (dimension-sized); the interval "
-           "predicate evaluates fact-side, so the fact table never "
-           "shuffles. Probes are events sampled at event_id % 100, asked "
-           "one hour into their future.")
+           "dimension history rides a SIZE-GATED broadcast (a multi-TB "
+           "SCD2 history of a large dimension falls back to a key-equi "
+           "sort-merge join with the interval predicate as post-filter); "
+           "under the gate the interval predicate evaluates fact-side and "
+           "the fact table never shuffles. Probes are events sampled at "
+           "event_id % 100, asked one hour into their future.")
 def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamalert_spark.ops.scd import point_in_time_join
 

@@ -359,3 +359,88 @@ def test_hll_sum_is_integer_no_libm(spark):
     for fn in ("power(", "pow(", "log(", "ln(", "exp("):
         assert fn not in plan, fn
     assert "shiftleft" in plan
+
+
+def _force_shuffle_collect(spark, monkeypatch, name):
+    """Run query `name` twice — once normally, once with the broadcast
+    gate shrunk to 1 byte and Spark's own auto-broadcast disabled — and
+    return (normal_rows, forced_plan, forced_rows)."""
+    from streamalert_spark.ops import hints
+    from streamalert_spark.queries import load_all
+
+    fn = load_all()[name].fn
+    expected = sorted(tuple(r) for r in fn(spark, SF_DIR).collect())
+    monkeypatch.setattr(hints, "BROADCAST_SIZE_LIMIT", 1)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        forced = fn(spark, SF_DIR)
+        plan = _plan(forced)
+        rows = sorted(tuple(r) for r in forced.collect())
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    return expected, plan, rows
+
+
+def test_scd2_point_in_time_gate_forces_shuffle_same_results(spark, monkeypatch):
+    """The SCD2 history side must be size-gated: over the gate the join
+    condition's key equality plans a sort-merge join on user_id with the
+    interval predicate as post-filter — identical results, no forced
+    multi-TB broadcast at 100 TB (the r6 verdict's one perf-weak plan)."""
+    expected, plan, rows = _force_shuffle_collect(
+        spark, monkeypatch, "scd2_point_in_time")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:3000]
+    assert rows == expected
+
+
+def test_threat_intel_gate_forces_shuffle_same_results(spark, monkeypatch):
+    """An unbounded IOC feed (the reference's paginated ThreatStream
+    downloader) must not ride a hard broadcast hint: over the gate the
+    equi-join on ioc_value becomes a shuffle join, results unchanged."""
+    expected, plan, rows = _force_shuffle_collect(
+        spark, monkeypatch, "threat_intel_hits")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:3000]
+    assert rows == expected
+
+
+def test_lookup_enrich_gate_forces_shuffle_same_results(spark, monkeypatch):
+    """Dynamo-like lookup tables have no size bound; the enrich join's
+    hint is gated and the shuffle path returns identical rows."""
+    expected, plan, rows = _force_shuffle_collect(
+        spark, monkeypatch, "lookup_enrich")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:3000]
+    assert rows == expected
+
+
+def test_broadcast_limit_conf_respected(spark):
+    """spark.streamalert.broadcastHintBytes overrides the module default
+    in BOTH directions: a 1-byte conf fails the gate for a small frame;
+    a huge conf passes it; unset falls back to BROADCAST_SIZE_LIMIT."""
+    from streamalert_spark.ops import hints
+
+    small = spark.range(10)
+    conf_key = hints.BROADCAST_LIMIT_CONF
+    saved = spark.conf.get(conf_key, None)
+    try:
+        spark.conf.set(conf_key, "1")
+        gated = hints.gated_broadcast(small)
+        assert "ResolvedHint" not in gated._jdf.queryExecution() \
+            .analyzed().toString()
+        spark.conf.set(conf_key, str(1 << 40))
+        hinted = hints.gated_broadcast(small)
+        assert "ResolvedHint" in hinted._jdf.queryExecution() \
+            .analyzed().toString()
+    finally:
+        if saved is not None:
+            spark.conf.set(conf_key, saved)
+        else:
+            spark.conf.unset(conf_key)
+    # unset -> module default governs again
+    assert "ResolvedHint" in hints.gated_broadcast(small)._jdf \
+        .queryExecution().analyzed().toString()
