@@ -50,71 +50,52 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # queries whose underlying operators changed most recently and should be
 # re-verified first. Every other query follows in registration order.
 _VERIFY_FIRST = [
-    # ---- round-6 new queries prepend HERE (keep list length ~50) ----
-    "alert_merge_digest",   # new: merged-record synthesis digest (closes
-    #                         the last rows-only gap in the merge family)
-    "bloom_calibrated_semijoin",  # new: production m/k sizing path
-    "parse_json_path_filter",   # new: jmespath filter projection compile
-    "parse_json_path_slice",    # new: jmespath index+slice compile
-    "bm25_retrieval_scores",    # new: engine-exact fixed-point BM25
-    "table_profile_sketched",   # new: KMV profile (100-TB Expand-free)
-    "winnowing_fingerprints",   # new: rolling-hash local fingerprints
-    "stream_session_windows_bounded",  # new: streaming gap sessionization
-    "hll_distinct_users",       # new: portable HyperLogLog registers
-    "alert_output_writer_ledger",  # new: DataSource streaming SINK
-    "incremental_join_maintenance",  # new: join IVM delta rule
-    "hll_sketch_rollup",        # new: lossless register-merge proof
-    "stream_outer_join_bounded",  # new: left-outer stream-stream join
-    "lsh_quality_audit",        # new: LSH precision/recall vs truth
-    "ivf_recall_audit",         # new: IVF recall@k vs brute force
-    "jaccard_prefix_pairs",     # new: exact PPJoin-style prefix filter
-    "unpivot_measure_totals",   # new: native wide-to-long melt surface
-    # round-6 changed operators — gated_broadcast now wraps the
-    # SF-scaling join sides of the whole TPC-H surface; re-verify it
-    "bloom_semijoin_reduction",
-    "q2_min_cost_supplier",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_predicates",
-    "q20_excess_volume_suppliers",
-    # last green driver row is ROUND 2 — oldest signal, re-verify now
-    "q1_pricing_summary",
-    "revenue_by_nation",
-    "q3_shipping_priority",
-    "scheduled_hourly_counts",
-    "rule_promotion_counts",
-    "json_extract_props",
-    "string_filter_surface",
-    "topn_per_user",
-    "cidr_exclusion_filter",
-    "log_patterns_route",
-    "optional_backfill_bool",
-    "nested_csv_column",
-    # last green driver row is ROUND 3 — core parse/dedup families next
-    "parse_csv_strict",
-    "parse_csv_multiline",
-    "parse_kv",
-    "parse_syslog",
-    "json_regex_key_extract",
-    "parse_json_envelope_explode",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    # ^ exactly 50 entries — the external sampler's prefix. Entries past
-    # position 50 are inert; the remaining r3-stale queries
-    # (minhash_lsh_candidates, ann_cosine_topk, ann_lsh_bucketed,
-    # sessionize_events, rollup_pricing,
-    # corpus_quality_filter, funnel_stages, cohort_retention,
-    # latest_event_per_user, session_window_agg, event_type_pivot,
-    # moving_day_window, range_join_windows, scd2_intervals,
-    # url_domain_filter, doc_length_histogram, quality_bucket_filter)
-    # lead round 7's prefix.
+    # ---- round-7 new queries prepend HERE (keep list length <= 50) ----
+    # round-7 changed operators — these joins are now size-gated
+    # (gated_broadcast replaced their hard F.broadcast); re-verify first
+    "scd2_point_in_time",
+    "threat_intel_hits",
+    "lookup_enrich",
+    # last green driver row is ROUND 3 — the FULL 33-query stale tail
+    # (computed from CORRECTNESS_r02..r06, not the shorter list the r6
+    # comment carried)
+    "ann_batch_topk",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "cap_docs_per_source",
+    "chunk_context_windows",
+    "cohort_retention",
+    "corpus_quality_filter",
+    "curation_pipeline_e2e",
+    "decontaminate_ngram_overlap",
+    "doc_length_histogram",
+    "embedding_cosine_neardup",
+    "event_type_pivot",
+    "funnel_stages",
+    "latest_event_per_user",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "moving_day_window",
+    "multimodal_frame_sample",
+    "multimodal_image_features",
+    "quality_bucket_filter",
+    "range_join_windows",
+    "repetition_signals",
+    "rollup_pricing",
+    "scd2_intervals",
+    "session_window_agg",
+    "sessionize_events",
+    "simhash64",
+    "stratified_sample_langs",
+    "temperature_mixture_sample",
+    "text_stats",
+    "token_counts",
+    "token_frequency_score",
+    "url_domain_filter",
+    # ^ 36 entries; positions up to 50 fill with registration order, so
+    # round-7 new queries MUST be inserted above (displacing nothing)
+    # until the list reaches 50. After r7 every oracle-paired query's
+    # latest driver-green row is <= 2 rounds old.
 ]
 
 
