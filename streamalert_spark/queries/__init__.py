@@ -51,6 +51,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # re-verified first. Every other query follows in registration order.
 _VERIFY_FIRST = [
     # ---- round-7 new queries prepend HERE (keep list length <= 50) ----
+    "threat_intel_feed_ingest",  # new: feed ingester -> ioc table -> join
     # round-7 changed operators — these joins are now size-gated
     # (gated_broadcast replaced their hard F.broadcast); re-verify first
     "scd2_point_in_time",

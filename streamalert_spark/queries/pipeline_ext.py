@@ -333,3 +333,146 @@ def streamquery_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Threat-intel feed ingest → IOC table → detection join, end to end
+# (threat_intel_downloader/main.py:41-347 as a Spark ingest job).
+# ---------------------------------------------------------------------------
+
+# the fake ThreatStream feed served by the injectable transport: raw
+# (value, itype, source, expiration_ts) objects BEFORE ingest processing —
+# both engines independently apply source filtering, expiry conversion
+# (missing -> now + 90 days), last-write-wins dedup, and the TTL filter
+_TI_FEED_OBJECTS = [
+    # live hit; superseded by the later abuse.ch row below (dedup)
+    ("3", "c2_user", "CrowdStrike Intel", "2024-06-01T00:00:00.000Z"),
+    ("3", "mal_user", "abuse.ch feed", "2025-01-01T00:00:00.000Z"),
+    # missing expiry -> defaults to now + 90 days -> live
+    ("7", "mal_user", "crowdstrike", None),
+    # expired before _TI_NOW -> dropped by the TTL read filter
+    ("13", "compromised", "crowdstrike", "2020-01-01T00:00:00.000Z"),
+    # source not in the configured filter list -> dropped at ingest
+    ("42", "compromised", "other-vendor", "2024-06-01T00:00:00.000Z"),
+    # live but matches no user_id at any SF
+    ("99999999", "mal_user", "abuse.ch", "2024-06-01T00:00:00.000Z"),
+]
+_TI_NOW = 1_700_000_000  # fixed clock: expiry default + TTL filter cutoff
+
+_TI_FEED_VALUES = ", ".join(
+    "('{}', '{}', '{}', {})".format(
+        v, it, src, "NULL" if exp is None else f"'{exp}'")
+    for v, it, src, exp in _TI_FEED_OBJECTS
+)
+
+_TI_INGEST_ORACLE = f"""
+WITH feed(value, itype, source, exp) AS (VALUES {_TI_FEED_VALUES}),
+processed AS (
+  SELECT value, itype,
+         CASE WHEN exp IS NULL THEN {_TI_NOW} + 90 * 86400
+              ELSE CAST(epoch(strptime(exp, '%Y-%m-%dT%H:%M:%S.%fZ'))
+                        AS BIGINT) END AS expiration_ts
+  FROM feed
+  WHERE lower(source) LIKE '%crowdstrike%'
+     OR lower(source) LIKE '%abuse.ch%'
+),
+dedup AS (
+  SELECT value AS ioc_value,
+         arg_max(itype, expiration_ts) AS sub_type,
+         MAX(expiration_ts) AS expiration_ts
+  FROM processed GROUP BY value
+),
+live AS (SELECT * FROM dedup WHERE expiration_ts > {_TI_NOW})
+SELECT l.ioc_value AS value, l.sub_type, l.expiration_ts,
+       COUNT(*) AS n_hits
+FROM events e JOIN live l ON CAST(e.user_id AS VARCHAR) = l.ioc_value
+GROUP BY 1, 2, 3
+ORDER BY value
+"""
+
+
+@query("threat_intel_feed_ingest", oracle=_TI_INGEST_ORACLE,
+       doc="The full threat-intel pipeline: paginated feed ingest "
+           "(injectable transport serving a 3-page fake ThreatStream "
+           "feed, with one 500-then-retry page) -> source filter, "
+           "ioc_keys projection, expiry epoch conversion with the "
+           "90-day default -> last-write-wins dedup by ioc_value -> "
+           "ioc Parquet table snapshot -> TTL expiry read filter -> "
+           "size-gated broadcast detection join against event user "
+           "ids. Both engines independently replay the ingest rules "
+           "from the same raw feed literals, so the hash checks the "
+           "ingest semantics, not just the join.")
+def threat_intel_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from streamalert_spark.enrich.threat_intel import ThreatIntel
+    from streamalert_spark.enrich.ti_downloader import (
+        ThreatStreamFeed,
+        fake_feed_transport,
+        ingest_feed,
+        load_ioc_table,
+    )
+    from streamalert_spark.normalize.normalizer import (
+        NormalizationSpec,
+        Normalizer,
+        PathSpec,
+    )
+
+    def _obj(v, it, src, exp):
+        return {"value": v, "itype": it, "type": "user", "source": src,
+                "expiration_ts": exp}
+
+    pages = [
+        {"objects": [_obj(*o) for o in _TI_FEED_OBJECTS[:2]],
+         "meta": {"next": "/page/1", "offset": 1000}},
+        {"_url": "/page/1", "_status": 500, "_then_ok": True,
+         "objects": [_obj(*o) for o in _TI_FEED_OBJECTS[2:4]],
+         "meta": {"next": "/page/2", "offset": 2000}},
+        {"_url": "/page/2",
+         "objects": [_obj(*o) for o in _TI_FEED_OBJECTS[4:]],
+         "meta": {"next": None, "offset": 3000}},
+    ]
+    feed = ThreatStreamFeed(
+        api_user="u", api_key="k",
+        ioc_types=["user"], excluded_sub_types=["bot_user"],
+        ioc_sources=["crowdstrike", "abuse.ch"],
+        fetch=fake_feed_transport(pages), now_epoch=_TI_NOW,
+    )
+    work = tempfile.mkdtemp(prefix="ti_feed_q_")
+    try:
+        ingest_feed(spark, feed, work)
+        live = load_ioc_table(spark, work, now_epoch=_TI_NOW)
+
+        ev = read_table(spark, sf_dir, "events")
+        records = ev.select(
+            F.col("event_id"),
+            F.struct(F.col("user_id").cast("string")
+                     .alias("user_id")).alias("record"),
+        )
+        normed = Normalizer(NormalizationSpec(types={
+            "userName": [PathSpec(path="user_id",
+                                  function="user identity")],
+        })).apply(records,
+                  record_id=F.md5(F.col("event_id").cast("string")))
+        ti = ThreatIntel(live.select("ioc_value", "sub_type"),
+                         normalized_ioc_types={"user": ["userName"]})
+        ledger = (
+            ti.hits(normed)
+            .groupBy("value", "sub_type")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .join(live.select(F.col("ioc_value").alias("value"),
+                              "expiration_ts"), "value")
+            .select("value", "sub_type", "expiration_ts", "n_hits")
+        )
+        # the ledger is IOC-table-scale (rows = live IOCs with hits);
+        # materialize so the temp parquet dir can be removed immediately
+        rows = ledger.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return (
+        spark.createDataFrame(
+            rows, "value string, sub_type string, expiration_ts bigint, "
+                  "n_hits bigint")
+        .repartition(1).sortWithinPartitions("value")
+    )
