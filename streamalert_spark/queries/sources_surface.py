@@ -585,9 +585,12 @@ ORDER BY id, output
            "micro-batches; write(iterator) runs ON THE EXECUTORS, builds "
            "each output's request body with the transport-free builders, "
            "stages a task-local ledger file keyed by taskAttemptId, and "
-           "commit() promotes staged files to epoch-keyed names exactly "
-           "once (epoch _DONE marker; re-commit discards its staging, "
-           "abort removes it) — the object-store commit pattern, "
+           "commit() promotes staged files to attempt-unique epoch names "
+           "and atomically writes the epoch MANIFEST (the commit point; "
+           "readers consume only manifest-listed files, so a crash "
+           "between renames and manifest plus a differently-partitioned "
+           "retry still yields exactly-once receipts; re-commit discards "
+           "its staging, abort removes it) — Spark's file-sink pattern, "
            "replacing the driver-side foreachBatch iterator for delivery "
            "at scale. The hash check covers the committed ledger "
            "receipts (id, output, canonical body md5).")

@@ -9,10 +9,11 @@ per partition, builds each alert's per-output request body with the
 transport-free builders (streaming/outputs.py — slack / pagerduty-v2
 bodies are the real protocol payloads), and stages the delivery ledger as
 a task-local file; ``commit(messages, batchId)`` promotes the staged
-files to ``epoch-<batchId>-part-<i>.jsonl`` exactly once (rename —
-re-commit of a retried batch finds the target and skips), ``abort``
-removes staging. That is the standard object-store commit pattern; swap
-the local renames for a cloud store's atomic copy in production.
+files to attempt-unique epoch-keyed names and atomically writes the
+epoch MANIFEST naming exactly the promoted files (Spark's own file-sink
+commit pattern) — the manifest is the commit point, readers consume only
+manifest-listed files, and ``abort`` removes staging. Swap the local
+renames for a cloud store's atomic copy in production.
 
 The ledger row is the delivery RECEIPT (alert id, output, service,
 descriptor, md5 of the request body) — what the reference persists to its
@@ -44,38 +45,60 @@ def _body_for(service: str, descriptor: str, alert: dict) -> dict:
             "rule_name": alert.get("rule_name")}
 
 
+def _manifest_path(path: str, batch_id: int) -> str:
+    return os.path.join(path, f"epoch-{batch_id}.manifest.json")
+
+
 def promote_staged(path: str, messages, batch_id: int) -> None:
-    """Epoch commit: rename each staged task file to its final
-    epoch-keyed name, then drop an epoch ``_DONE`` marker. Idempotent at
-    the EPOCH level — a retried commit of a batch whose marker exists
-    discards its staged files wholesale and changes nothing, so a replay
-    that repartitioned differently (AQE after restart) can never append
-    extra receipts next to the already-committed set. A crash BETWEEN the
-    renames and the marker leaves a partially promoted epoch whose retry
-    completes it; the residual window where a differently-partitioned
-    retry interleaves with partially promoted files is the documented
-    non-transactional-sink caveat (the same one Spark's own file sink
-    closes with a driver-side manifest — use a transactional table format
-    for stronger guarantees)."""
-    marker = os.path.join(path, f"epoch-{batch_id}._DONE")
-    if os.path.exists(marker):
+    """Epoch commit, Spark-file-sink style: rename each staged task file
+    to an ATTEMPT-UNIQUE epoch-keyed name (the staged name already
+    carries partitionId + taskAttemptId, so two attempts can never
+    collide), then atomically write the epoch MANIFEST naming exactly
+    the files this commit promoted. The manifest write IS the commit
+    point:
+
+    - a retried commit of an epoch whose manifest exists discards its
+      staged files wholesale and changes nothing;
+    - a crash BETWEEN the renames and the manifest leaves orphan
+      epoch-named files that no manifest references — readers
+      (``read_ledger``) consume only manifest-listed files, so the
+      orphans are invisible garbage, and the retry (even one that
+      repartitioned differently after an AQE restart) promotes its OWN
+      attempt-unique files and manifests only those. Exactly one
+      attempt's receipts are ever readable; the old
+      rename-then-marker scheme's interleaving window is closed.
+
+    Orphans from the same epoch are swept after the manifest lands.
+    Swap the local renames for a cloud store's atomic copy in
+    production; the manifest pattern carries over unchanged."""
+    manifest = _manifest_path(path, batch_id)
+    if os.path.exists(manifest):
         for m in messages or []:
             if m is not None and os.path.exists(m.staged):
                 os.remove(m.staged)
         return
-    for i, m in enumerate(messages):
+    committed: list[str] = []
+    for m in messages or []:
         if m is None:
             continue
-        final = os.path.join(path, f"epoch-{batch_id}-part-{i}.jsonl")
-        if os.path.exists(final):
-            if os.path.exists(m.staged):
-                os.remove(m.staged)
-            continue
+        final = os.path.join(
+            path, f"epoch-{batch_id}-{os.path.basename(m.staged)}")
         os.replace(m.staged, final)
-    tmp = marker + ".tmp"
+        committed.append(os.path.basename(final))
+    tmp = manifest + ".tmp"
     with open(tmp, "w") as fh:
-        fh.write(str(len(messages or [])))
-    os.replace(tmp, marker)
+        json.dump({"epoch": batch_id, "files": sorted(committed)}, fh)
+    os.replace(tmp, manifest)
+    # sweep orphans a crashed prior attempt left for THIS epoch
+    prefix = f"epoch-{batch_id}-"
+    keep = set(committed)
+    for name in os.listdir(path):
+        if (name.startswith(prefix) and name.endswith(".jsonl")
+                and name not in keep):
+            try:
+                os.remove(os.path.join(path, name))
+            except OSError:
+                pass
 
 
 def register_alert_writer(spark) -> None:
@@ -157,12 +180,19 @@ _LEDGER_SCHEMA = ("id string, output string, service string, "
 
 
 def read_ledger(spark, path: str):
-    """Committed ledger rows (staged files are never visible here). A
-    run that committed no epochs — zero alerts, or every row's outputs
-    malformed — yields the EMPTY typed ledger, not a PATH_NOT_FOUND."""
+    """Committed ledger rows: only files named by an epoch MANIFEST are
+    read — staged files and orphan parts from a crashed partial
+    promotion are invisible by construction. A run that committed no
+    epochs — zero alerts, or every row's outputs malformed — yields the
+    EMPTY typed ledger, not a PATH_NOT_FOUND."""
     import glob as _glob
 
-    files = sorted(_glob.glob(os.path.join(path, "epoch-*.jsonl")))
+    files: list[str] = []
+    for mf in sorted(_glob.glob(os.path.join(path, "epoch-*.manifest.json"))):
+        with open(mf) as fh:
+            listed = json.load(fh)["files"]
+        files.extend(os.path.join(path, name) for name in listed)
+    files = [f for f in files if os.path.exists(f)]
     if not files:
         return spark.createDataFrame([], _LEDGER_SCHEMA)
     return spark.read.schema(_LEDGER_SCHEMA).json(files)

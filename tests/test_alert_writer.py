@@ -6,6 +6,7 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from streamalert_spark.sources.alert_writer import (
@@ -104,9 +105,78 @@ def test_commit_is_idempotent(spark, tmp_path):
                  '"descriptor": "y", "body_md5": "beef"}\n')
     promote_staged(str(ledger), [_M()], epoch + 1)
     assert os.path.exists(
-        os.path.join(str(ledger), f"epoch-{epoch + 1}-part-0.jsonl"))
+        os.path.join(str(ledger), f"epoch-{epoch + 1}-task-0-999.jsonl"))
     grown = read_ledger(spark, str(ledger)).count()
     assert grown == len(first) + 1
+
+
+def test_crash_between_rename_and_manifest_is_exactly_once(spark, tmp_path):
+    """The closed window: attempt 1 renames its files but crashes before
+    the manifest lands; the retry runs with DIFFERENT partitioning
+    (different task layout and receipts-per-file split). The ledger must
+    contain exactly the retry's receipts — no duplicates from the
+    orphaned attempt-1 parts, no lost rows."""
+    import json as _json
+
+    from streamalert_spark.sources.alert_writer import (
+        promote_staged, read_ledger,
+    )
+
+    ledger = tmp_path / "ledger"
+    staging = ledger / "_staging"
+    staging.mkdir(parents=True)
+
+    def _stage(name, receipts):
+        p = staging / name
+        with open(p, "w") as fh:
+            for rid in receipts:
+                fh.write(_json.dumps({
+                    "id": rid, "output": "json:x", "service": "json",
+                    "descriptor": "x", "body_md5": "00"}) + "\n")
+        return p
+
+    class _M:
+        def __init__(self, staged):
+            self.staged = str(staged)
+            self.rows = 1
+
+    # attempt 1: two tasks, receipts split (a1,a2)/(a3) — crash AFTER
+    # the renames, BEFORE the manifest write
+    msgs1 = [_M(_stage("task-0-100.jsonl", ["a1", "a2"])),
+             _M(_stage("task-1-101.jsonl", ["a3"]))]
+    real_replace = os.replace
+
+    def crash_on_manifest(src, dst):
+        if dst.endswith(".manifest.json"):
+            raise OSError("simulated crash before manifest")
+        return real_replace(src, dst)
+
+    import streamalert_spark.sources.alert_writer as aw
+    orig = aw.os.replace
+    aw.os.replace = crash_on_manifest
+    try:
+        with pytest.raises(OSError):
+            promote_staged(str(ledger), msgs1, 0)
+    finally:
+        aw.os.replace = orig
+    # orphaned epoch files exist, but nothing is readable yet
+    orphans = [f for f in os.listdir(ledger) if f.endswith(".jsonl")]
+    assert len(orphans) == 2
+    assert read_ledger(spark, str(ledger)).count() == 0
+
+    # retry: THREE tasks this time (different partitioning), same rows
+    msgs2 = [_M(_stage("task-0-200.jsonl", ["a1"])),
+             _M(_stage("task-1-201.jsonl", ["a2"])),
+             _M(_stage("task-2-202.jsonl", ["a3"]))]
+    promote_staged(str(ledger), msgs2, 0)
+
+    rows = sorted(r.id for r in read_ledger(spark, str(ledger)).collect())
+    assert rows == ["a1", "a2", "a3"]  # exactly once, despite orphans
+    # and the attempt-1 orphans were swept
+    parts = [f for f in os.listdir(ledger) if f.endswith(".jsonl")]
+    assert sorted(parts) == ["epoch-0-task-0-200.jsonl",
+                             "epoch-0-task-1-201.jsonl",
+                             "epoch-0-task-2-202.jsonl"]
 
 
 def test_empty_ledger_reads_as_typed_empty_frame(spark, tmp_path):
