@@ -853,8 +853,10 @@ def stream_dedup_gate_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir, out_dir, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
     try:
         # land the increment as multiple files; maxFilesPerTrigger=1
-        # then replays the drop as one micro-batch per file
-        increment.repartition(3).write.parquet(in_dir)
+        # then replays the drop as one micro-batch per file (2 files:
+        # the cross-batch union is the property; each extra batch costs
+        # a full LSH probe of pure demo overhead)
+        increment.repartition(2).write.parquet(in_dir)
 
         def probe(batch_df, epoch_id):
             # epoch-keyed overwrite: a retried micro-batch (foreachBatch

@@ -326,6 +326,7 @@ def stream_first_seen_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         spark.readStream.format("streamalert_app")
         .option("app", "synthetic").option("end_timestamp", "300")
+        .option("page_size", "150")  # every key appears in BOTH batches
         .load()
         .select(F.pmod("event_timestamp", F.lit(37)).alias("k"),
                 F.col("event_timestamp"))
@@ -356,7 +357,7 @@ ORDER BY k, window_start
 
 @query("stream_rate_alerts_bounded", oracle=_RATE_ALERT_ORACLE,
        doc="STREAMING rate-threshold alerting under the hash gate: 601 "
-           "events stream through 7 micro-batches; tumbling 1-minute "
+           "events stream through 2 micro-batches; tumbling 1-minute "
            "event-time windows emit exactly once when the watermark "
            "closes them (append mode; the final no-data micro-batch "
            "flushes the last closed window, and the still-open [600,660) "
@@ -371,6 +372,7 @@ def stream_rate_alerts_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         spark.readStream.format("streamalert_app")
         .option("app", "synthetic").option("end_timestamp", "601")
+        .option("page_size", "301")  # window [300,360) spans the batches
         .load()
         .select(F.pmod("event_timestamp", F.lit(3)).alias("k"),
                 F.timestamp_seconds("event_timestamp").alias("ts"))
@@ -474,6 +476,7 @@ def stream_cdc_apply_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = (
             spark.readStream.format("streamalert_app")
             .option("app", "synthetic").option("end_timestamp", "300")
+            .option("page_size", "150")  # 2 incremental versions
             .load()
         )
         with bounded_stream_shuffle(spark):
@@ -523,7 +526,7 @@ ORDER BY k, session_start
 @query("stream_session_windows_bounded", oracle=_SESSION_ORACLE,
        doc="STREAMING gap-based sessionization under the hash gate: 600 "
            "events whose timeline has a 120s silence every 100 events "
-           "stream through 6 micro-batches; session_window (30s gap) "
+           "stream through 2 micro-batches; session_window (30s gap) "
            "merges each key's burst into ONE session in the state store "
            "even when the burst spans micro-batch boundaries, and emits "
            "it exactly once when the watermark passes session end (the "
@@ -538,6 +541,7 @@ def stream_session_windows_bounded(spark: SparkSession, sf_dir: str) -> DataFram
     src = (
         spark.readStream.format("streamalert_app")
         .option("app", "synthetic").option("end_timestamp", "600")
+        .option("page_size", "300")  # a burst spans the batch boundary
         .load()
         .select(
             F.pmod("event_timestamp", F.lit(3)).alias("k"),
@@ -678,6 +682,7 @@ def stream_outer_join_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = (
         spark.readStream.format("streamalert_app")
         .option("app", "synthetic").option("end_timestamp", "300")
+        .option("page_size", "150")
         .load()
         .select(F.col("event_timestamp").alias("k"),
                 F.timestamp_seconds("event_timestamp").alias("lts"))
@@ -687,6 +692,7 @@ def stream_outer_join_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = (
         spark.readStream.format("streamalert_app")
         .option("app", "synthetic").option("end_timestamp", "300")
+        .option("page_size", "150")
         .load()
         .select((F.col("event_timestamp") * 2).alias("k2"),
                 F.timestamp_seconds(F.col("event_timestamp") * 2)

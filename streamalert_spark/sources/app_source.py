@@ -204,9 +204,14 @@ class SyntheticApp(AppIntegration):
 
     MAX_RESPONSE_LOGS = 100
 
-    def __init__(self, auth: dict[str, str], end_timestamp: int = 250):
+    def __init__(self, auth: dict[str, str], end_timestamp: int = 250,
+                 page_size: int | None = None):
         super().__init__(auth)
         self.end_timestamp = int(end_timestamp)
+        # page_size overrides the per-poll cap: bounded showcase queries
+        # use larger pages to cut micro-batch fixed overhead while
+        # keeping >=2 batches where cross-batch state is the property
+        self.page_size = int(page_size) if page_size else self.MAX_RESPONSE_LOGS
 
     @classmethod
     def service(cls) -> str:
@@ -221,14 +226,14 @@ class SyntheticApp(AppIntegration):
         start = last + 1  # mintime = last + 1 (duo.py:131)
         if start > self.end_timestamp:
             return [], {"last_timestamp": last}, False
-        end = min(start + self.MAX_RESPONSE_LOGS - 1, self.end_timestamp)
+        end = min(start + self.page_size - 1, self.end_timestamp)
         records = [
             {"timestamp": ts, "event_id": f"ev-{ts}", "result": "SUCCESS"}
             for ts in range(start, end + 1)
         ]
         # last = final record's timestamp (duo.py:156); more when the page
         # filled (duo.py:161)
-        return records, {"last_timestamp": end}, len(records) >= self.MAX_RESPONSE_LOGS
+        return records, {"last_timestamp": end}, len(records) >= self.page_size
 
 
 # ---------------------------------------------------------------------------
@@ -1229,8 +1234,11 @@ def _build_app(options: dict, transports: dict | None = None) -> AppIntegration:
     # module registry, which is empty in a fresh python worker process
     reg = TRANSPORTS if transports is None else transports
     kwargs = dict(reg.get(app_type, {}))
-    if "end_timestamp" in options and cls is SyntheticApp:
-        kwargs["end_timestamp"] = int(options["end_timestamp"])
+    if cls is SyntheticApp:
+        if "end_timestamp" in options:
+            kwargs["end_timestamp"] = int(options["end_timestamp"])
+        if "page_size" in options:
+            kwargs["page_size"] = int(options["page_size"])
     return cls(auth, **kwargs)
 
 
