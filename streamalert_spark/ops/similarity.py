@@ -399,3 +399,69 @@ def cell_bucketed_pairs(
         .select("cell", "a", "b", score.alias("score"))
         .filter(F.col("score") >= threshold)
     )
+
+
+KMEANS_FIXED_SCALE = 1_000_000
+
+
+def kmeans_lloyd_fixed(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fixed-point Lloyd's k-means: components quantize ONCE to integer
+    micro-units (floor(x*1e6 + 0.5) — pure double ops, identical in any
+    IEEE engine), distances are exact BIGINT sums, and each centroid
+    update is an exact integer floor-division of (component sum, count).
+    No floating-point accumulation anywhere, so the full iterative loop
+    is bit-reproducible across engines and partitionings — the property
+    the float variant (``kmeans_lloyd``) cannot have, because a
+    float mean depends on reduction order. Same plan shape as the float
+    variant: one scan per iteration, k×dim driver traffic.
+
+    Init centroids are the k lowest-id vectors; argmin ties break to the
+    lowest cluster index. Returns (id, cluster) assignments."""
+    vecs = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * KMEANS_FIXED_SCALE
+                              + F.lit(0.5)).cast("bigint"),
+        ).alias("v"),
+    )
+    seed_rows = vecs.orderBy(id_col).limit(k).collect()
+    centroids = [list(r["v"]) for r in seed_rows]
+
+    def assign(cents: list[list[int]]) -> DataFrame:
+        dists = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("v"),
+                               F.array(*[F.lit(int(x)) for x in c]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("bigint"), lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(cents)
+        ]
+        best = F.sort_array(F.array(*dists))[0]["i"]
+        return vecs.withColumn("cluster", best.cast("bigint"))
+
+    for _ in range(iters):
+        assigned = assign(centroids)
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty clusters keep position
+        for r in sums:
+            # Python // floors — matches the oracle's posmod floor-div
+            new[int(r["cluster"])][int(r["dim"])] = int(r["s"]) // int(r["n"])
+        centroids = new
+
+    return assign(centroids).select(id_col, "cluster")

@@ -52,6 +52,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 _VERIFY_FIRST = [
     # ---- round-7 new queries prepend HERE (keep list length <= 50) ----
     "threat_intel_feed_ingest",  # new: feed ingester -> ioc table -> join
+    "embedding_kmeans_sizes",    # newly oracle-paired: fixed-point Lloyd
     # round-7 changed operators — these joins are now size-gated
     # (gated_broadcast replaced their hard F.broadcast); re-verify first
     "scd2_point_in_time",

@@ -641,18 +641,99 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition(1).sortWithinPartitions("doc_id")
 
 
-@query("embedding_kmeans_sizes", oracle=None,
-       doc="Lloyd's k-means (k=8, 3 iterations) over the embedding table, "
-           "reporting cluster sizes — iterative (centroids re-collected "
-           "per round, metadata-scale), so no SQL oracle; assignments are "
-           "pinned against a NumPy reference in tests/test_skew.py.")
+# ---- fixed-point k-means oracle: the 3-iteration Lloyd loop UNROLLED
+# as chained CTEs. Components quantize once to integer micro-units
+# (floor(x*1e6 + 0.5) — identical double ops in any IEEE engine);
+# distances are exact integer sums; each centroid update is an exact
+# integer floor-division via the posmod identity (both engines' % is
+# C-style truncated remainder, so ((s % n) + n) % n is the positive
+# residue and (s - that) is exactly divisible by n). No float
+# accumulation anywhere -> the whole iterative loop is replayable.
+
+_KM_ITERS = 3
+_KM_SCALE = 1_000_000
+
+
+def _km_assign_sql(cent: str) -> str:
+    """Assignments under centroid table `cent`: argmin of exact integer
+    squared L2, ties to the lowest cluster index."""
+    return f"""(
+  SELECT vec_id, cluster FROM (
+    SELECT vd.vec_id, ct.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY vd.vec_id
+             ORDER BY SUM((vd.x - ct.c) * (vd.x - ct.c)), ct.cluster
+           ) AS rn
+    FROM km_vd vd JOIN {cent} ct ON ct.dim = vd.dim
+    GROUP BY vd.vec_id, ct.cluster
+  ) WHERE rn = 1
+)"""
+
+
+def _km_update_sql(prev: str, asg: str) -> str:
+    """New centroids: exact floor(sum/count) per (cluster, dim); empty
+    clusters carry the previous centroid forward."""
+    return f"""(
+  SELECT p.cluster, p.dim,
+         COALESCE((m.s - ((m.s % m.n) + m.n) % m.n) // m.n, p.c) AS c
+  FROM {prev} p
+  LEFT JOIN (
+    SELECT a.cluster, vd.dim, SUM(vd.x) AS s, COUNT(*) AS n
+    FROM {asg} a JOIN km_vd vd ON vd.vec_id = a.vec_id
+    GROUP BY a.cluster, vd.dim
+  ) m ON m.cluster = p.cluster AND m.dim = p.dim
+)"""
+
+
+def _kmeans_fixed_oracle() -> str:
+    ctes = [f"""km_q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE} + 0.5)
+                     AS BIGINT)) AS v
+  FROM embeddings
+)""", """km_vd AS (
+  SELECT vec_id, i - 1 AS dim, v[i] AS x
+  FROM km_q, UNNEST(range(1, 65)) AS t(i)
+)""", """km_seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, vec_id
+  FROM km_q ORDER BY vec_id LIMIT 8
+)""", """km_cent0 AS (
+  SELECT s.cluster, vd.dim, vd.x AS c
+  FROM km_seeds s JOIN km_vd vd ON vd.vec_id = s.vec_id
+)"""]
+    for i in range(_KM_ITERS):
+        ctes.append(f"km_asg{i} AS {_km_assign_sql(f'km_cent{i}')}")
+        ctes.append(
+            f"km_cent{i + 1} AS "
+            f"{_km_update_sql(f'km_cent{i}', f'km_asg{i}')}")
+    final_asg = _km_assign_sql(f"km_cent{_KM_ITERS}")
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+km_final AS {final_asg}
+SELECT cluster, COUNT(*) AS n_vecs
+FROM km_final GROUP BY cluster ORDER BY cluster
+""")
+
+
+@query("embedding_kmeans_sizes", oracle=_kmeans_fixed_oracle(),
+       doc="FIXED-POINT Lloyd's k-means (k=8, 3 iterations) over the "
+           "embedding table, reporting cluster sizes. Components "
+           "quantize once to integer micro-units, distances are exact "
+           "BIGINT sums, centroid updates are exact integer floor "
+           "divisions — so the full iterative loop is bit-reproducible "
+           "and the DuckDB oracle replays all 3 unrolled iterations "
+           "exactly (previously the float variant was rows-only: a "
+           "float mean depends on reduction order). The float op "
+           "(kmeans_lloyd) remains for callers preferring unquantized "
+           "centroids and is NumPy-pinned in tests/test_skew.py.")
 def embedding_kmeans_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streamalert_spark.ops.similarity import kmeans_lloyd
+    from streamalert_spark.ops.similarity import kmeans_lloyd_fixed
     from streamalert_spark.session import read_table
 
     emb = read_table(spark, sf_dir, "embeddings")
     return (
-        kmeans_lloyd(emb, k=8, iters=3)
+        kmeans_lloyd_fixed(emb, k=8, iters=3)
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
         .repartition(1).sortWithinPartitions("cluster")

@@ -248,3 +248,40 @@ def test_jaccard_prefix_filter_excludes_hot_shingle(spark):
     top = hot_df.first()
     # no shingle's prefix bucket covers a large fraction of the corpus
     assert top["count"] <= 12, top
+
+
+def test_kmeans_lloyd_fixed_matches_integer_reference(spark):
+    """The fixed-point variant must match an exact integer NumPy replay
+    bit-for-bit (no boundary caveat — there is no float accumulation)."""
+    import numpy as np
+
+    from streamalert_spark.ops.similarity import (
+        KMEANS_FIXED_SCALE, kmeans_lloyd_fixed,
+    )
+    from streamalert_spark.session import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = sorted(
+        ((r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+         for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    ids = [t[0] for t in rows]
+    Q = np.floor(np.stack([t[1] for t in rows]) * KMEANS_FIXED_SCALE
+                 + 0.5).astype(np.int64)
+    k, iters = 8, 3
+    cents = Q[:k].copy()
+    for _ in range(iters):
+        d = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)  # ties -> lowest index, same rule
+        for ci in range(k):
+            if (lab == ci).any():
+                # integer floor division, exact — matches Spark // and
+                # the oracle's posmod identity
+                cents[ci] = Q[lab == ci].sum(axis=0) // (lab == ci).sum()
+    d = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    expect = dict(zip(ids, d.argmin(axis=1).tolist()))
+
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans_lloyd_fixed(emb, k=k, iters=iters).collect()}
+    assert got == expect
