@@ -61,7 +61,9 @@ def weighted_sample_keys(
     ).otherwise(
         F.raise_error(F.concat(
             F.lit(f"weighted_sample_keys: weight out of [1, {max_weight}]: "),
-            w.cast("string"),
+            # a NULL weight must fail with a READABLE message — bare
+            # concat(..., NULL) would null the whole error string
+            F.coalesce(w.cast("string"), F.lit("NULL")),
         ))
     )
     draws = (

@@ -14,7 +14,11 @@ subset to Column expressions so the whole extraction stays JVM-side
 - filter projection             ``a[?level == 'error']``, ``[?n > 3]``,
   with ``&&`` conjunctions; operators == != < <= > >= over string,
   numeric, boolean and null literals (ordering operators require numeric
-  literals — jmespath yields null, i.e. drop, for non-number ordering)
+  literals — jmespath yields null, i.e. drop, for non-number ordering).
+  Comparisons are TYPE-STRICT like real jmespath: "3" never equals 3,
+  booleans only equal boolean literals, equality against a mismatched
+  or missing field is false (so != is true), via the variant reader's
+  schema_of_variant — no silent text coercion.
 
 Unsupported (parse_path raises ValueError, so a config using them fails
 loudly at plan build, never silently mis-extracts): functions, pipes,
@@ -137,17 +141,39 @@ def _parse_filter(expr: str, path: str) -> list[tuple]:
 
 
 def _filter_cond(elem: Column, comparisons: list[tuple]) -> Column:
+    """jmespath comparison semantics, TYPE-STRICT like the real engine:
+    a quoted numeric string ("n": "3") never equals the numeric literal
+    3, a number never equals a string literal, booleans only equal
+    boolean literals. The JSON type comes from the variant reader
+    (schema_of_variant) — still pure JVM expressions. Equality against
+    a mismatched type is false, so ``!=`` is true (including for a
+    MISSING field: jmespath null != x -> true); ordering against a
+    non-number is null -> the element drops."""
+    v = F.try_parse_json(elem)
     cond = F.lit(True)
     for field, op, kind, value in comparisons:
+        fv = F.try_variant_get(v, "$." + field, "variant")
+        t = F.schema_of_variant(fv)
         val = F.get_json_object(elem, "$." + field)
         if kind == "null":
+            # explicit null and missing field both compare equal to null
             c = val.isNull() if op == "==" else val.isNotNull()
         elif kind == "num":
-            v = val.cast("double")
-            c = {"==": v == value, "!=": v != value, "<": v < value,
-                 "<=": v <= value, ">": v > value, ">=": v >= value}[op]
-        else:  # str / bool — get_json_object yields 'true'/'false' text
-            c = (val == value) if op == "==" else (val != value)
+            is_num = (t.isin("BIGINT", "DOUBLE", "FLOAT")
+                      | t.startswith("DECIMAL"))
+            d = F.try_variant_get(v, "$." + field, "double")
+            if op in ("==", "!="):
+                eq = F.coalesce(is_num & (d == value), F.lit(False))
+                c = eq if op == "==" else ~eq
+            else:
+                c = is_num & {"<": d < value, "<=": d <= value,
+                              ">": d > value, ">=": d >= value}[op]
+        elif kind == "bool":
+            eq = F.coalesce((t == "BOOLEAN") & (val == value), F.lit(False))
+            c = eq if op == "==" else ~eq
+        else:  # str
+            eq = F.coalesce((t == "STRING") & (val == value), F.lit(False))
+            c = eq if op == "==" else ~eq
         cond = cond & F.coalesce(c, F.lit(False))
     return cond
 

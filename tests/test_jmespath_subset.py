@@ -136,3 +136,38 @@ def test_filter_literals_containing_operators(spark):
     assert _ids(_run(spark, "items[?m == 'a]b'].payload", doc)) == ["br"]
     assert _ids(
         _run(spark, "items[?m == 'a && b' && m != 'x'].payload", doc)) == ["amp"]
+
+
+def test_filter_type_strict_no_text_coercion(spark):
+    """Real jmespath is type-strict: '3' (string) never matches the
+    numeric literal 3 and vice versa; booleans only match boolean
+    literals; != is true on type mismatch AND on a missing field
+    (null != x -> true)."""
+    rows = [
+        ('{"items": [{"n": 3, "id": "num3"}]}',),
+        ('{"items": [{"n": "3", "id": "str3"}]}',),
+        ('{"items": [{"n": 3.0, "id": "dec3"}]}',),
+        ('{"items": [{"n": true, "id": "bool"}]}',),
+        ('{"items": [{"id": "missing"}]}',),
+    ]
+    df = spark.createDataFrame(rows, "j string")
+
+    def ids(path):
+        d2, col, temps = apply_json_path(df, "j", path)
+        return sorted(
+            r[0] for r in d2.select(
+                F.get_json_object(col, "$.id")).collect())
+
+    # numeric equality: bigint 3 and decimal 3.0 match; string "3" no
+    assert ids("items[?n == 3]") == ["dec3", "num3"]
+    # numeric ordering: only real numbers participate
+    assert ids("items[?n >= 3]") == ["dec3", "num3"]
+    # string equality: only the string-typed field matches
+    assert ids("items[?n == '3']") == ["str3"]
+    # boolean literal: only the boolean-typed field matches
+    assert ids("items[?n == true]") == ["bool"]
+    # != on numeric literal: type mismatches and the missing field are
+    # all "not equal" (jmespath null != 3 -> true)
+    assert ids("items[?n != 3]") == ["bool", "missing", "str3"]
+    # != on string literal symmetric
+    assert ids("items[?n != '3']") == ["bool", "dec3", "missing", "num3"]
