@@ -53,6 +53,7 @@ _VERIFY_FIRST = [
     # ---- round-7 new queries prepend HERE (keep list length <= 50) ----
     "threat_intel_feed_ingest",  # new: feed ingester -> ioc table -> join
     "embedding_kmeans_sizes",    # newly oracle-paired: fixed-point Lloyd
+    "salted_skew_join_agg",      # new: manual salted join for hot keys
     # round-7 changed operators — these joins are now size-gated
     # (gated_broadcast replaced their hard F.broadcast); re-verify first
     "scd2_point_in_time",

@@ -566,3 +566,59 @@ def snapshot_diff_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_diff(base, new, ["c_custkey"])
         .repartition(1).sortWithinPartitions("c_custkey")
     )
+
+
+# --------------------------------------------------- salted skew join
+
+_SALTED_JOIN_ORACLE = """
+WITH skewed AS (
+  -- 50% of events collapse onto hot key 0; the rest spread over 1..99
+  SELECT CASE WHEN event_id % 2 = 0 THEN 0
+              ELSE 1 + event_id % 99 END AS k,
+         event_id
+  FROM events
+),
+dim(k, label) AS (
+  SELECT i, 'seg-' || CAST(i % 7 AS VARCHAR) FROM range(0, 100) t(i)
+)
+SELECT d.label, COUNT(*) AS n_events,
+       CAST(SUM(s.event_id) AS BIGINT) AS sum_ids
+FROM skewed s JOIN dim d ON s.k = d.k
+GROUP BY d.label
+ORDER BY d.label
+"""
+
+
+@query("salted_skew_join_agg", oracle=_SALTED_JOIN_ORACLE,
+       doc="Salted equi-join under a manufactured hot key (50% of events "
+           "collapse onto one key): the left side gains a uniform salt, "
+           "the dim side replicates once per salt value, and the join "
+           "key becomes (k, salt) — the hot key's rows spread over "
+           "`salt` reducers instead of one straggler task. This is the "
+           "manual rewrite for joins AQE's skew splitting cannot touch "
+           "(streaming-static joins, pre-bucketed sides); the salt is "
+           "random but the result is provably salt-invariant, which the "
+           "hash check proves. At bench scale the replicated dim rides "
+           "a broadcast anyway — the salted SHUFFLE path is pinned "
+           "separately in tests/test_skew.py.")
+def salted_skew_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.skew import salted_join
+
+    ev = read_table(spark, sf_dir, "events")
+    skewed = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit(0))
+        .otherwise(1 + F.col("event_id") % 99).alias("k"),
+        "event_id",
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("seg-"), (F.col("id") % 7).cast("string"))
+        .alias("label"),
+    )
+    return (
+        salted_join(skewed, dim, "k", salt=8)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("event_id").cast("bigint").alias("sum_ids"))
+        .repartition(1).sortWithinPartitions("label")
+    )

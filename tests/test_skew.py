@@ -285,3 +285,73 @@ def test_kmeans_lloyd_fixed_matches_integer_reference(spark):
     got = {r["vec_id"]: r["cluster"]
            for r in kmeans_lloyd_fixed(emb, k=k, iters=iters).collect()}
     assert got == expect
+
+
+def test_salted_join_shuffle_path_spreads_hot_key(spark):
+    """With broadcast disabled (the large-dim case the op exists for),
+    the join must shuffle on (k, salt): the physical partitioning keys
+    include the salt column, so the hot key's rows land on multiple
+    reducers instead of one straggler."""
+    from streamalert_spark.ops.skew import _SALT, salted_join
+
+    left = spark.range(4000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("v"))
+    right = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("label"))
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = salted_join(left, right, "k", salt=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert _SALT in plan, plan  # the shuffle key carries the salt
+        # and the hot key's rows really occupy multiple salt buckets
+        spread = (out.filter(F.col("k") == 0)
+                  .select(F.countDistinct(_SALT)).collect()[0][0]
+                  if _SALT in out.columns else None)
+        if spread is not None:
+            assert spread >= 4
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        else:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The engine's first line of defense for sort-merge skew is AQE's
+    runtime splitting (on in session.py). Force the conditions at test
+    scale (tiny advisory/threshold sizes, broadcast disabled) and assert
+    the final adaptive plan actually marked the join skew=true — proving
+    the conf wiring works, not just that it is set."""
+    import re
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 4 != 0, F.lit(0)).otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("pad-"), F.col("id").cast("string"),
+                     F.lit("x" * 64)).alias("payload"))
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("label"))
+        out = left.join(right, "k").groupBy("label").count()
+        out.collect()  # AQE decides at runtime — run it
+        final = out._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"SortMergeJoin.*skew=true", final)
+        assert m, final[:4000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
