@@ -709,3 +709,106 @@ def stream_outer_join_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = run_bounded_to_rows(
         spark, out, "k bigint, matched_k bigint, matched boolean")
     return rows.repartition(1).sortWithinPartitions("k")
+
+
+# ------------------------------------- streaming late-data drops, bounded
+
+_LATE_DATA_ORACLE = """
+WITH arr AS (
+  -- three ARRIVAL batches; batch 2 carries three LATE rows from the
+  -- batch-0 era (t=55, t=100 target windows already evicted; t=130's
+  -- window is still live)
+  SELECT t, 0 AS b FROM range(1, 151) s(t)
+  UNION ALL SELECT t, 1 FROM range(151, 211) s(t)
+  UNION ALL SELECT t, 2 FROM range(211, 271) s(t)
+  UNION ALL SELECT * FROM (VALUES (55, 2), (100, 2), (130, 2)) v(t, b)
+),
+-- watermark IN EFFECT during batch b = max event time of PRIOR batches
+-- minus the 30s delay (advances only between batches)
+wm AS (
+  SELECT bb.b,
+         COALESCE((SELECT MAX(t) FROM arr a2 WHERE a2.b < bb.b), 30) - 30
+           AS w
+  FROM (SELECT DISTINCT b FROM arr) bb(b)
+),
+-- Spark's actual protocol: a late row still MERGES into live state; it
+-- is dropped only when its window was already EVICTED, i.e. emitted at
+-- the end of an earlier batch — window_end <= watermark in effect
+-- during the PREVIOUS batch
+kept AS (
+  SELECT a.t FROM arr a
+  LEFT JOIN wm prev ON prev.b = a.b - 1
+  WHERE prev.w IS NULL OR (a.t // 60) * 60 + 60 > prev.w
+),
+final_wm AS (SELECT MAX(t) - 30 AS w FROM arr),
+agg AS (
+  SELECT (t // 60) * 60 AS ws, COUNT(*) AS cnt FROM kept GROUP BY 1
+)
+SELECT CAST(ws AS BIGINT) AS window_start,
+       CAST(ws + 60 AS BIGINT) AS window_end, cnt
+FROM agg, final_wm
+WHERE ws + 60 <= final_wm.w
+ORDER BY window_start
+"""
+
+
+@query("stream_late_data_bounded", oracle=_LATE_DATA_ORACLE,
+       doc="STREAMING late-data accounting under the hash gate: events "
+           "arrive as 3 parquet files consumed one per micro-batch "
+           "(deterministic batch boundaries via maxFilesPerTrigger + "
+           "mtime order); batch 2 carries three LATE rows from batch "
+           "0's era. Two target windows the watermark already EVICTED "
+           "(emitted at the end of batch 1) and are dropped; the third "
+           "targets a still-live window and is correctly merged. The "
+           "oracle replays Spark's actual protocol — late rows merge "
+           "into LIVE state, drop only when window_end <= the watermark "
+           "in effect during a PRIOR batch (eviction), emit when "
+           "window_end <= final watermark — so the hash pins the "
+           "eviction boundary, not the naive "
+           "drop-everything-behind-the-watermark model (which Spark "
+           "does NOT implement for aggregations)."
+           " test_streaming.py additionally pins "
+           "numRowsDroppedByWatermark == 2 for this exact scenario.")
+def stream_late_data_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamalert_spark.streaming.bounded import run_bounded_to_rows
+
+    work = tempfile.mkdtemp(prefix="late_data_q_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    batches = [
+        ("a.parquet", list(range(1, 151)), 1_000_000),
+        ("b.parquet", list(range(151, 211)), 1_000_010),
+        ("c.parquet", list(range(211, 271)) + [55, 100, 130], 1_000_020),
+    ]
+    try:
+        for name, ts, mtime in batches:
+            path = os.path.join(in_dir, name)
+            pq.write_table(pa.table({"t": ts}), path)
+            os.utime(path, (mtime, mtime))
+        src = (
+            spark.readStream.schema("t bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .select(F.timestamp_seconds("t").alias("ts"))
+        )
+        agg = (
+            src.withWatermark("ts", "30 seconds")
+            .groupBy(F.window("ts", "1 minute"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.unix_timestamp("window.start").alias("window_start"),
+                    F.unix_timestamp("window.end").alias("window_end"),
+                    "cnt")
+        )
+        rows = run_bounded_to_rows(
+            spark, agg,
+            "window_start bigint, window_end bigint, cnt bigint")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return rows.repartition(1).sortWithinPartitions("window_start")

@@ -884,3 +884,54 @@ def test_streaming_threat_intel_stream_static_join(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["rule_name"] == "ioc_hit"
     assert json.loads(rows[0]["record"])["event_id"] == "e1"
+
+
+def test_late_data_drop_accounting(spark, tmp_path):
+    """The stream_late_data_bounded scenario's drop count, pinned via
+    the engine's own numRowsDroppedByWatermark metric: exactly the two
+    late rows whose windows were already evicted are dropped; the
+    late-but-live row is not."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batches = [
+        ("a.parquet", list(range(1, 151)), 1_000_000),
+        ("b.parquet", list(range(151, 211)), 1_000_010),
+        ("c.parquet", list(range(211, 271)) + [55, 100, 130], 1_000_020),
+    ]
+    for name, ts, mtime in batches:
+        path = str(in_dir / name)
+        pq.write_table(pa.table({"t": ts}), path)
+        os.utime(path, (mtime, mtime))
+    src = (
+        spark.readStream.schema("t bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+        .select(F.timestamp_seconds("t").alias("ts"))
+    )
+    agg = (
+        src.withWatermark("ts", "30 seconds")
+        .groupBy(F.window("ts", "1 minute"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+    finally:
+        q.stop()
+    assert dropped == 2
