@@ -55,6 +55,7 @@ _VERIFY_FIRST = [
     "embedding_kmeans_sizes",    # newly oracle-paired: fixed-point Lloyd
     "salted_skew_join_agg",      # new: manual salted join for hot keys
     "stream_late_data_bounded",  # new: watermark eviction-boundary drops
+    "pattern_sequence_alerts",   # new: CEP gaps-and-islands sequence match
     # round-7 changed operators — these joins are now size-gated
     # (gated_broadcast replaced their hard F.broadcast); re-verify first
     "scd2_point_in_time",

@@ -662,3 +662,83 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("user_id", "effective_from_us", "event_id")
     )
+
+
+# ------------------------------------------- CEP sequence-pattern detection
+
+_PATTERN_SEQ_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+  FROM events
+),
+r AS (
+  SELECT user_id, event_id, event_type, es,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY es, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY es, event_id) AS tr
+  FROM ev
+),
+isl AS (
+  SELECT user_id, event_type, rn - tr AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n_failures,
+         MIN(es) AS run_start_s, MAX(es) AS run_end_s,
+         MAX(rn) AS end_rn
+  FROM r GROUP BY user_id, event_type, rn - tr
+),
+err AS (SELECT * FROM isl WHERE event_type = 'error' AND n_failures >= 2)
+SELECT e.user_id, e.n_failures, e.run_start_s, e.run_end_s,
+       n.es AS success_s
+FROM err e
+JOIN r n ON n.user_id = e.user_id AND n.rn = e.end_rn + 1
+WHERE n.event_type = 'purchase' AND n.es <= e.run_end_s + 2592000
+ORDER BY e.user_id, run_start_s
+"""
+
+
+@query("pattern_sequence_alerts", oracle=_PATTERN_SEQ_ORACLE,
+       doc="CEP sequence-pattern detection (MATCH_RECOGNIZE-style, the "
+           "classic brute-force-then-success rule: >= 2 CONSECUTIVE "
+           "'error' events per user followed IMMEDIATELY by a 'purchase' "
+           "within 30 days of the last error; thresholds calibrated to "
+           "the synthetic event cadence, median inter-event gap ~7h). Native gaps-and-islands: two "
+           "user-partitioned windows number runs, islands aggregate, the "
+           "successor event joins back on the same user_id hash "
+           "partitioning. Reference analogue: the community duo/cloudtrail "
+           "brute-force rules evaluate per-record; this is the batch "
+           "sequence form Spark expresses with zero Python. Consecutive "
+           "means NO intervening event of any other type -- stricter than "
+           "funnel_stages' earliest-qualifying ordering.")
+def pattern_sequence_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").alias("es"))
+    w_all = W.partitionBy("user_id").orderBy("es", "event_id")
+    w_typ = W.partitionBy("user_id", "event_type").orderBy("es", "event_id")
+    r = ev.select(
+        "user_id", "event_id", "event_type", "es",
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_typ).alias("tr"),
+    )
+    isl = (
+        r.groupBy("user_id", "event_type", (F.col("rn") - F.col("tr")).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_failures"),
+             F.min("es").alias("run_start_s"),
+             F.max("es").alias("run_end_s"),
+             F.max("rn").alias("end_rn"))
+    )
+    err = isl.filter((F.col("event_type") == "error")
+                     & (F.col("n_failures") >= 2))
+    nxt = r.select("user_id", F.col("rn").alias("nrn"),
+                   F.col("event_type").alias("ntype"),
+                   F.col("es").alias("success_s"))
+    out = (
+        err.join(nxt, (err["user_id"] == nxt["user_id"])
+                 & (nxt["nrn"] == err["end_rn"] + 1))
+        .filter((F.col("ntype") == "purchase")
+                & (F.col("success_s") <= F.col("run_end_s") + 2592000))
+        .select(err["user_id"], "n_failures", "run_start_s", "run_end_s",
+                "success_s")
+    )
+    return out.repartition(1).sortWithinPartitions("user_id", "run_start_s")
