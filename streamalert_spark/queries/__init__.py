@@ -56,6 +56,7 @@ _VERIFY_FIRST = [
     "salted_skew_join_agg",      # new: manual salted join for hot keys
     "stream_late_data_bounded",  # new: watermark eviction-boundary drops
     "pattern_sequence_alerts",   # new: CEP gaps-and-islands sequence match
+    "k_anonymity_audit",         # new: k-anonymity / l-diversity release audit
     # round-7 changed operators — these joins are now size-gated
     # (gated_broadcast replaced their hard F.broadcast); re-verify first
     "scd2_point_in_time",

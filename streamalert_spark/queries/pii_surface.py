@@ -296,3 +296,53 @@ def udaf_lower_median(spark: SparkSession, sf_dir: str) -> DataFrame:
              group_count_agg(F.col("cents")).alias("n"))
         .repartition(1).sortWithinPartitions("event_type")
     )
+
+
+# ------------------------------------------- k-anonymity / l-diversity audit
+
+_KANON_ORACLE = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS group_size,
+         CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+              AS BIGINT) AS l_distinct
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment, group_size, l_distinct,
+       CASE WHEN group_size >= 5 THEN 1 ELSE 0 END AS k_anonymous,
+       CASE WHEN l_distinct >= 3 THEN 1 ELSE 0 END AS l_diverse
+FROM g
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+@query("k_anonymity_audit", oracle=_KANON_ORACLE,
+       doc="Privacy-release audit for a training-data export: every "
+           "quasi-identifier equivalence class (nation, market segment) "
+           "is scored for k-anonymity (class size >= k=5 -- Sweeney 2002) "
+           "and l-diversity of the sensitive attribute (>= l=3 distinct "
+           "account-balance bands -- Machanavajjhala et al. 2007). One "
+           "hash aggregate with a partial-agg distinct; at 100 TB the QI "
+           "grouping is the same shuffle any groupBy pays and the "
+           "distinct rides Spark's two-phase COUNT DISTINCT expansion.")
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.session import read_table
+
+    cust = read_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+    g = (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("group_size"),
+             F.countDistinct(band).alias("l_distinct"))
+    )
+    return (
+        g.select(
+            "c_nationkey", "c_mktsegment", "group_size", "l_distinct",
+            F.when(F.col("group_size") >= 5, 1).otherwise(0)
+             .cast("int").alias("k_anonymous"),
+            F.when(F.col("l_distinct") >= 3, 1).otherwise(0)
+             .cast("int").alias("l_diverse"),
+        )
+        .repartition(1).sortWithinPartitions("c_nationkey", "c_mktsegment")
+    )
