@@ -57,6 +57,7 @@ _VERIFY_FIRST = [
     "stream_late_data_bounded",  # new: watermark eviction-boundary drops
     "pattern_sequence_alerts",   # new: CEP gaps-and-islands sequence match
     "k_anonymity_audit",         # new: k-anonymity / l-diversity release audit
+    "dsir_importance_weights",   # new: hashed-ngram data-selection scores
     # round-7 changed operators — these joins are now size-gated
     # (gated_broadcast replaced their hard F.broadcast); re-verify first
     "scd2_point_in_time",

@@ -409,3 +409,68 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("token_count").desc(), "token")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR hashed-ngram importance weights (data selection)
+# ---------------------------------------------------------------------------
+
+_DSIR_ORACLE_TMPL = """
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, lang, g
+  FROM toks, UNNEST(list_concat(
+       w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS t(g)
+),
+inst AS (SELECT doc_id, lang, ({hex}) % 256 AS bucket
+         FROM (SELECT doc_id, lang, md5(g) AS h FROM grams)),
+src AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS src_f FROM inst GROUP BY bucket),
+tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tgt_f FROM inst
+        WHERE lang = 'en' GROUP BY bucket),
+stats AS (
+  SELECT s.bucket, s.src_f, COALESCE(t.tgt_f, CAST(0 AS BIGINT)) AS tgt_f
+  FROM src s LEFT JOIN tgt t ON s.bucket = t.bucket
+),
+tot AS (SELECT CAST(SUM(src_f) AS BIGINT) AS s_tot,
+               CAST(SUM(tgt_f) AS BIGINT) AS t_tot FROM stats),
+fp AS (
+  SELECT bucket,
+         CAST(floor(CAST((tgt_f + 1) * (s_tot + 256) AS DOUBLE)
+                    / CAST((src_f + 1) * (t_tot + 256) AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS fp_r
+  FROM stats, tot
+),
+tf AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM inst GROUP BY doc_id, bucket)
+SELECT tf.doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_grams,
+       CAST(SUM(tf * fp_r) AS BIGINT) AS score_fp
+FROM tf JOIN fp ON tf.bucket = fp.bucket
+GROUP BY tf.doc_id
+ORDER BY tf.doc_id
+"""
+
+
+def _dsir_oracle() -> str:
+    from streamalert_spark.ops.sketch import hex_prefix_int_sql
+
+    return _DSIR_ORACLE_TMPL.replace("{hex}", hex_prefix_int_sql("h"))
+
+
+@query("dsir_importance_weights", oracle=_dsir_oracle(),
+       doc="DSIR data selection (Xie et al. 2023): per-doc importance "
+           "score of a hashed unigram+bigram TARGET model (lang='en' "
+           "exemplars) over the SOURCE pool, with the log-ratio replaced "
+           "by the rational per-feature ratio in exact integer fixed "
+           "point (no libm -- the BM25 idf treatment; ordering per "
+           "feature preserved). The 256-bucket statistics relation is "
+           "scale-free by construction and broadcast; the only data-"
+           "sized shuffle is the partial-aggregated (doc, bucket) tf. "
+           "See ops/selection.py for bounds and the 100 TB plan.")
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.selection import dsir_importance
+
+    docs = _docs(spark, sf_dir)
+    out = dsir_importance(docs, "doc_id", "text",
+                          target_filter=F.col("lang") == "en")
+    return out.repartition(1).sortWithinPartitions("doc_id")
