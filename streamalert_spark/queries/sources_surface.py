@@ -812,3 +812,61 @@ def stream_late_data_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return rows.repartition(1).sortWithinPartitions("window_start")
+
+
+# ------------------------------------- streaming CEP sequence match, bounded
+
+from streamalert_spark.queries.analytics_ext import _PATTERN_SEQ_ORACLE
+
+
+@query("stream_pattern_match_bounded", oracle=_PATTERN_SEQ_ORACLE,
+       doc="STREAMING CEP sequence match: the pattern_sequence_alerts "
+           "rule (>= 2 consecutive errors then purchase within 30 days) "
+           "run as a per-user applyInPandasWithState state machine over "
+           "3 deterministic micro-batches (events split into time "
+           "terciles, one file per trigger). State = three bigints per "
+           "live key; a failure run that spans a batch boundary still "
+           "matches -- the cross-batch property the batch oracle cannot "
+           "see but this hash pins, because the oracle IS the batch CEP "
+           "SQL and the stream must agree with it exactly.")
+def stream_pattern_match_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from streamalert_spark.session import read_table
+    from streamalert_spark.streaming.bounded import run_bounded_to_rows
+    from streamalert_spark.streaming.cep import OUT_SCHEMA, pattern_match_stream
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").alias("es"))
+    lo, hi = ev.agg(F.min("es"), F.max("es")).first()
+    b1 = lo + (hi - lo) // 3
+    b2 = lo + 2 * (hi - lo) // 3
+    work = tempfile.mkdtemp(prefix="cep_stream_q_")
+    in_dir = os.path.join(work, "in")
+    try:
+        for i, cond in enumerate([
+            F.col("es") <= b1,
+            (F.col("es") > b1) & (F.col("es") <= b2),
+            F.col("es") > b2,
+        ]):
+            part = os.path.join(in_dir, f"b{i}")
+            ev.filter(cond).coalesce(1).write.parquet(part)
+            os.utime(part, (1_000_000 + 10 * i,) * 2)
+            for f in os.listdir(part):
+                os.utime(os.path.join(part, f),
+                         (1_000_000 + 10 * i,) * 2)
+        src = (
+            spark.readStream
+            .schema("user_id bigint, event_id bigint, "
+                    "event_type string, es bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(in_dir, "*"))
+        )
+        out = pattern_match_stream(src)
+        rows = run_bounded_to_rows(spark, out, OUT_SCHEMA)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return rows.repartition(1).sortWithinPartitions("user_id", "run_start_s")

@@ -935,3 +935,46 @@ def test_late_data_drop_accounting(spark, tmp_path):
     finally:
         q.stop()
     assert dropped == 2
+
+
+def test_cep_run_spans_micro_batch_boundary(spark, tmp_path):
+    """A failure run whose errors arrive in batch 0 and whose success
+    arrives in batch 1 must match (state carries the run); an
+    intervening non-failure event in the later batch must reset it."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamalert_spark.streaming.bounded import run_bounded_to_rows
+    from streamalert_spark.streaming.cep import OUT_SCHEMA, pattern_match_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # user 1: error,error | purchase         -> match across boundary
+    # user 2: error,error | view, purchase   -> reset kills it
+    # user 3: error       | error, purchase  -> run builds across boundary
+    b0 = {"user_id": [1, 1, 2, 2, 3],
+          "event_id": [10, 11, 20, 21, 30],
+          "event_type": ["error", "error", "error", "error", "error"],
+          "es": [100, 110, 100, 110, 100]}
+    b1 = {"user_id": [1, 2, 2, 3, 3],
+          "event_id": [12, 22, 23, 31, 32],
+          "event_type": ["purchase", "view", "purchase", "error",
+                         "purchase"],
+          "es": [200, 200, 210, 200, 300]}
+    for i, data in enumerate([b0, b1]):
+        path = str(in_dir / f"b{i}.parquet")
+        pq.write_table(pa.table(data), path)
+        os.utime(path, (1_000_000 + 10 * i,) * 2)
+    src = (
+        spark.readStream
+        .schema("user_id bigint, event_id bigint, event_type string, "
+                "es bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    rows = run_bounded_to_rows(
+        spark, pattern_match_stream(src), OUT_SCHEMA)
+    got = sorted(tuple(r) for r in rows.collect())
+    assert got == [(1, 2, 100, 110, 200), (3, 2, 100, 200, 300)]
