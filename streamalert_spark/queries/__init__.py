@@ -59,6 +59,7 @@ _VERIFY_FIRST = [
     "k_anonymity_audit",         # new: k-anonymity / l-diversity release audit
     "dsir_importance_weights",   # new: hashed-ngram data-selection scores
     "stream_pattern_match_bounded",  # new: streaming CEP state machine
+    "boilerplate_span_scrub",    # new: span-level dedup rewrite + digest
     # round-7 changed operators — these joins are now size-gated
     # (gated_broadcast replaced their hard F.broadcast); re-verify first
     "scd2_point_in_time",

@@ -1184,3 +1184,102 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate span SCRUB — the rewrite pass that follows span discovery:
+# remove every token covered by a high-document-frequency n-gram and
+# digest the cleaned document.
+# ---------------------------------------------------------------------------
+
+_SCRUB_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+nd AS (SELECT GREATEST(5, COUNT(*) // 250) AS floor_df FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+bf AS (
+  SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g) x, nd
+  WHERE df >= floor_df
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos + o AS cpos
+  FROM grams JOIN bf USING (g), UNNEST([0, 1, 2]) AS u(o)
+),
+tok AS (
+  SELECT t.doc_id, i AS pos, w[i] AS tok
+  FROM toks t, UNNEST(range(1, len(w) + 1)) AS r(i)
+),
+kept AS (
+  SELECT k.doc_id, k.pos, k.tok
+  FROM tok k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.cpos = k.pos
+  WHERE c.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_digest
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+       COALESCE(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       COALESCE(a.clean_digest, md5('')) AS clean_digest
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@query("boilerplate_span_scrub", oracle=_SCRUB_ORACLE,
+       doc="Span-level dedup REWRITE (the pass boilerplate_ngram_spans "
+           "discovers spans for, per CCNet/RefinedWeb line-dedup): every "
+           "token covered by a 3-gram whose document frequency reaches "
+           "greatest(5, n_docs/250) -- corpus-RELATIVE so the floor "
+           "scales with the pool -- is scrubbed; the cleaned document is "
+           "reassembled in token order and md5-digested. Shuffles: gram "
+           "df (partial-agg), covered-position distinct, one anti-join, "
+           "per-doc reassembly. The n_docs scalar rides a 1-row "
+           "broadcast; nothing collects.")
+def boilerplate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.text import ngram_array, tokens
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    tok = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    grams = docs.select(
+        "doc_id", F.posexplode(ngram_array(toks, 3)).alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    nd = docs.agg(F.greatest(
+        F.lit(5).cast("bigint"),
+        F.expr("count(1) DIV 250")).alias("floor_df"))
+    bf = (
+        grams.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") >= F.col("floor_df"))
+        .select("g")
+    )
+    cov = (
+        grams.join(bf, "g")
+        .select("doc_id", F.explode(F.array(
+            F.col("pos"), F.col("pos") + 1, F.col("pos") + 2)).alias("cpos"))
+        .distinct()
+    )
+    kept = tok.join(
+        cov, (tok["doc_id"] == cov["doc_id"]) & (tok["pos"] == cov["cpos"]),
+        "left_anti")
+    agg = (
+        kept.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.md5(F.concat_ws(" ", F.transform(
+                 F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                 lambda s: s["tok"]))).alias("clean_digest"))
+    )
+    base = docs.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+    return (
+        base.join(agg, "doc_id", "left")
+        .select("doc_id", "n_tokens",
+                F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+                F.coalesce("clean_digest", F.md5(F.lit(""))).alias("clean_digest"))
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
