@@ -526,24 +526,53 @@ def simhash_neardup_pairs(
     the exact distance with two 32-bit XOR popcounts. The shuffle is
     O(docs x blocks), never O(docs^2).
     """
+    prep = _swap_cache(
+        "simhash_pairs",
+        bitstring_block_prep(
+            simhash_bits(df, text_col, id_col, bits),
+            id_col, "simhash", max_hamming, bits))
+    return bitstring_block_pairs(prep, id_col, max_hamming)
+
+
+def bitstring_block_prep(
+    sims: DataFrame,
+    id_col: str,
+    bits_col: str,
+    max_hamming: int,
+    bits: int = 64,
+) -> DataFrame:
+    """Split a '0'/'1' fingerprint string into the pigeonhole block array
+    plus two 32-bit integer halves — the shared prep for any banded
+    hamming join (simhash text near-dup, perceptual-hash media near-dup)."""
     nblocks = max_hamming + 1
     blk = bits // nblocks
-    sims = _swap_cache("simhash_pairs", simhash_bits(df, text_col, id_col, bits).select(
+    return sims.select(
         id_col,
         # two 32-bit halves as bigints: conv() of the full 64-bit string can
         # exceed the signed range and null out
-        F.conv(F.substring("simhash", 1, 32), 2, 10).cast("bigint").alias("hi"),
-        F.conv(F.substring("simhash", 33, 32), 2, 10).cast("bigint").alias("lo"),
+        F.conv(F.substring(bits_col, 1, 32), 2, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring(bits_col, 33, 32), 2, 10).cast("bigint").alias("lo"),
         F.array(*[
             F.substring(
-                "simhash",
+                bits_col,
                 i * blk + 1,
                 blk if i < nblocks - 1 else bits - (nblocks - 1) * blk,
             )
             for i in range(nblocks)
         ]).alias("blocks"),
-    ))
-    banded = sims.select(
+    )
+
+
+def bitstring_block_pairs(
+    prep: DataFrame,
+    id_col: str,
+    max_hamming: int,
+) -> DataFrame:
+    """Banded hamming pair join over ``bitstring_block_prep`` output: any
+    pair within ``max_hamming`` agrees on >= 1 of the max_hamming+1 blocks
+    (pigeonhole), so candidates join on (block_idx, block_bits) and verify
+    with two 32-bit XOR popcounts. Shuffle is O(rows x blocks)."""
+    banded = prep.select(
         id_col, "hi", "lo",
         F.posexplode("blocks").alias("block_idx", "block_bits"),
     )
