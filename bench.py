@@ -1,6 +1,13 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line with per-query wall seconds.
+
+Output contract: the external driver records only a bounded TAIL of this
+process's log, so the final stdout JSON line must stay SMALL enough to
+survive that window intact — it carries the aggregate plus the slowest
+50 per-query times; the FULL per-query map is written to BENCH_LAST.json
+next to this file (committed with the round, so every number is always
+recoverable) and echoed per-query on stderr during the run.
 """
 
 from __future__ import annotations
@@ -23,6 +30,18 @@ def main() -> None:
         t0 = time.perf_counter()
         rq.fn(spark, sf_dir).count()
         return time.perf_counter() - t0
+
+    # Warm the one-time process costs that otherwise land on whichever
+    # query happens to run first after a registry reorder: the Python
+    # DataSource worker (~8s measured cold, sub-second warm) attributed
+    # to the first app-source query, and the codegen/JIT paid by pass 1.
+    for warm_name in ("app_source_backfill",):
+        if warm_name in registry:
+            try:
+                run_once(registry[warm_name])
+            except Exception as exc:  # noqa: BLE001
+                print(f"BENCH WARMUP ERROR {warm_name}: {exc}",
+                      file=sys.stderr)
 
     # Two full passes over the registry, min per query: pass 1 pays one-time
     # codegen/JIT (3-10x inflation cold); taking the min across SEPARATED
@@ -65,13 +84,30 @@ def main() -> None:
         print(f"  {name}: {best:.3f}s", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(json.dumps({
+    payload = {
         "metric": "total_query_wall_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
-    }))
+        "n_queries": len(timings),
+    }
+    # full map -> file beside this script (always recoverable)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LAST.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(payload, fh, separators=(",", ":"))
+            fh.write("\n")
+    except OSError as exc:
+        print(f"BENCH WARN could not write {full_path}: {exc}",
+              file=sys.stderr)
+    # stdout line -> slowest 50 only, so it survives the tail window
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:50])
+    payload["queries"] = slowest
+    payload["queries_omitted"] = len(timings) - len(slowest)
+    payload["queries_file"] = "BENCH_LAST.json"
+    print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
 
 

@@ -5,8 +5,12 @@ Reference behavior (streamalert/threat_intel_downloader/main.py:41-347):
 a scheduled Lambda queries the ThreatStream `intelligence` API with a
 status/type/sub-type query string (main.py:298-312), follows the
 paginated ``meta.next`` cursor until it is empty or the offset reaches
-a threshold (main.py:116-147), retries 5xx responses and fails hard on
-401/unknown codes (main.py:139-145), filters each object to the
+a threshold (main.py:116-147), retries failed responses up to the
+backoff cap — including 401/unknown codes, whose exception message says
+"do not retry" but whose ThreatStreamRequestsError type IS in the
+reference's EXCEPTIONS_TO_BACKOFF tuple, so the @backoff decorator
+retries them anyway (main.py:116-147 + the backoff wiring; the quirk is
+ported faithfully), filters each object to the
 configured sources and projects it to ``ioc_keys`` (main.py:208-257),
 converts the expiration time to epoch seconds with a 90-days-from-now
 default (main.py:184-206), and batch-writes
@@ -21,8 +25,9 @@ transport injectable (nothing network-backed is buildable in this
 sandbox; the request/response SHAPE is what's ported and tested). The
 Lambda self-invocation chain becomes a plain loop with the same
 threshold stop; the DynamoDB batch write becomes a snapshot write of the
-ioc Parquet table, deduped by ioc_value keeping the latest expiration
-(Dynamo put_item last-write-wins on the key). Consumers read the table
+ioc Parquet table, deduped by ioc_value keeping the LAST-ARRIVED row
+(Dynamo put_item last-write-wins is arrival-order — a later page's row
+overwrites even when its expiration is smaller). Consumers read the table
 through ``load_ioc_table``, which applies the expiration filter the
 reference delegates to DynamoDB's TTL sweeper.
 
@@ -135,8 +140,13 @@ class ThreatStreamFeed:
 
     # -- one page (main.py:116-147) -------------------------------------------
     def read_page(self, url: str) -> tuple[list[dict], str | None]:
-        """Fetch one page with retry-on-5xx; returns (processed rows,
-        next_url or None when pagination must stop)."""
+        """Fetch one page, retrying ANY failure up to MAX_RETRIES before
+        raising; returns (processed rows, next_url or None when
+        pagination must stop). Retry parity note: the reference's 401/
+        unknown-status messages say "do not retry", but the exception
+        type it raises is in EXCEPTIONS_TO_BACKOFF, so its @backoff
+        decorator retries them up to the same cap as 5xx — the quirk is
+        ported as-is; only the exception CLASS differs by status."""
         if self.fetch is None:
             raise NotImplementedError(
                 "ThreatStreamFeed requires an HTTP transport; inject "
@@ -154,14 +164,14 @@ class ThreatStreamFeed:
                     nxt = None
                 return rows, nxt
             if status == 401:
-                raise FeedRequestError(
+                last_err = FeedRequestError(
                     "Response status code 401, unauthorized.")
-            if status == 500:
+            elif status == 500:
                 last_err = FeedRetryError(
                     "Response status code 500, retry now.")
-                continue
-            raise FeedRequestError(
-                f"Unknown status code {status}, do not retry.")
+            else:
+                last_err = FeedRequestError(
+                    f"Unknown status code {status}, do not retry.")
         raise last_err  # retries exhausted
 
     def run(self, next_url: str | None = None,
@@ -193,27 +203,30 @@ def ingest_feed(
 ) -> DataFrame:
     """Run the feed to exhaustion and write the ioc Parquet table
     snapshot: (ioc_value, ioc_type, sub_type, source, expiration_ts),
-    deduped by ioc_value keeping the max expiration (DynamoDB put_item
-    last-write-wins, main.py:259-277). Returns the written frame."""
+    deduped by ioc_value keeping the LAST-ARRIVED row — DynamoDB
+    put_item last-write-wins is arrival-order (main.py:259-277), so a
+    later page's row overwrites even when its expiration is SMALLER.
+    Returns the written frame."""
     rows = feed.run(next_url=next_url)
+    # the arrival sequence IS the dedup key's tiebreak (put_item order)
     records = [
-        (r["value"], r["type"], r["itype"], r["source"],
+        (seq, r["value"], r["type"], r["itype"], r["source"],
          int(r["expiration_ts"]))
-        for r in rows
+        for seq, r in enumerate(rows)
     ]
     # VALUES-style local relation so downstream size gates see real stats
     df = spark.createDataFrame(
         records,
-        "ioc_value string, ioc_type string, sub_type string, "
+        "seq bigint, ioc_value string, ioc_type string, sub_type string, "
         "source string, expiration_ts bigint",
     )
     deduped = (
         df.groupBy("ioc_value")
         .agg(
-            F.max_by("ioc_type", "expiration_ts").alias("ioc_type"),
-            F.max_by("sub_type", "expiration_ts").alias("sub_type"),
-            F.max_by("source", "expiration_ts").alias("source"),
-            F.max("expiration_ts").alias("expiration_ts"),
+            F.max_by("ioc_type", "seq").alias("ioc_type"),
+            F.max_by("sub_type", "seq").alias("sub_type"),
+            F.max_by("source", "seq").alias("source"),
+            F.max_by("expiration_ts", "seq").alias("expiration_ts"),
         )
         .select(*IOC_TABLE_COLUMNS)
     )

@@ -52,13 +52,22 @@ _warned_no_estimate = False
 
 def broadcast_limit(df: DataFrame) -> int:
     """The active hint budget: ``spark.streamalert.broadcastHintBytes`` if
-    set on the session, else ``BROADCAST_SIZE_LIMIT``."""
+    set on the session, else ``BROADCAST_SIZE_LIMIT``.
+
+    A set-but-unparsable value raises ValueError — a deployment that
+    thinks it tuned the budget must not silently run on the default."""
     try:
         conf = df.sparkSession.conf.get(BROADCAST_LIMIT_CONF, None)
-        if conf is not None:
+    except Exception:  # noqa: BLE001 — conf ACCESS is best-effort ...
+        return BROADCAST_SIZE_LIMIT
+    if conf is not None:
+        try:
             return int(conf)
-    except Exception:  # noqa: BLE001 — conf access is best-effort
-        pass
+        except ValueError:  # ... but a malformed VALUE must be visible
+            raise ValueError(
+                f"{BROADCAST_LIMIT_CONF} must be an integer byte count, "
+                f"got {conf!r} (e.g. use 268435456, not '256MB')"
+            ) from None
     return BROADCAST_SIZE_LIMIT
 
 

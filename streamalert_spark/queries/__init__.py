@@ -50,61 +50,54 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # queries whose underlying operators changed most recently and should be
 # re-verified first. Every other query follows in registration order.
 _VERIFY_FIRST = [
-    # ---- round-7 new queries prepend HERE (keep list length <= 50) ----
-    "threat_intel_feed_ingest",  # new: feed ingester -> ioc table -> join
-    "embedding_kmeans_sizes",    # newly oracle-paired: fixed-point Lloyd
-    "salted_skew_join_agg",      # new: manual salted join for hot keys
-    "stream_late_data_bounded",  # new: watermark eviction-boundary drops
-    "pattern_sequence_alerts",   # new: CEP gaps-and-islands sequence match
-    "k_anonymity_audit",         # new: k-anonymity / l-diversity release audit
-    "dsir_importance_weights",   # new: hashed-ngram data-selection scores
-    "stream_pattern_match_bounded",  # new: streaming CEP state machine
-    "boilerplate_span_scrub",    # new: span-level dedup rewrite + digest
-    # round-7 changed operators — these joins are now size-gated
-    # (gated_broadcast replaced their hard F.broadcast); re-verify first
-    "scd2_point_in_time",
-    "threat_intel_hits",
-    "lookup_enrich",
-    # last green driver row is ROUND 3 — the FULL 33-query stale tail
-    # (computed from CORRECTNESS_r02..r06, not the shorter list the r6
-    # comment carried)
-    "ann_batch_topk",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "cap_docs_per_source",
-    "chunk_context_windows",
-    "cohort_retention",
-    "corpus_quality_filter",
-    "curation_pipeline_e2e",
-    "decontaminate_ngram_overlap",
-    "doc_length_histogram",
-    "embedding_cosine_neardup",
-    "event_type_pivot",
-    "funnel_stages",
-    "latest_event_per_user",
-    "minhash_lsh_candidates",
-    "minhash_signatures",
-    "moving_day_window",
-    "multimodal_frame_sample",
-    "multimodal_image_features",
-    "quality_bucket_filter",
-    "range_join_windows",
-    "repetition_signals",
-    "rollup_pricing",
-    "scd2_intervals",
-    "session_window_agg",
-    "sessionize_events",
-    "simhash64",
-    "stratified_sample_langs",
-    "temperature_mixture_sample",
-    "text_stats",
-    "token_counts",
-    "token_frequency_score",
-    "url_domain_filter",
-    # ^ 36 entries; positions up to 50 fill with registration order, so
-    # round-7 new queries MUST be inserted above (displacing nothing)
-    # until the list reaches 50. After r7 every oracle-paired query's
-    # latest driver-green row is <= 2 rounds old.
+    # ---- round-8 new queries prepend HERE (keep list length <= 50) ----
+    "stream_pattern_match_ooo_bounded",  # new: watermark-staged OOO CEP
+    # round-8 changed operators — re-verify first: cep.py grew state
+    # eviction (remove-on-reset + timeouts), the ti ingester's dedup is
+    # now arrival-order last-write-wins, the alert-writer demo batches
+    # are larger (physical only)
+    "stream_pattern_match_bounded",
+    "threat_intel_feed_ingest",
+    "alert_output_writer_ledger",
+    # last green driver row is ROUND 4 — the full 29-query stale tail
+    # (computed from CORRECTNESS_r02..r07)
+    "q4_priority_with_returns",
+    "q6_forecast_revenue",
+    "q12_shipping_priority_counts",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
+    "time_rollup_multi",
+    "set_operations_cohorts",
+    "ranking_functions_surface",
+    "pack_sequences",
+    "vocab_topk",
+    "mixture_reweight",
+    "tfidf_top_terms",
+    "bpe_merge_pairs",
+    "pii_detect_redact",
+    "clean_text_normalize",
+    "udtf_tokenize_offsets",
+    "udaf_lower_median",
+    "ivf_ann_topk",
+    "boilerplate_ngram_spans",
+    "graph_triangles",
+    "pagerank_top_nodes",
+    "dedup_resolution",
+    "dedup_components",
+    "lsh_verified_pairs",
+    "semantic_cell_neardup",
+    "semantic_decontamination",
+    # ^ 33 entries; positions up to 50 fill with registration order, so
+    # round-8 new queries MUST be inserted above (displacing nothing)
+    # until the list reaches 50. Staleness is STRUCTURAL: with a
+    # ~177-query registry and a 50-slot external sample, a full refresh
+    # takes 4 rounds — the in-repo parity sweep (tests/test_oracle_parity)
+    # covers every query every run; this list only decides which names
+    # the external sampler re-checks soonest. After r8 the oldest
+    # driver-green row for any oracle-paired query should be r5.
 ]
 
 

@@ -345,7 +345,9 @@ def streamquery_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both engines independently apply source filtering, expiry conversion
 # (missing -> now + 90 days), last-write-wins dedup, and the TTL filter
 _TI_FEED_OBJECTS = [
-    # live hit; superseded by the later abuse.ch row below (dedup)
+    # live hit; overwritten TWICE by later-arriving rows below — DynamoDB
+    # put_item last-write-wins is ARRIVAL order, so the final (page-3)
+    # row wins even though its expiration is smaller than the page-1 one
     ("3", "c2_user", "CrowdStrike Intel", "2024-06-01T00:00:00.000Z"),
     ("3", "mal_user", "abuse.ch feed", "2025-01-01T00:00:00.000Z"),
     # missing expiry -> defaults to now + 90 days -> live
@@ -356,19 +358,22 @@ _TI_FEED_OBJECTS = [
     ("42", "compromised", "other-vendor", "2024-06-01T00:00:00.000Z"),
     # live but matches no user_id at any SF
     ("99999999", "mal_user", "abuse.ch", "2024-06-01T00:00:00.000Z"),
+    # ioc 3's LAST write: smaller expiration than the abuse.ch row, but
+    # arrival order means it wins the dedup (still live at _TI_NOW)
+    ("3", "resurfaced_user", "crowdstrike", "2024-08-01T00:00:00.000Z"),
 ]
 _TI_NOW = 1_700_000_000  # fixed clock: expiry default + TTL filter cutoff
 
 _TI_FEED_VALUES = ", ".join(
-    "('{}', '{}', '{}', {})".format(
-        v, it, src, "NULL" if exp is None else f"'{exp}'")
-    for v, it, src, exp in _TI_FEED_OBJECTS
+    "({}, '{}', '{}', '{}', {})".format(
+        seq, v, it, src, "NULL" if exp is None else f"'{exp}'")
+    for seq, (v, it, src, exp) in enumerate(_TI_FEED_OBJECTS)
 )
 
 _TI_INGEST_ORACLE = f"""
-WITH feed(value, itype, source, exp) AS (VALUES {_TI_FEED_VALUES}),
+WITH feed(seq, value, itype, source, exp) AS (VALUES {_TI_FEED_VALUES}),
 processed AS (
-  SELECT value, itype,
+  SELECT seq, value, itype,
          CASE WHEN exp IS NULL THEN {_TI_NOW} + 90 * 86400
               ELSE CAST(epoch(strptime(exp, '%Y-%m-%dT%H:%M:%S.%fZ'))
                         AS BIGINT) END AS expiration_ts
@@ -378,8 +383,8 @@ processed AS (
 ),
 dedup AS (
   SELECT value AS ioc_value,
-         arg_max(itype, expiration_ts) AS sub_type,
-         MAX(expiration_ts) AS expiration_ts
+         arg_max(itype, seq) AS sub_type,
+         arg_max(expiration_ts, seq) AS expiration_ts
   FROM processed GROUP BY value
 ),
 live AS (SELECT * FROM dedup WHERE expiration_ts > {_TI_NOW})
@@ -396,7 +401,9 @@ ORDER BY value
            "(injectable transport serving a 3-page fake ThreatStream "
            "feed, with one 500-then-retry page) -> source filter, "
            "ioc_keys projection, expiry epoch conversion with the "
-           "90-day default -> last-write-wins dedup by ioc_value -> "
+           "90-day default -> ARRIVAL-ORDER last-write-wins dedup by "
+           "ioc_value (put_item semantics: a later page overwrites even "
+           "with a smaller expiration) -> "
            "ioc Parquet table snapshot -> TTL expiry read filter -> "
            "size-gated broadcast detection join against event user "
            "ids. Both engines independently replay the ingest rules "

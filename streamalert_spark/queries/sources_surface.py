@@ -615,6 +615,9 @@ def alert_output_writer_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = (
             spark.readStream.format("streamalert_app")
             .option("app", "synthetic").option("end_timestamp", "200")
+            # 2 micro-batches (120+80): the crash-window property needs a
+            # second epoch commit; a third batch is pure demo overhead
+            .option("page_size", "120")
             .load()
             .select(
                 F.concat(F.lit("al-"),
@@ -870,3 +873,81 @@ def stream_pattern_match_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return rows.repartition(1).sortWithinPartitions("user_id", "run_start_s")
+
+
+@query("stream_pattern_match_ooo_bounded", oracle=_PATTERN_SEQ_ORACLE,
+       doc="STREAMING CEP over OUT-OF-ORDER input: events are split into "
+           "3 micro-batches by jittered event time (a deterministic "
+           "per-event jitter pushes events near tercile boundaries into "
+           "the WRONG batch, so per-key event-time order is violated "
+           "across batches), then a sentinel batch advances the "
+           "watermark past everything. pattern_match_stream_ordered "
+           "buffers rows in per-key state and feeds the CEP machine in "
+           "event-time order only once the watermark passes them (the "
+           "Flink CEP design); event-time timeouts flush keys with no "
+           "follow-up data and evict live runs whose success horizon "
+           "passed. The oracle is the SAME batch CEP SQL — the hash pins "
+           "that watermark-staged reordering reproduces in-order "
+           "semantics exactly.")
+def stream_pattern_match_ooo_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from streamalert_spark.session import read_table
+    from streamalert_spark.streaming.bounded import run_bounded_to_rows
+    from streamalert_spark.streaming.cep import (
+        OUT_SCHEMA, pattern_match_stream_ordered,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp("ts").alias("es"))
+    lo, hi = ev.agg(F.min("es"), F.max("es")).first()
+    jit = int((hi - lo) // 6 + 1)  # disorder bound = watermark delay
+    # deterministic jitter in [0, jit): Knuth multiplicative hash of the
+    # unique event_id — events within `jit` of a tercile boundary can land
+    # in the adjacent batch, violating per-key order across batches
+    shifted = ev.withColumn(
+        "_s",
+        F.col("es") + F.pmod(
+            F.pmod(F.col("event_id") * F.lit(2654435761),
+                   F.lit(2 ** 31)), F.lit(jit)))
+    c1 = lo + (hi + jit - lo) // 3
+    c2 = lo + 2 * (hi + jit - lo) // 3
+    work = tempfile.mkdtemp(prefix="cep_ooo_q_")
+    in_dir = os.path.join(work, "in")
+    try:
+        parts = [
+            shifted.filter(F.col("_s") <= c1),
+            shifted.filter((F.col("_s") > c1) & (F.col("_s") <= c2)),
+            shifted.filter(F.col("_s") > c2),
+            # sentinel: one throwaway key advancing the watermark past
+            # every buffered row so event-time timeouts flush them
+            spark.createDataFrame(
+                [(-1, 0, "view", int(hi + 2 * jit + 1000))],
+                "user_id bigint, event_id bigint, event_type string, "
+                "es bigint"),
+        ]
+        for i, part_df in enumerate(parts):
+            part = os.path.join(in_dir, f"b{i}")
+            part_df.select("user_id", "event_id", "event_type", "es") \
+                .coalesce(1).write.parquet(part)
+            os.utime(part, (1_000_000 + 10 * i,) * 2)
+            for f in os.listdir(part):
+                os.utime(os.path.join(part, f),
+                         (1_000_000 + 10 * i,) * 2)
+        src = (
+            spark.readStream
+            .schema("user_id bigint, event_id bigint, "
+                    "event_type string, es bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(in_dir, "*"))
+        )
+        out = pattern_match_stream_ordered(
+            src, watermark_delay=f"{jit} seconds")
+        rows = run_bounded_to_rows(spark, out, OUT_SCHEMA)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return (rows.filter(F.col("user_id") >= 0)
+            .repartition(1).sortWithinPartitions("user_id", "run_start_s"))

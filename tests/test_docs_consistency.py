@@ -54,3 +54,17 @@ def test_notes_md_carries_current_round_counts():
     notes = (REPO / "NOTES.md").read_text()
     assert f"{n_total}-query registry" in notes and f"{n_oracle} oracle" in notes, (
         f"NOTES.md counts stale: registry has {n_total}/{n_oracle}")
+
+
+def test_scale_md_broadcast_claims_match_code():
+    """SCALE.md must not describe a gated broadcast as unconditional:
+    every enrichment join that rides ops.hints.gated_broadcast in code
+    has to be documented as size-gated (r7 verdict found this drifted)."""
+    scale = (REPO / "SCALE.md").read_text()
+    assert "F.broadcast(ioc_df)" not in scale, (
+        "SCALE.md still claims an explicit/unconditional IOC broadcast; "
+        "enrich/threat_intel.py uses gated_broadcast")
+    ti_section = scale.split("Threat-intel IOC")[1].split("- **")[0]
+    assert "gated" in ti_section.lower()
+    lookup_section = scale.split("Lookup tables")[1].split("- **")[0]
+    assert "gated" in lookup_section.lower()

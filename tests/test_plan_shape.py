@@ -444,3 +444,26 @@ def test_broadcast_limit_conf_respected(spark):
     # unset -> module default governs again
     assert "ResolvedHint" in hints.gated_broadcast(small)._jdf \
         .queryExecution().analyzed().toString()
+
+
+def test_broadcast_limit_malformed_conf_raises(spark):
+    """A SET but unparsable budget must raise, not silently fall back to
+    the module default — misconfiguration has to be visible."""
+    import pytest
+
+    from streamalert_spark.ops import hints
+
+    small = spark.range(10)
+    conf_key = hints.BROADCAST_LIMIT_CONF
+    saved = spark.conf.get(conf_key, None)
+    try:
+        spark.conf.set(conf_key, "256MB")
+        with pytest.raises(ValueError, match="integer byte count"):
+            hints.broadcast_limit(small)
+        with pytest.raises(ValueError, match="integer byte count"):
+            hints.gated_broadcast(small)
+    finally:
+        if saved is not None:
+            spark.conf.set(conf_key, saved)
+        else:
+            spark.conf.unset(conf_key)

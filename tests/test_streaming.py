@@ -978,3 +978,149 @@ def test_cep_run_spans_micro_batch_boundary(spark, tmp_path):
         spark, pattern_match_stream(src), OUT_SCHEMA)
     got = sorted(tuple(r) for r in rows.collect())
     assert got == [(1, 2, 100, 110, 200), (3, 2, 100, 200, 300)]
+
+
+def _cep_batches(tmp_path, batches):
+    """Write per-batch parquet files with increasing mtimes; return a
+    maxFilesPerTrigger=1 file-stream source over them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in_dir = tmp_path / "cep_in"
+    in_dir.mkdir()
+    for i, data in enumerate(batches):
+        path = str(in_dir / f"b{i}.parquet")
+        pq.write_table(pa.table(data), path)
+        os.utime(path, (1_000_000 + 10 * i,) * 2)
+    return in_dir
+
+
+def _run_cep_collect_state(spark, df, work):
+    """Drain a bounded CEP stream; return (sorted rows, final state-store
+    row count from the query's lastProgress)."""
+    from streamalert_spark.streaming.bounded import bounded_stream_shuffle
+
+    with bounded_stream_shuffle(spark):
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # settle: the timeout-firing no-data batch is normally inside
+            # processAllAvailable, but don't race it
+            state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+            for _ in range(20):
+                lp = q.lastProgress
+                nxt = lp["stateOperators"][0]["numRowsTotal"]
+                if nxt == state_rows and lp["numInputRows"] == 0:
+                    break
+                state_rows = nxt
+                time.sleep(0.25)
+        finally:
+            q.stop()
+    from streamalert_spark.streaming.cep import OUT_SCHEMA
+
+    rows = spark.read.schema(OUT_SCHEMA).parquet(f"{work}/out").collect()
+    return sorted(tuple(r) for r in rows), state_rows
+
+
+def test_cep_dead_keys_leave_no_state(spark, tmp_path):
+    """Keys whose run reset (matched or broken) must leave NO state row —
+    the 100-TB property: state tracks live runs, not lifetime keys."""
+    from streamalert_spark.streaming.cep import pattern_match_stream
+
+    in_dir = _cep_batches(tmp_path, [
+        {"user_id": [1, 1, 2, 3, 3],
+         "event_id": [10, 11, 20, 30, 31],
+         "event_type": ["error"] * 5,
+         "es": [100, 110, 100, 100, 110]},
+        # user 1 matches (reset -> removed), user 2 breaks (removed),
+        # user 3 stays a live run (the ONLY state row left)
+        {"user_id": [1, 2, 3],
+         "event_id": [12, 21, 32],
+         "event_type": ["purchase", "view", "error"],
+         "es": [200, 200, 200]},
+    ])
+    src = (
+        spark.readStream
+        .schema("user_id bigint, event_id bigint, event_type string, "
+                "es bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    got, state_rows = _run_cep_collect_state(
+        spark, pattern_match_stream(src), str(tmp_path / "w1"))
+    assert got == [(1, 2, 100, 110, 200)]
+    assert state_rows == 1
+
+
+def test_cep_ordered_out_of_order_input(spark, tmp_path):
+    """The watermark-staged variant: per-key rows arrive OUT of event-time
+    order across micro-batches yet match exactly what in-order CEP (and
+    the batch oracle) produce; all state is evicted once runs resolve."""
+    from streamalert_spark.streaming.cep import pattern_match_stream_ordered
+
+    in_dir = _cep_batches(tmp_path, [
+        # user 1's SUCCESS arrives before its failures; user 2 interleaved
+        {"user_id": [1, 2],
+         "event_id": [12, 20],
+         "event_type": ["purchase", "error"],
+         "es": [200, 100]},
+        {"user_id": [1, 1, 2, 2],
+         "event_id": [10, 11, 21, 22],
+         "event_type": ["error", "error", "error", "purchase"],
+         "es": [100, 110, 110, 210]},
+        # sentinel advances the watermark past every buffered row + horizon
+        {"user_id": [99], "event_id": [1],
+         "event_type": ["view"], "es": [500000]},
+    ])
+    src = (
+        spark.readStream
+        .schema("user_id bigint, event_id bigint, event_type string, "
+                "es bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    out = pattern_match_stream_ordered(
+        src, horizon_s=1000, watermark_delay="1000 seconds")
+    got, state_rows = _run_cep_collect_state(
+        spark, out, str(tmp_path / "w2"))
+    assert got == [(1, 2, 100, 110, 200), (2, 2, 100, 110, 210)]
+    # users 1 and 2 resolved -> evicted; the single remaining row is the
+    # sentinel's own buffered event (with delay > 0 the stream's LAST
+    # event can never pass the watermark — inherent to finite demos)
+    assert state_rows == 1
+
+
+def test_cep_ordered_expired_run_evicted(spark, tmp_path):
+    """A live run whose success horizon the watermark has passed can never
+    match — its state row must be removed by the event-time timeout."""
+    from streamalert_spark.streaming.cep import pattern_match_stream_ordered
+
+    in_dir = _cep_batches(tmp_path, [
+        {"user_id": [5, 5],
+         "event_id": [50, 51],
+         "event_type": ["error", "error"],
+         "es": [100, 110]},
+        # sentinel: watermark -> 900000-1000 >> 110 + horizon(50)
+        {"user_id": [99], "event_id": [1],
+         "event_type": ["view"], "es": [900000]},
+    ])
+    src = (
+        spark.readStream
+        .schema("user_id bigint, event_id bigint, event_type string, "
+                "es bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    out = pattern_match_stream_ordered(
+        src, horizon_s=50, watermark_delay="1000 seconds")
+    got, state_rows = _run_cep_collect_state(
+        spark, out, str(tmp_path / "w3"))
+    assert got == []
+    # user 5's expired run was evicted by the event-time timeout; the one
+    # remaining row is the sentinel's own un-flushable buffered event
+    assert state_rows == 1

@@ -152,7 +152,10 @@ def test_retry_on_500_then_success():
     assert [r["value"] for r in f.run()] == ["a.com"]
 
 
-def test_401_and_unknown_status_fail_without_retry():
+def test_401_and_unknown_status_retried_then_fail():
+    """Reference quirk ported as-is: the 401/unknown messages say 'do not
+    retry', but ThreatStreamRequestsError is in EXCEPTIONS_TO_BACKOFF, so
+    the @backoff wiring retries them up to the same cap as 5xx."""
     calls = []
 
     def fetch(url):
@@ -161,7 +164,7 @@ def test_401_and_unknown_status_fail_without_retry():
 
     with pytest.raises(FeedRequestError):
         _feed(fetch=fetch).run()
-    assert len(calls) == 1  # main.py:139-140 — no retry on 401
+    assert len(calls) == 3  # BACKOFF_MAX_RETRIES, same as 5xx
 
     calls.clear()
 
@@ -171,7 +174,7 @@ def test_401_and_unknown_status_fail_without_retry():
 
     with pytest.raises(FeedRequestError):
         _feed(fetch=fetch404).run()
-    assert len(calls) == 1  # main.py:143-145 — unknown code, do not retry
+    assert len(calls) == 3
 
 
 def test_500_exhausts_retries():
@@ -192,8 +195,9 @@ def test_no_transport_raises():
 
 
 def test_ingest_writes_deduped_snapshot_and_expiry_filter(spark, tmp_path):
-    """ingest → parquet → load_ioc_table: last-write-wins dedup on
-    ioc_value (max expiration) and the TTL-style expiry filter."""
+    """ingest → parquet → load_ioc_table: ARRIVAL-ORDER last-write-wins
+    dedup on ioc_value (DynamoDB put_item: the last-arrived row wins even
+    when its expiration is SMALLER) and the TTL-style expiry filter."""
     pages = [
         {"objects": [
             {"value": "dup.com", "itype": "c2_domain", "type": "domain",
@@ -205,15 +209,24 @@ def test_ingest_writes_deduped_snapshot_and_expiry_filter(spark, tmp_path):
             {"value": "gone.com", "itype": "c2_domain", "type": "domain",
              "source": "crowdstrike", "expiration_ts":
                  "2020-01-01T00:00:00.000Z"},
-        ], "meta": {"next": None, "offset": 1000}},
+        ], "meta": {"next": "/page/1", "offset": 1000}},
+        # a LATER page re-writes dup.com with a smaller expiration: put_item
+        # arrival order means THIS row wins, not the max-expiration one
+        {"_url": "/page/1", "objects": [
+            {"value": "dup.com", "itype": "resurfaced", "type": "domain",
+             "source": "crowdstrike", "expiration_ts":
+                 "2023-12-01T00:00:00.000Z"},
+        ], "meta": {"next": None, "offset": 2000}},
     ]
     f = _feed(fetch=fake_feed_transport(pages))
     out = str(tmp_path / "ioc")
     written = ingest_feed(spark, f, out)
     assert written.count() == 2  # dup.com collapsed, gone.com kept
     dup = written.filter("ioc_value = 'dup.com'").collect()[0]
-    assert dup.sub_type == "mal_domain"  # the later expiration wins
-    assert dup.source == "abuse.ch feed"
+    assert dup.sub_type == "resurfaced"  # last ARRIVAL wins
+    assert dup.source == "crowdstrike"
+    assert dup.expiration_ts == calendar.timegm(
+        datetime(2023, 12, 1).timetuple())
 
     now = calendar.timegm(datetime(2023, 6, 1).timetuple())
     live = load_ioc_table(spark, out, now_epoch=now)
