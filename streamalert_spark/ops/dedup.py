@@ -684,3 +684,33 @@ def connected_components(
         .agg(F.min(F.coalesce(F.col("b"), F.col("id"))).alias("label"))
     )
     return labels.select(F.col("id").alias(id_out), F.col("label").alias(label_out))
+
+
+def cross_doc_dup_rate(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 4) -> DataFrame:
+    """Per-document fraction of its DISTINCT word n-grams that also occur
+    in at least one OTHER document — the cross-corpus duplication signal
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): template/boilerplate-heavy docs score high and are trim or
+    drop candidates even when no whole-document near-dup exists.
+
+    With ``shingles(distinct=True)`` every (doc, shingle) appears once,
+    so the per-shingle row count IS its distinct-document frequency.
+    Scale: one shingle explode, one groupBy(shingle) count (uniform key,
+    partial-aggregated map-side), one shuffle join back on shingle, one
+    per-doc aggregate — the token_frequency_stats shape; no broadcast,
+    shingle-vocabulary can be arbitrarily large. Docs with fewer than
+    ``n`` words have no n-grams and yield no row (same both engines)."""
+    sh = shingles(df, text_col, id_col, n=n, distinct=True)
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("bigint")
+    return (
+        sh.join(counts, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            shared.alias("n_shared"),
+            F.round(shared.cast("double") / F.count(F.lit(1)), 6)
+             .alias("dup_rate"),
+        )
+    )

@@ -107,3 +107,14 @@ def scan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataF
         n_luhn.alias("n_ccs_luhn_valid"),
         redact(text).alias("redacted_text"),
     )
+
+
+def pseudonymize(key_col: Column, salt: str) -> Column:
+    """Keyed, deterministic pseudonym for an identifier column: md5 of
+    salt || ':' || key. Same salt => same pseudonym everywhere, so joins
+    between independently pseudonymized tables still line up
+    (referential consistency); rotating the salt unlinks every release.
+    A production deployment feeds the salt from a secret store and uses
+    a keyed MAC (HMAC-SHA256) — md5-of-concat keeps the exact mapping
+    reproducible in any SQL engine for the consistency audit."""
+    return F.md5(F.concat(F.lit(salt), F.lit(":"), key_col.cast("string")))

@@ -465,3 +465,54 @@ def kmeans_lloyd_fixed(
         centroids = new
 
     return assign(centroids).select(id_col, "cluster")
+
+
+def hard_negatives(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for retrieval / contrastive training: for
+    each query vector, the top-k most similar vectors carrying a
+    DIFFERENT label — same-label neighbors are positives, so the hardest
+    negatives are the highest-scoring cross-label hits (the standard
+    in-batch-negatives upgrade: mine globally, not per batch).
+
+    Same plan shape as batch_cosine_topk: the probe batch broadcasts,
+    the label filter runs before scoring can shuffle anything, and top-k
+    is the two-phase aggregate (per-partition local top-k, then a
+    q x partitions x k merge) — the scored corpus itself never shuffles,
+    so the plan survives any corpus size."""
+    q = df.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"))
+    scored = (
+        df.crossJoin(F.broadcast(q))
+        .filter(F.col(label_col) != F.col("q_label"))
+        .select("q_id", F.col(id_col),
+                F.round(cosine(F.col(vec_col), F.col("q_vec")), 6)
+                 .alias("score"))
+    )
+    item = F.struct(
+        F.col("score"), (-F.col(id_col)).alias("nv"), F.col(id_col).alias("vid"))
+    local = (
+        scored.groupBy("q_id", F.spark_partition_id().alias("p"))
+        .agg(F.slice(F.sort_array(F.collect_list(item), asc=False), 1, k).alias("tk"))
+    )
+    merged = (
+        local.select("q_id", F.explode("tk").alias("t"))
+        .groupBy("q_id")
+        .agg(F.slice(F.sort_array(F.collect_list("t"), asc=False), 1, k).alias("tk"))
+    )
+    return (
+        merged.select("q_id", F.posexplode("tk").alias("rank0", "t"))
+        .select(
+            "q_id",
+            F.col("t.vid").alias(id_col),
+            F.col("t.score").alias("score"),
+            (F.col("rank0") + 1).cast("bigint").alias("rank"),
+        )
+    )

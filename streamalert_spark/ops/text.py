@@ -300,3 +300,91 @@ def chunk_context_windows(
         F.array_join(F.slice("_toks", F.col("chunk_start") + 1, window), " ")
          .alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document-level quality RULES (Gopher-style) and a fixed-weight quality
+# classifier score — the two standard corpus-filtering shapes.
+# ---------------------------------------------------------------------------
+
+# Gopher (Rae et al. 2021, table A1) rule thresholds, adapted to the
+# whitespace tokenizer above. Pure Column arithmetic — one scan pass.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.80
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality rules as one projection pass: word
+    count bounds, mean word length bounds, fraction of words containing
+    an alphabetic character, and minimum stop-word hits. Every signal is
+    an integer count or a single double division of integer counts —
+    deterministic across engines. Zero shuffle at any scale."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_words = token_count(text).cast("bigint")
+    n_nospace = F.length(F.regexp_replace(text, r"\s+", ""))
+    mean_wl = n_nospace.cast("double") / F.greatest(n_words, F.lit(1))
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_ratio = n_alpha.cast("double") / F.greatest(n_words, F.lit(1))
+    n_stop = stopword_count(text).cast("bigint")
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_mwl = ((mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+             & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN))
+    r_alpha = alpha_ratio >= GOPHER_MIN_ALPHA_WORD_RATIO
+    r_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        n_stop.alias("n_stopword_hits"),
+        r_words.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_mwl & r_alpha & r_stop).alias("passes_gopher"),
+    )
+
+
+# Fixed classifier weights — the deployment seam where a trained quality
+# model's (e.g. fastText CCNet/FineWeb-edu style) linear head would load.
+# Deterministic stand-in weights so the pipeline shape is testable.
+QUALITY_WEIGHTS = {
+    "bias": -1.0,
+    "stopword_ratio": 8.0,     # English-like prose scores up
+    "punct_ratio": -6.0,       # symbol soup scores down
+    "avg_token_len": 0.25,     # longer words, mildly up
+}
+
+
+def logistic_quality(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Fixed-weight linear quality classifier over the projection-only
+    quality signals, squashed with the RATIONAL fast-sigmoid
+    ``x / (1 + |x|)`` instead of the logistic exp form: plain +*/ and
+    abs are bit-identical across engines, while libm exp() is not
+    guaranteed to agree in the last ulp between the JVM and DuckDB.
+    Score is in (-1, 1); keep = score >= 0 (the 0.5 analogue)."""
+    cols = quality_columns(F.col(text_col))
+    w = QUALITY_WEIGHTS
+    feats = df.select(
+        F.col(id_col),
+        cols["stopword_ratio"].alias("stopword_ratio"),
+        cols["punct_ratio"].alias("punct_ratio"),
+        cols["avg_token_len"].alias("avg_token_len"),
+    )
+    wsum = (F.lit(w["bias"])
+            + F.col("stopword_ratio") * F.lit(w["stopword_ratio"])
+            + F.col("punct_ratio") * F.lit(w["punct_ratio"])
+            + F.col("avg_token_len") * F.lit(w["avg_token_len"]))
+    score = wsum / (F.lit(1.0) + F.abs(wsum))
+    return feats.select(
+        F.col(id_col),
+        F.round(score, 6).alias("quality_score"),
+        (score >= 0).alias("keep"),
+    )

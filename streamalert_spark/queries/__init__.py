@@ -52,6 +52,14 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 _VERIFY_FIRST = [
     # ---- round-8 new queries prepend HERE (keep list length <= 50) ----
     "stream_pattern_match_ooo_bounded",  # new: watermark-staged OOO CEP
+    "gopher_quality_flags",        # new: Gopher document quality rules
+    "quality_logistic_score",      # new: fixed-weight quality classifier
+    "cross_doc_dup_rate",          # new: cross-doc 4-gram duplication
+    "user_risk_rfm",               # new: RFM behavioral banding
+    "pseudonymize_consistent",     # new: keyed pseudonym + join audit
+    "dedup_keep_best",             # new: per-cluster representative keep
+    "hard_negative_mining",        # new: cross-label top-k negatives
+    "stream_static_enrich_bounded",  # new: stream-static dim join
     # round-8 changed operators — re-verify first: cep.py grew state
     # eviction (remove-on-reset + timeouts), the ti ingester's dedup is
     # now arrival-order last-write-wins, the alert-writer demo batches
@@ -90,7 +98,7 @@ _VERIFY_FIRST = [
     "lsh_verified_pairs",
     "semantic_cell_neardup",
     "semantic_decontamination",
-    # ^ 33 entries; positions up to 50 fill with registration order, so
+    # ^ 41 entries; positions up to 50 fill with registration order, so
     # round-8 new queries MUST be inserted above (displacing nothing)
     # until the list reaches 50. Staleness is STRUCTURAL: with a
     # ~177-query registry and a 50-slot external sample, a full refresh

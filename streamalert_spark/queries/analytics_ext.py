@@ -742,3 +742,103 @@ def pattern_sequence_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "success_s")
     )
     return out.repartition(1).sortWithinPartitions("user_id", "run_start_s")
+
+
+# ------------------------------------------------- RFM behavioral scoring
+
+_RFM_ORACLE = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+),
+u AS (
+  SELECT user_id, MAX(es) AS last_es,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(v) AS monetary_dec
+  FROM e GROUP BY user_id
+),
+g AS (SELECT MAX(es) AS gmax FROM e),
+s AS (
+  SELECT u.user_id, (g.gmax - u.last_es) // 86400 AS rec_days,
+         u.n_events, u.monetary_dec
+  FROM u, g
+),
+scored AS (
+  SELECT user_id, rec_days, n_events,
+         ROUND(CAST(monetary_dec AS DOUBLE), 2) AS monetary,
+         CAST(CASE WHEN rec_days = 0 THEN 3
+                   WHEN rec_days = 1 THEN 2 ELSE 1 END AS BIGINT) AS r_score,
+         CAST(CASE WHEN n_events >= 80 THEN 5 WHEN n_events >= 70 THEN 4
+                   WHEN n_events >= 65 THEN 3 WHEN n_events >= 55 THEN 2
+                   ELSE 1 END AS BIGINT) AS f_score,
+         CAST(CASE WHEN monetary_dec >= 5000 THEN 5
+                   WHEN monetary_dec >= 4000 THEN 4
+                   WHEN monetary_dec >= 3000 THEN 3
+                   WHEN monetary_dec >= 2000 THEN 2
+                   ELSE 1 END AS BIGINT) AS m_score
+  FROM s
+)
+SELECT user_id, rec_days, n_events, monetary, r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm,
+       CASE WHEN f_score >= 4 AND m_score >= 4 THEN 'champion'
+            WHEN f_score >= 4 THEN 'frequent'
+            WHEN m_score >= 4 THEN 'big_spender'
+            WHEN r_score = 1 THEN 'lapsing'
+            ELSE 'regular' END AS segment
+FROM scored
+ORDER BY user_id
+"""
+
+
+@query("user_risk_rfm", oracle=_RFM_ORACLE,
+       doc="RFM behavioral scoring (recency/frequency/monetary) with "
+           "FIXED band thresholds — quantile banding would need a global "
+           "sort (RangePartitioning, banned from the query surface) and "
+           "cross-engine interpolation; fixed bands are the scale-safe "
+           "form (constants, one groupBy, one 1-row scalar attach). "
+           "Monetary sums ride DECIMAL so add order can't perturb bits.")
+def user_risk_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("es"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max("es").alias("last_es"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("v").alias("monetary_dec"),
+    )
+    gmax = ev.agg(F.max("es").alias("gmax"))
+    s = u.crossJoin(F.broadcast(gmax)).withColumn(
+        "rec_days", F.expr("(gmax - last_es) DIV 86400"))
+    r = (F.when(F.col("rec_days") == 0, 3)
+         .when(F.col("rec_days") == 1, 2).otherwise(1)).cast("bigint")
+    f = (F.when(F.col("n_events") >= 80, 5)
+         .when(F.col("n_events") >= 70, 4)
+         .when(F.col("n_events") >= 65, 3)
+         .when(F.col("n_events") >= 55, 2).otherwise(1)).cast("bigint")
+    m = (F.when(F.col("monetary_dec") >= 5000, 5)
+         .when(F.col("monetary_dec") >= 4000, 4)
+         .when(F.col("monetary_dec") >= 3000, 3)
+         .when(F.col("monetary_dec") >= 2000, 2).otherwise(1)).cast("bigint")
+    scored = s.select(
+        "user_id", "rec_days", "n_events",
+        F.round(F.col("monetary_dec").cast("double"), 2).alias("monetary"),
+        r.alias("r_score"), f.alias("f_score"), m.alias("m_score"),
+    )
+    seg = (F.when((F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+                  "champion")
+           .when(F.col("f_score") >= 4, "frequent")
+           .when(F.col("m_score") >= 4, "big_spender")
+           .when(F.col("r_score") == 1, "lapsing")
+           .otherwise("regular"))
+    return (
+        scored.withColumn(
+            "rfm",
+            F.col("r_score") * 100 + F.col("f_score") * 10
+            + F.col("m_score"))
+        .withColumn("segment", seg)
+        .repartition(1).sortWithinPartitions("user_id")
+    )

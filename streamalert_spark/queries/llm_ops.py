@@ -155,8 +155,11 @@ def dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (ops/dedup.connected_components); the oracle is a recursive CTE.
 # ---------------------------------------------------------------------------
 
-def _components_oracle(num_hashes: int = 16, band_size: int = 4,
-                       threshold: float = 0.5) -> str:
+def _components_ctes(num_hashes: int = 16, band_size: int = 4,
+                     threshold: float = 0.5) -> str:
+    """The shared WITH-body (3-gram shingles -> minhash bands -> verified
+    pairs -> recursive reachability) used by BOTH component-consuming
+    oracles — one fixture, no copy-paste drift (the r6 CDC lesson)."""
     bands = []
     for bi in range(num_hashes // band_size):
         cols = " || '|' || ".join(f"mh_{bi * band_size + j}" for j in range(band_size))
@@ -201,6 +204,11 @@ reach(id, r) AS (
   UNION
   SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
 )
+"""
+
+
+def _components_oracle(**kw) -> str:
+    return _components_ctes(**kw) + """
 SELECT id AS doc_id, MIN(r) AS component_id
 FROM reach GROUP BY id ORDER BY doc_id
 """
@@ -214,6 +222,62 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.lsh_verified_pairs(_docs(spark, sf_dir), threshold=0.5)
     return (
         dedup.connected_components(pairs)
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
+
+
+def _keep_best_oracle(**kw) -> str:
+    return _components_ctes(**kw) + """
+, comp AS (SELECT id AS doc_id, MIN(r) AS component_id
+           FROM reach GROUP BY id),
+base AS (
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(c.component_id, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, component_id,
+         COUNT(*) OVER (PARTITION BY component_id) AS cluster_size,
+         FIRST_VALUE(doc_id) OVER (
+           PARTITION BY component_id
+           ORDER BY n_chars DESC, doc_id) AS kept_doc_id
+  FROM base
+)
+SELECT doc_id, component_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       kept_doc_id, doc_id = kept_doc_id AS is_kept
+FROM ranked ORDER BY doc_id
+"""
+
+
+@query("dedup_keep_best", oracle=_keep_best_oracle(),
+       doc="Near-dup RETENTION policy: connected components over the "
+           "LSH-verified pair graph, then keep ONE representative per "
+           "cluster — the longest doc (n_chars, tie to lowest doc_id); "
+           "singletons keep themselves. The standard corpus-dedup final "
+           "step (cluster -> pick best -> drop the rest). Per-cluster "
+           "window is hash-partitioned by component — no global sort.")
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.lsh_verified_pairs(docs, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    base = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .withColumn("component_id",
+                    F.coalesce("component_id", "doc_id"))
+    )
+    w = W.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc())
+    wp = W.partitionBy("component_id")
+    return (
+        base.select(
+            "doc_id", "component_id",
+            F.count(F.lit(1)).over(wp).cast("bigint").alias("cluster_size"),
+            F.first("doc_id").over(w).alias("kept_doc_id"),
+        )
+        .withColumn("is_kept", F.col("doc_id") == F.col("kept_doc_id"))
         .repartition(1).sortWithinPartitions("doc_id")
     )
 
@@ -1237,4 +1301,165 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dedup.jaccard_prefix_pairs(_docs(spark, sf_dir), threshold=0.5)
         .repartition(1).sortWithinPartitions("a", "b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-filtering rules and classifier scoring (round 8): Gopher rule
+# flags, a fixed-weight quality classifier, and the Lee-et-al cross-doc
+# n-gram duplication signal.
+# ---------------------------------------------------------------------------
+
+_GOPHER_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+           AS n_nospace,
+         CAST(len(list_filter(string_split(text, ' '),
+              w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(string_split(text, ' '),
+              w -> list_contains(['a','the','and','of','to','in','is','it'],
+                                 w))) AS BIGINT) AS n_stop
+  FROM documents
+), sig AS (
+  SELECT doc_id, n_words,
+         CAST(n_nospace AS DOUBLE) / greatest(n_words, 1) AS mwl,
+         CAST(n_alpha AS DOUBLE) / greatest(n_words, 1) AS awr,
+         n_stop
+  FROM base
+)
+SELECT doc_id, n_words,
+       ROUND(mwl, 6) AS mean_word_len,
+       ROUND(awr, 6) AS alpha_word_ratio,
+       n_stop AS n_stopword_hits,
+       (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+       (mwl >= 3.0 AND mwl <= 10.0) AS rule_mean_word_len,
+       (awr >= 0.8) AS rule_alpha_words,
+       (n_stop >= 2) AS rule_stopwords,
+       (n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        AND awr >= 0.8 AND n_stop >= 2) AS passes_gopher
+FROM sig
+ORDER BY doc_id
+"""
+
+
+@query("gopher_quality_flags", oracle=_GOPHER_ORACLE,
+       doc="Gopher-style (Rae et al. 2021) document quality rules as one "
+           "projection pass: word-count bounds, mean-word-length bounds, "
+           "alphabetic-word ratio, stop-word hits — per-rule flags plus "
+           "the conjunction. Pure Column arithmetic, zero shuffle; rule "
+           "comparisons run on UNROUNDED ratios in both engines.")
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        text.gopher_quality(_docs(spark, sf_dir))
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
+
+
+_LOGISTIC_ORACLE = r"""
+WITH feats AS (
+  SELECT doc_id,
+         ROUND(CAST(len(list_filter(string_split(text, ' '),
+           w -> list_contains(['a','the','and','of','to','in','is','it'],
+                              w))) AS DOUBLE)
+           / len(string_split(text, ' ')), 6) AS s,
+         ROUND(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+           / greatest(length(text), 1), 6) AS p,
+         ROUND(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+           / len(string_split(text, ' ')), 6) AS a
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         (-1.0 + s * 8.0 + p * -6.0 + a * 0.25)
+           / (1.0 + abs(-1.0 + s * 8.0 + p * -6.0 + a * 0.25)) AS score
+  FROM feats
+)
+SELECT doc_id, ROUND(score, 6) AS quality_score, score >= 0 AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@query("quality_logistic_score", oracle=_LOGISTIC_ORACLE,
+       doc="Fixed-weight linear quality classifier (the seam where a "
+           "trained fastText-style head loads) over projection-only "
+           "signals, squashed with the RATIONAL fast-sigmoid x/(1+|x|) "
+           "instead of exp so both engines agree bit-for-bit (libm exp "
+           "is not ulp-stable across engines). keep = score >= 0.")
+def quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        text.logistic_quality(_docs(spark, sf_dir))
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
+
+
+_CROSS_DOC_DUP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+ng AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(ws) - 4 + 2)) AS t(i)
+  WHERE len(ws) >= 4
+),
+c AS (SELECT shingle, COUNT(*) AS nd FROM ng GROUP BY shingle)
+SELECT ng.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       ROUND(CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_rate
+FROM ng JOIN c USING (shingle)
+GROUP BY ng.doc_id
+ORDER BY doc_id
+"""
+
+
+@query("cross_doc_dup_rate", oracle=_CROSS_DOC_DUP_ORACLE,
+       doc="Cross-document duplication signal (Lee et al. 2022): per doc, "
+           "the fraction of its distinct word 4-grams appearing in >= 2 "
+           "documents — template/boilerplate docs score high. One shingle "
+           "explode + one uniform-key count + one join back; no "
+           "broadcast, shingle vocab scale-free.")
+def cross_doc_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        dedup.cross_doc_dup_rate(_docs(spark, sf_dir), n=4)
+        .repartition(1).sortWithinPartitions("doc_id")
+    )
+
+
+_HARD_NEG_IDS = [1, 2, 3, 4, 5]
+
+_HARD_NEG_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+  FROM embeddings WHERE vec_id IN (1, 2, 3, 4, 5)
+),
+scored AS (
+  SELECT q.q_id, e.vec_id, {_COSINE_EXPR} AS score
+  FROM embeddings e, q
+  WHERE e.label <> q.q_label
+),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT q_id, vec_id, score, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 4
+ORDER BY q_id, rank
+"""
+
+
+@query("hard_negative_mining", oracle=_HARD_NEG_ORACLE,
+       doc="Hard-negative mining for retrieval/contrastive training: per "
+           "query vector, the top-4 most-similar CROSS-label vectors "
+           "(same-label hits are positives). Broadcast probe batch + "
+           "two-phase top-k — the scored corpus never shuffles.")
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        similarity.hard_negatives(_emb(spark, sf_dir), _HARD_NEG_IDS, k=4)
+        .repartition(1).sortWithinPartitions("q_id", "rank")
     )

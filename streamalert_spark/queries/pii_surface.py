@@ -346,3 +346,84 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("c_nationkey", "c_mktsegment")
     )
+
+
+# ------------------------------------- consistent pseudonymization audit
+
+_PSEUDO_SALT = "release-2024q3"
+
+_PSEUDO_ORACLE = f"""
+WITH cust AS (
+  SELECT md5('{_PSEUDO_SALT}:' || CAST(c_custkey AS VARCHAR)) AS pseud,
+         c_nationkey
+  FROM customer
+),
+ords AS (
+  SELECT md5('{_PSEUDO_SALT}:' || CAST(o_custkey AS VARCHAR)) AS pseud,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+cagg AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(COUNT(DISTINCT pseud) AS BIGINT) AS n_pseudonyms
+  FROM cust GROUP BY c_nationkey
+),
+oagg AS (
+  SELECT c.c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(o.price) AS total_dec
+  FROM ords o JOIN cust c ON c.pseud = o.pseud
+  GROUP BY c.c_nationkey
+)
+SELECT cagg.c_nationkey, n_customers, n_pseudonyms,
+       COALESCE(n_orders, 0) AS n_orders,
+       ROUND(CAST(COALESCE(total_dec, 0) AS DOUBLE), 2) AS total_price
+FROM cagg LEFT JOIN oagg ON oagg.c_nationkey = cagg.c_nationkey
+ORDER BY cagg.c_nationkey
+"""
+
+
+@query("pseudonymize_consistent", oracle=_PSEUDO_ORACLE,
+       doc="Consistent pseudonymization across tables: customer and "
+           "orders keys are independently replaced by the SAME keyed "
+           "md5 pseudonym (ops/pii.py pseudonymize — the HMAC seam), and "
+           "the audit proves referential integrity survives: per nation, "
+           "pseudonym count == customer count (injective at this scale) "
+           "and orders still join their customers THROUGH the pseudonym "
+           "only. Join keys are uniform md5 strings — unskewable; the "
+           "customer side rides a size-gated broadcast.")
+def pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.hints import gated_broadcast
+    from streamalert_spark.session import read_table
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        pii.pseudonymize(F.col("c_custkey"), _PSEUDO_SALT).alias("pseud"),
+        "c_nationkey",
+    )
+    ords = read_table(spark, sf_dir, "orders").select(
+        pii.pseudonymize(F.col("o_custkey"), _PSEUDO_SALT).alias("pseud"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    cagg = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.count_distinct("pseud").cast("bigint").alias("n_pseudonyms"),
+    )
+    oagg = (
+        ords.join(gated_broadcast(cust), "pseud")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+             F.sum("price").alias("total_dec"))
+    )
+    return (
+        cagg.join(oagg, "c_nationkey", "left")
+        .select(
+            "c_nationkey", "n_customers", "n_pseudonyms",
+            F.coalesce(F.col("n_orders"), F.lit(0).cast("bigint"))
+             .alias("n_orders"),
+            F.round(F.coalesce(F.col("total_dec"),
+                               F.lit(0).cast("decimal(18,2)"))
+                     .cast("double"), 2).alias("total_price"),
+        )
+        .repartition(1).sortWithinPartitions("c_nationkey")
+    )

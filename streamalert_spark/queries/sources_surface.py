@@ -951,3 +951,71 @@ def stream_pattern_match_ooo_bounded(spark: SparkSession, sf_dir: str) -> DataFr
         shutil.rmtree(work, ignore_errors=True)
     return (rows.filter(F.col("user_id") >= 0)
             .repartition(1).sortWithinPartitions("user_id", "run_start_s"))
+
+
+# --------------------------------------- stream-static enrichment, bounded
+
+_STREAM_STATIC_ORACLE = """
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS total_value
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+@query("stream_static_enrich_bounded", oracle=_STREAM_STATIC_ORACLE,
+       doc="STREAM-STATIC join under the hash gate: events stream "
+           "through 2 micro-batches and each batch joins the STATIC "
+           "nation dimension (the Spark pattern for enriching a stream "
+           "against a slowly-changing reference table — the static side "
+           "is re-planned per micro-batch, so a refreshed dim is picked "
+           "up without restarting). The dim is scale-free (25 rows at "
+           "every SF) and broadcast; the stream side never shuffles for "
+           "the join. Oracle is the equivalent batch join + rollup.")
+def stream_static_enrich_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from streamalert_spark.session import read_table
+    from streamalert_spark.streaming.bounded import run_bounded_to_rows
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"))
+    work = tempfile.mkdtemp(prefix="stream_static_q_")
+    in_dir = os.path.join(work, "in")
+    try:
+        for i, cond in enumerate([F.col("event_id") % 2 == 0,
+                                  F.col("event_id") % 2 == 1]):
+            part = os.path.join(in_dir, f"b{i}")
+            ev.filter(cond).coalesce(1).write.parquet(part)
+            os.utime(part, (1_000_000 + 10 * i,) * 2)
+            for f in os.listdir(part):
+                os.utime(os.path.join(part, f), (1_000_000 + 10 * i,) * 2)
+        src = (
+            spark.readStream
+            .schema("event_id bigint, user_id bigint, v decimal(18,6)")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(in_dir, "*"))
+        )
+        nat = read_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+            "n_name")
+        enriched = src.join(
+            F.broadcast(nat),
+            F.pmod(F.col("user_id"), F.lit(25)) == F.col("n_nationkey"))
+        rows = run_bounded_to_rows(
+            spark, enriched.select("event_id", "n_name", "v"),
+            "event_id bigint, n_name string, v decimal(18,6)")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return (
+        rows.groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+             F.round(F.sum("v").cast("double"), 2).alias("total_value"))
+        .repartition(1).sortWithinPartitions("n_name")
+    )
