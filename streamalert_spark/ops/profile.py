@@ -183,3 +183,54 @@ FROM (
 ) b ON TRUE""")
         parts.append(" UNION ALL ")
     return "".join(parts[:-1])
+
+
+def robust_outlier_summary(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    id_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group robust outlier detection via median/MAD — the
+    distribution-free alternative to mean/stddev z-scores (one wild value
+    moves a mean; it barely moves a median). Median is the LOWER median
+    selected by exact integer rank ((n+1) DIV 2 over row_number), so both
+    engines pick the same ELEMENT — no interpolation, no float blending;
+    MAD is the lower median of |x - median|; a row is an outlier when
+    |x - median| > k * MAD (raw doubles, deterministic IEEE compare).
+
+    Scale: two hash-partitioned window passes keyed by the group (the
+    within-group sort is executor-local — the inherent cost of an exact
+    per-group median; a group too large for one task should use the
+    binned approximation in ops/sketch.histogram_quantiles instead) and
+    one final groupBy. No global sort, no collect.
+    """
+    from pyspark.sql import Window as W
+
+    w_ord = W.partitionBy(group_col).orderBy(val_col, id_col)
+    w_all = W.partitionBy(group_col)
+    r1 = df.select(group_col, id_col, val_col).withColumn(
+        "_rn", F.row_number().over(w_ord)).withColumn(
+        "_n", F.count(F.lit(1)).over(w_all))
+    med = r1.groupBy(group_col).agg(
+        F.max(F.when(F.col("_rn") == F.expr("(_n + 1) DIV 2"),
+                     F.col(val_col))).alias("_med"))
+    d = (r1.join(med, group_col)
+           .withColumn("_dev", F.abs(F.col(val_col) - F.col("_med"))))
+    w_dev = W.partitionBy(group_col).orderBy("_dev", id_col)
+    r2 = d.withColumn("_rn2", F.row_number().over(w_dev))
+    mad = r2.groupBy(group_col).agg(
+        F.max(F.when(F.col("_rn2") == F.expr("(_n + 1) DIV 2"),
+                     F.col("_dev"))).alias("_mad"))
+    return (
+        d.join(mad, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.max("_med"), 6).alias("median"),
+            F.round(F.max("_mad"), 6).alias("mad"),
+            F.sum(F.when(F.col("_dev") > F.lit(k) * F.col("_mad"), 1)
+                   .otherwise(0)).cast("bigint").alias("n_outliers"),
+        )
+    )

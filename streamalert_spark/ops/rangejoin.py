@@ -58,3 +58,47 @@ def bucketed_range_join(
         .filter(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))
         .drop("_bucket")
     )
+
+
+def bucketed_interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: int,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Interval-x-interval OVERLAP join (l_lo <= r_hi AND r_lo <= l_hi)
+    without a nested loop — the interval generalization of
+    ``bucketed_range_join``: both sides explode into the grid buckets
+    they cover, pairs equi-join on bucket, the exact overlap predicate
+    post-filters, and each pair is kept exactly ONCE at the bucket
+    containing the overlap's start (greatest(l_lo, r_lo)), so no
+    distinct pass is needed.
+
+    Scale: ONE shuffle of each side keyed by bucket (fan-out <= 2 rows
+    per interval when bucket_width >= the longest interval on that
+    side; wider is always correct, just coarser). The right side rides
+    a size-gated broadcast.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    lf = left.withColumn(
+        "_bucket",
+        F.explode(F.sequence(
+            F.floor(F.col(l_lo) / bucket_width).cast("bigint"),
+            F.floor(F.col(l_hi) / bucket_width).cast("bigint"))))
+    rt = right.withColumn(
+        "_bucket",
+        F.explode(F.sequence(
+            F.floor(F.col(r_lo) / bucket_width).cast("bigint"),
+            F.floor(F.col(r_hi) / bucket_width).cast("bigint"))))
+    if broadcast_right:
+        rt = gated_broadcast(rt)
+    overlap = (F.col(l_lo) <= F.col(r_hi)) & (F.col(r_lo) <= F.col(l_hi))
+    claim = (
+        F.floor(F.greatest(F.col(l_lo), F.col(r_lo)) / bucket_width)
+         .cast("bigint") == F.col("_bucket"))
+    return lf.join(rt, "_bucket").filter(overlap & claim).drop("_bucket")

@@ -516,3 +516,30 @@ def hard_negatives(
             (F.col("rank0") + 1).cast("bigint").alias("rank"),
         )
     )
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Per-vector symmetric int8 quantization — the standard ANN memory
+    optimization (FAISS SQ8): scale = max(|x|), q_j = floor(x_j*127/scale
+    + 0.5). Quantized dot products are EXACT BIGINT arithmetic, so the
+    ranking is bit-stable across engines and cluster sizes; the dequant
+    score multiplies the integer dot by the two scales (pure IEEE double
+    ops on deterministic inputs). 4x memory cut for the candidate scan.
+
+    All array expressions — zero shuffle, zero Python; floor(x+0.5) is
+    used instead of round() so both engines share one deterministic
+    half-up rule.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs))
+    qv = F.transform(
+        v, lambda x: F.when(scale == 0, F.lit(0)).otherwise(
+            F.floor(x * 127.0 / scale + 0.5)).cast("bigint"))
+    return df.select(F.col(id_col), scale.alias("q_scale"), qv.alias("q_vec"))
+
+
+def int8_dot(a, b):
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("bigint"), lambda acc, v: acc + v)

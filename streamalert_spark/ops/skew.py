@@ -160,3 +160,34 @@ def salted_exact_distinct(
     )
     return staged.groupBy(*keys).agg(
         F.sum("_partial").cast("bigint").alias(out_name))
+
+
+def skew_diagnostics(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Hot-key diagnostics for a prospective shuffle key — the measurement
+    step BEFORE deciding to salt (ops/skew.salted_skew_join_agg) or rely
+    on AQE skew splitting: per-key counts, each top key's exact share in
+    ppm, and its ratio to the average key (x1000, integer fixed point).
+
+    Plan: one partial-aggregated groupBy(key) count, a 1-row global
+    aggregate attached by broadcast (scalar, never collected), and a
+    TakeOrderedAndProject for the top-N — no global sort, no driver loop.
+    Fixed-point terms stay in BIGINT; cnt*1e6 and cnt*n_keys*1000 bound
+    the exact range (documented: overflows past ~9e12 rows per key —
+    far above any real per-key count).
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key")).limit(top_n)
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            "key", "cnt", "total_rows", "n_keys",
+            F.expr("(cnt * CAST(1000000 AS BIGINT)) DIV total_rows")
+             .alias("share_ppm"),
+            F.expr("(cnt * n_keys * CAST(1000 AS BIGINT)) DIV total_rows")
+             .alias("ratio_to_avg_x1000"),
+        )
+    )

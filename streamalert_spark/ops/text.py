@@ -388,3 +388,101 @@ def logistic_quality(df: DataFrame, text_col: str = "text",
         F.round(score, 6).alias("quality_score"),
         (score >= 0).alias("keep"),
     )
+
+
+def span_dedup_scrub(df: DataFrame, span_len: int = 4,
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide first-occurrence span deduplication — the C4/RefinedWeb
+    rewrite pass: split every document into consecutive ``span_len``-token
+    spans, keep only the FIRST occurrence of each distinct span corpus-wide
+    (ordered by doc_id, span position), and rebuild each document from its
+    surviving spans. Unlike the df-floor boilerplate scrub (which removes
+    spans common to MANY docs), this removes every repeat — the exact-
+    substring dedup signal of Lee et al. "Deduplicating Training Data
+    Makes Language Models Better", at aligned-span granularity.
+
+    Scale: one explode to spans, ONE hash-partitioned window keyed by the
+    span digest (row_number — no global sort), one groupBy(doc) rebuild.
+    State per key = occurrences of one span; no broadcast, no collect.
+    """
+    toks = F.split(F.col(text_col), " ")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(span_len)),
+        lambda s: F.struct(
+            (s / span_len).cast("bigint").alias("span_idx"),
+            F.array_join(F.slice(toks, s + 1, span_len), " ").alias("span_text"),
+        ),
+    )
+    exploded = (
+        df.select(F.col(id_col), F.explode(spans).alias("sp"))
+        .select(id_col, F.col("sp.span_idx").alias("span_idx"),
+                F.col("sp.span_text").alias("span_text"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.md5("span_text")).orderBy(id_col, "span_idx")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("span_idx", "span_text"))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+             .cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list(kept_struct)),
+                            lambda s: s["span_text"]),
+                " ").alias("_scrubbed"),
+        )
+        .select(
+            id_col, "n_spans", "n_kept",
+            F.md5("_scrubbed").alias("scrubbed_md5"),
+            F.length("_scrubbed").cast("bigint").alias("scrubbed_len"),
+        )
+    )
+
+
+def bigram_lm_scores(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", scale: int = 1_000_000) -> DataFrame:
+    """Bigram-LM document scoring — the CCNet-style likelihood filter in
+    exact integer arithmetic: train MLE bigram probabilities on the corpus
+    itself (count(w1,w2) / count(w1-as-prefix)), score each document by the
+    fixed-point per-bigram likelihood floor(scale * c12 / c1) summed as
+    exact BIGINTs. No log/exp anywhere, so both engines agree bit-for-bit
+    (true log-perplexity would hang equality on libm ulp behavior; the
+    MONOTONIC ordering of documents — what a filter consumes — is
+    preserved by the rational form for any fixed bigram count table).
+
+    Scale: one explode to bigram positions, two uniform-key groupBy counts
+    (partial-aggregated), two shuffle joins back on the token key, one
+    per-doc aggregate. Vocabulary can be arbitrarily large — no broadcast.
+    """
+    toks = F.split(F.col(text_col), " ")
+    # sequence(1, 0) counts DOWN — guard docs with fewer than 2 tokens
+    idx = F.when(F.size(toks) >= 2,
+                 F.sequence(F.lit(1), F.size(toks) - 1)).otherwise(
+                     F.array().cast("array<int>"))
+    base = df.select(F.col(id_col), toks.alias("w"), idx.alias("idx"))
+    bg = (
+        base.select(id_col, F.explode("idx").alias("i"),
+                    F.col("w"))
+        .select(id_col,
+                F.element_at("w", F.col("i")).alias("w1"),
+                F.element_at("w", F.col("i") + 1).alias("w2"))
+    )
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12"))
+    lik = (
+        bg.join(c12, ["w1", "w2"]).join(c1, "w1")
+        .withColumn("lik", F.expr(f"(c12 * CAST({scale} AS BIGINT)) DIV c1"))
+    )
+    return (
+        lik.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("lik").cast("bigint").alias("sum_lik"),
+        )
+        .withColumn("avg_lik", F.expr("sum_lik DIV n_bigrams"))
+    )

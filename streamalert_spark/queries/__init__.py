@@ -51,6 +51,15 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # re-verified first. Every other query follows in registration order.
 _VERIFY_FIRST = [
     # ---- round-8 new queries prepend HERE (keep list length <= 50) ----
+    "span_dedup_scrub",            # new: first-occurrence span dedup rewrite
+    "bigram_lm_doc_scores",        # new: fixed-point bigram-LM filter
+    "cross_source_ngram_matrix",   # new: source-pair contamination matrix
+    "embedding_quantize_topk",     # new: SQ8 int8-dot ANN
+    "skew_key_diagnostics",        # new: hot-key share/ratio report
+    "interval_overlap_agg",        # new: grid-bucketed overlap join
+    "mad_outlier_summary",         # new: median/MAD robust outliers
+    "stream_hll_distinct_bounded",  # new: streaming mergeable HLL state
+    "resample_fill_gaps",          # new: zero-filled hourly spine
     "stream_pattern_match_ooo_bounded",  # new: watermark-staged OOO CEP
     "gopher_quality_flags",        # new: Gopher document quality rules
     "quality_logistic_score",      # new: fixed-weight quality classifier
@@ -98,9 +107,9 @@ _VERIFY_FIRST = [
     "lsh_verified_pairs",
     "semantic_cell_neardup",
     "semantic_decontamination",
-    # ^ 41 entries; positions up to 50 fill with registration order, so
-    # round-8 new queries MUST be inserted above (displacing nothing)
-    # until the list reaches 50. Staleness is STRUCTURAL: with a
+    # ^ 50 entries — the external sampler's full prefix (18 r8-new or
+    # r8-changed + 3 re-gated + the complete 29-query r4-stale tail).
+    # Staleness is STRUCTURAL: with a
     # ~177-query registry and a 50-slot external sample, a full refresh
     # takes 4 rounds — the in-repo parity sweep (tests/test_oracle_parity)
     # covers every query every run; this list only decides which names

@@ -842,3 +842,120 @@ def user_risk_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("segment", seg)
         .repartition(1).sortWithinPartitions("user_id")
     )
+
+
+# ---------------------------------------------------- interval overlap join
+
+_INTERVAL_OVERLAP_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_quantity,
+         (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS lo_d,
+         (CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+           + 1 + (l_linenumber * 7) % 25 AS hi_d
+  FROM lineitem
+),
+win AS (
+  SELECT o_orderkey AS window_id,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS w_lo,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') + 13 AS w_hi
+  FROM orders WHERE o_orderkey % 991 = 0
+)
+SELECT window_id,
+       CAST(w_lo AS BIGINT) AS w_lo, CAST(w_hi AS BIGINT) AS w_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS DOUBLE) AS sum_qty
+FROM li JOIN win ON lo_d <= w_hi AND w_lo <= hi_d
+GROUP BY window_id, w_lo, w_hi
+ORDER BY window_id
+"""
+
+
+@query("interval_overlap_agg", oracle=_INTERVAL_OVERLAP_ORACLE,
+       doc="Interval-x-interval OVERLAP join (shipment spans vs audit "
+           "windows) via the grid-bucket strategy: both sides explode "
+           "into <=2 buckets, equi-join on bucket, exact overlap "
+           "post-filter, each pair claimed once at the overlap-start "
+           "bucket — a hash join where a raw overlap predicate would "
+           "nested-loop. Windows ride a size-gated broadcast.")
+def interval_overlap_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.rangejoin import bucketed_interval_overlap_join
+
+    epoch = F.lit("1970-01-01")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        F.datediff(F.to_date("l_shipdate"), epoch).cast("bigint")
+         .alias("lo_d"),
+        (F.datediff(F.to_date("l_shipdate"), epoch).cast("bigint")
+         + 1 + (F.col("l_linenumber") * 7) % 25).alias("hi_d"),
+    )
+    win = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 991 == 0)
+        .select(
+            F.col("o_orderkey").alias("window_id"),
+            F.datediff(F.to_date("o_orderdate"), epoch).cast("bigint")
+             .alias("w_lo"),
+            (F.datediff(F.to_date("o_orderdate"), epoch).cast("bigint")
+             + 13).alias("w_hi"),
+        )
+    )
+    joined = bucketed_interval_overlap_join(
+        li, win, "lo_d", "hi_d", "w_lo", "w_hi", bucket_width=32)
+    return (
+        joined.groupBy("window_id", "w_lo", "w_hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+             .cast("decimal(18,2)").cast("double").alias("sum_qty"),
+        )
+        .repartition(1).sortWithinPartitions("window_id")
+    )
+
+
+# ------------------------------------------------- resample with gap fill
+
+_RESAMPLE_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr
+  FROM events
+),
+c AS (
+  SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY event_type, hr
+),
+b AS (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM e GROUP BY event_type),
+spine AS (SELECT event_type, UNNEST(range(lo, hi + 1)) AS hr FROM b)
+SELECT s.event_type, CAST(s.hr AS BIGINT) AS hr,
+       COALESCE(c.n, 0) AS n_events
+FROM spine s LEFT JOIN c USING (event_type, hr)
+ORDER BY event_type, hr
+"""
+
+
+@query("resample_fill_gaps", oracle=_RESAMPLE_ORACLE,
+       doc="Hourly resample with zero-filled gaps per key: the dense "
+           "time spine is generated FROM each key's own [min, max] hour "
+           "bounds (sequence + explode — no driver-side calendar, no "
+           "cross join with a global range), then left-joined back to "
+           "the hourly counts. Two shuffles keyed (type, hour) and "
+           "(type); spine size is keys x span, independent of row count.")
+def resample_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', ts) DIV 3600000000").alias("hr"))
+    counts = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    bounds = ev.groupBy("event_type").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi")).alias("hr"))
+    return (
+        spine.join(counts, ["event_type", "hr"], "left")
+        .select("event_type", F.col("hr").cast("bigint").alias("hr"),
+                F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"))
+        .repartition(1).sortWithinPartitions("event_type", "hr")
+    )

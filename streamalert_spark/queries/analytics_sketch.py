@@ -1283,3 +1283,63 @@ def boilerplate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("clean_digest", F.md5(F.lit(""))).alias("clean_digest"))
         .repartition(1).sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: per-group median/MAD (exact lower-median selection)
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH e AS (SELECT event_type, event_id, value FROM events),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+),
+m1 AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+  FROM r1 GROUP BY event_type
+),
+d AS (
+  SELECT r1.event_type, r1.event_id, r1.value, r1.n, m1.med,
+         abs(r1.value - m1.med) AS dev
+  FROM r1 JOIN m1 USING (event_type)
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY dev, event_id) AS rn2
+  FROM d
+),
+m2 AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn2 = (n + 1) // 2 THEN dev END) AS mad
+  FROM r2 GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       round(MAX(d.med), 6) AS median,
+       round(MAX(m2.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 3.0 * m2.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d JOIN m2 USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@query("mad_outlier_summary", oracle=_MAD_ORACLE,
+       doc="Robust per-group outlier summary: LOWER median by exact "
+           "integer rank (both engines select the same element — no "
+           "interpolation ulp risk), MAD as the lower median of "
+           "|x - med|, outlier when dev > 3*MAD. Two hash-partitioned "
+           "window passes keyed by group; the within-group sort is "
+           "executor-local (exact-median's inherent cost — the binned "
+           "histogram_quantiles op is the too-big-for-one-task path).")
+def mad_outlier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.profile import robust_outlier_summary
+
+    ev = _events(spark, sf_dir)
+    out = robust_outlier_summary(ev, "event_type", "value", "event_id", k=3.0)
+    return out.repartition(1).sortWithinPartitions("event_type")

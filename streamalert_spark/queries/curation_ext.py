@@ -567,3 +567,134 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("draw").desc(), "doc_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide first-occurrence span dedup (C4/RefinedWeb rewrite pass)
+# ---------------------------------------------------------------------------
+
+_SPAN_DEDUP_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sp AS (
+  SELECT doc_id, CAST(s / 4 AS BIGINT) AS span_idx,
+         array_to_string(w[s + 1 : s + 4], ' ') AS span_text
+  FROM toks, UNNEST(range(0, len(w), 4)) AS u(s)
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(span_text)
+                               ORDER BY doc_id, span_idx) AS rn
+  FROM sp
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN span_text END, ' '
+                               ORDER BY span_idx), '')) AS scrubbed_md5,
+       CAST(length(COALESCE(string_agg(CASE WHEN rn = 1 THEN span_text END,
+                                       ' ' ORDER BY span_idx), ''))
+            AS BIGINT) AS scrubbed_len
+FROM rk GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("span_dedup_scrub", oracle=_SPAN_DEDUP_ORACLE,
+       doc="Exact-substring dedup at aligned 4-token-span granularity "
+           "(Lee et al.): keep the corpus-wide FIRST occurrence of every "
+           "distinct span (by doc_id, position), rewrite each doc from "
+           "its survivors, digest the result. One hash-partitioned "
+           "row_number window on the span md5 — no global sort, no "
+           "broadcast; complements boilerplate_span_scrub's df-floor "
+           "(common-to-many) rule with a remove-every-repeat rule.")
+def span_dedup_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.span_dedup_scrub(_docs(spark, sf_dir), span_len=4)
+    return out.repartition(1).sortWithinPartitions("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM likelihood scoring (CCNet-style quality filter, fixed point)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LM_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+),
+c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bg GROUP BY w1, w2),
+lik AS (
+  SELECT bg.doc_id, (c12.c12 * 1000000) // c1.c1 AS lik
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(lik) AS BIGINT) AS sum_lik,
+       CAST(SUM(lik) AS BIGINT) // COUNT(*) AS avg_lik
+FROM lik GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("bigram_lm_doc_scores", oracle=_BIGRAM_LM_ORACLE,
+       doc="Bigram-LM document likelihood (CCNet-style perplexity filter) "
+           "in exact integer fixed point: MLE bigram table trained on the "
+           "corpus, per-doc sum of floor(1e6*c12/c1). Two uniform-key "
+           "count shuffles + token-key joins back — vocabulary-scale "
+           "safe, no broadcast, no libm.")
+def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.bigram_lm_scores(_docs(spark, sf_dir))
+    return out.repartition(1).sortWithinPartitions("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (corpus forensics)
+# ---------------------------------------------------------------------------
+
+_CROSS_SOURCE_ORACLE = """
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
+              FROM documents),
+gr AS (
+  SELECT DISTINCT source,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+  FROM toks, UNNEST(range(1, len(w) - 2)) AS t(i)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM gr a JOIN gr b ON a.gram = b.gram AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+"""
+
+
+@query("cross_source_ngram_matrix", oracle=_CROSS_SOURCE_ORACLE,
+       doc="Source-pair contamination matrix: distinct 4-grams shared by "
+           "each pair of sources. distinct(gram, source) first caps the "
+           "self-join fan-out at sources-squared per gram (bounded by "
+           "design, partial-aggregated); gram-key equi-join, no "
+           "broadcast of the corpus.")
+def cross_source_ngram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    idx = F.when(F.size(toks) >= 4,
+                 F.sequence(F.lit(1), F.size(toks) - 3)).otherwise(
+                     F.array().cast("array<int>"))
+    grams = (
+        docs.select(F.col("source"), toks.alias("w"),
+                    F.explode(idx).alias("i"))
+        .select("source",
+                F.concat_ws(" ", F.element_at("w", F.col("i")),
+                            F.element_at("w", F.col("i") + 1),
+                            F.element_at("w", F.col("i") + 2),
+                            F.element_at("w", F.col("i") + 3)).alias("gram"))
+        .distinct()
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    return (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+        .repartition(1).sortWithinPartitions("source_a", "source_b")
+    )

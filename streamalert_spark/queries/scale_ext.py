@@ -622,3 +622,100 @@ def salted_skew_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("event_id").cast("bigint").alias("sum_ids"))
         .repartition(1).sortWithinPartitions("label")
     )
+
+
+# ------------------------------------------------- int8-quantized ANN top-k
+
+_QUANT_TOPK_ORACLE = """
+WITH sc AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS s
+  FROM embeddings
+),
+qv AS (SELECT embedding AS qe, s AS qs FROM sc WHERE vec_id = 0),
+terms AS (
+  SELECT c.vec_id, c.s, qv.qs,
+         CAST(SUM(CAST(
+           (CASE WHEN c.s = 0 THEN 0
+                 ELSE floor(CAST(c.embedding[i] AS DOUBLE) * 127.0 / c.s
+                            + 0.5) END)
+         * (CASE WHEN qv.qs = 0 THEN 0
+                 ELSE floor(CAST(qv.qe[i] AS DOUBLE) * 127.0 / qv.qs
+                            + 0.5) END) AS BIGINT)) AS BIGINT) AS dot_q
+  FROM sc c, qv, UNNEST(range(1, len(c.embedding) + 1)) AS t(i)
+  WHERE c.vec_id <> 0
+  GROUP BY c.vec_id, c.s, qv.qs
+)
+SELECT vec_id, dot_q,
+       round(((CAST(dot_q AS DOUBLE) * s) * qs) / 16129.0, 6) AS score
+FROM terms
+ORDER BY dot_q DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("embedding_quantize_topk", oracle=_QUANT_TOPK_ORACLE,
+       doc="SQ8-quantized ANN: per-vector symmetric int8 quantization "
+           "(floor-half-up, deterministic), EXACT BIGINT dot products "
+           "for the ranking, dequantized double score on top. 4x less "
+           "candidate memory than float32 brute force; one scan + "
+           "TakeOrdered, the 1-row quantized query broadcasts.")
+def embedding_quantize_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    q8 = similarity.quantize_int8(emb)
+    qrow = (q8.filter(F.col("vec_id") == 0)
+              .select(F.col("q_scale").alias("s_q"),
+                      F.col("q_vec").alias("v_q")))
+    cand = q8.filter(F.col("vec_id") != 0)
+    scored = (
+        cand.crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            similarity.int8_dot(F.col("q_vec"), F.col("v_q")).alias("dot_q"),
+            "q_scale", "s_q",
+        )
+        .select(
+            "vec_id", "dot_q",
+            F.round((F.col("dot_q").cast("double") * F.col("q_scale")
+                     * F.col("s_q")) / F.lit(16129.0), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("dot_q").desc(), "vec_id").limit(10)
+
+
+# ------------------------------------------------------ skew diagnostics
+
+_SKEW_DIAG_ORACLE = """
+WITH counts AS (
+  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM counts
+),
+top AS (SELECT * FROM counts ORDER BY cnt DESC, key LIMIT 10)
+SELECT key, cnt, total_rows, n_keys,
+       (cnt * 1000000) // total_rows AS share_ppm,
+       (cnt * n_keys * 1000) // total_rows AS ratio_to_avg_x1000
+FROM top, tot
+ORDER BY cnt DESC, key
+"""
+
+
+@query("skew_key_diagnostics", oracle=_SKEW_DIAG_ORACLE,
+       doc="Hot-key diagnostics BEFORE a shuffle: per-key counts, top-10 "
+           "keys with exact integer share (ppm) and ratio-to-average "
+           "(x1000) — the measurement that decides between plain "
+           "hash-join, AQE skew split, and manual salting. One "
+           "partial-aggregated count shuffle + a broadcast 1-row global; "
+           "top-N is TakeOrderedAndProject, no global sort.")
+def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.skew import skew_diagnostics
+
+    orders = read_table(spark, sf_dir, "orders")
+    out = skew_diagnostics(orders, "o_custkey", top_n=10)
+    return out.repartition(1).sortWithinPartitions(
+        F.col("cnt").desc(), "key")

@@ -1019,3 +1019,120 @@ def stream_static_enrich_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("v").cast("double"), 2).alias("total_value"))
         .repartition(1).sortWithinPartitions("n_name")
     )
+
+
+# --------------------------------------- streaming HLL distinct, bounded
+
+def _stream_hll_oracle() -> str:
+    from streamalert_spark.ops.sketch import (
+        HLL_M, HLL_NUMERATOR, hll_bucket_sql, hll_rho_sql, hll_term_sql,
+        hll_trimmed_sql,
+    )
+
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT CAST(i % 3 AS BIGINT) AS grp, CAST(i % 83 AS VARCHAR) AS v
+  FROM range(1, 301) t(i)
+),
+hashed AS (SELECT grp, v, {hll_trimmed_sql('v')} AS trimmed FROM vals),
+rhos AS (
+  SELECT grp, {hll_bucket_sql('v')} AS bucket,
+         {hll_rho_sql('trimmed')} AS rho
+  FROM hashed
+),
+regs AS (SELECT grp, bucket, MAX(rho) AS m_j FROM rhos GROUP BY 1, 2),
+spine AS (
+  SELECT g.grp, t.b AS bucket
+  FROM (SELECT DISTINCT grp FROM vals) g, range(0, {HLL_M}) t(b)
+),
+terms AS (
+  SELECT s.grp, {hll_term_sql('r.m_j')} AS term
+  FROM spine s LEFT JOIN regs r
+    ON r.grp = s.grp AND r.bucket = s.bucket
+),
+sums AS (
+  SELECT grp, CAST(SUM(term) AS BIGINT) AS hll_sum FROM terms GROUP BY grp
+)
+SELECT grp, hll_sum,
+       ROUND({HLL_NUMERATOR!r} / CAST(hll_sum AS DOUBLE), 4) AS hll_estimate
+FROM sums ORDER BY grp
+"""
+
+
+@query("stream_hll_distinct_bounded", oracle=_stream_hll_oracle(),
+       doc="STREAMING distinct-count via a mergeable HLL sketch: the "
+           "rho/bucket derivation runs JVM-side in the stream's "
+           "projection, a NATIVE stateful max aggregation maintains the "
+           "64 registers per group across micro-batches (state size is "
+           "groups x 64 regardless of cardinality — the reason to sketch "
+           "a stream instead of counting distinct), update-mode emissions "
+           "land in an append-only ledger where max() makes retried "
+           "batches idempotent, and the harmonic sum + estimate are "
+           "computed batch-side from the final registers. Hash-checked "
+           "against the batch HLL definition over the full input.")
+def stream_hll_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from streamalert_spark.ops.sketch import (
+        HEX_INT_DIGITS, HLL_M, HLL_NUMERATOR, _hll_rho_from,
+        hex_prefix_int, hll_sums,
+    )
+    from streamalert_spark.sources.app_source import register_app_source
+
+    register_app_source(spark)
+    work = tempfile.mkdtemp(prefix="hll_stream_q_")
+    try:
+        src = (
+            spark.readStream.format("streamalert_app")
+            .option("app", "synthetic").option("end_timestamp", "300")
+            .option("page_size", "100")
+            .load()
+        )
+        v = F.pmod("event_timestamp", F.lit(83)).cast("string")
+        updates = (
+            src.select(
+                F.pmod("event_timestamp", F.lit(3)).cast("bigint")
+                 .alias("grp"),
+                F.pmod(hex_prefix_int(F.md5(F.concat(F.lit("hb:"), v))),
+                       F.lit(HLL_M)).alias("bucket"),
+                _hll_rho_from(
+                    F.substring(F.md5(F.concat(F.lit("hr:"), v)),
+                                1, HEX_INT_DIGITS)).alias("rho"),
+            )
+            .groupBy("grp", "bucket")
+            .agg(F.max("rho").alias("m_j"))
+        )
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(f"{work}/regs")
+
+        with bounded_stream_shuffle(spark):
+            q = (
+                updates.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        rows = (spark.read
+                .schema("grp bigint, bucket bigint, m_j int")
+                .parquet(f"{work}/regs").collect())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    emitted = (spark.createDataFrame(rows, "grp bigint, bucket bigint, m_j int")
+               .withColumn("bucket", F.col("bucket").cast("int")))
+    regs = emitted.groupBy("grp", "bucket").agg(F.max("m_j").alias("m_j"))
+    groups = emitted.select("grp").distinct()
+    sums = hll_sums(groups, regs, "grp")
+    return (
+        sums.select(
+            "grp", "hll_sum",
+            F.round(F.lit(HLL_NUMERATOR) / F.col("hll_sum").cast("double"), 4)
+             .alias("hll_estimate"),
+        )
+        .repartition(1).sortWithinPartitions("grp")
+    )

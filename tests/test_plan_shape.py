@@ -467,3 +467,51 @@ def test_broadcast_limit_malformed_conf_raises(spark):
             spark.conf.set(conf_key, saved)
         else:
             spark.conf.unset(conf_key)
+
+
+def test_interval_overlap_join_no_nested_loop(spark):
+    """The grid-bucket overlap join must be a hash join on _bucket — a raw
+    overlap predicate nested-loops, which is the plan this op exists to
+    avoid. Also pin exactly-once pair claiming (no distinct pass)."""
+    from streamalert_spark.queries import load_all
+
+    df = load_all()["interval_overlap_agg"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_skew_diagnostics_topk_no_global_sort(spark):
+    """Top-N keys must ride TakeOrderedAndProject, never a
+    RangePartitioning global sort; the global totals attach by
+    broadcast, never collect."""
+    from streamalert_spark.queries import load_all
+
+    df = load_all()["skew_key_diagnostics"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_quantized_topk_integer_dot_no_python(spark):
+    """The SQ8 ANN ranking is JVM array arithmetic end to end — no
+    BatchEvalPython, no ArrowEvalPython; final k via TakeOrdered."""
+    from streamalert_spark.queries import load_all
+
+    df = load_all()["embedding_quantize_topk"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_span_dedup_scrub_single_window_pass(spark):
+    """First-occurrence span dedup is ONE row_number window keyed by the
+    span digest (hash-partitioned) — no global sort, no second window."""
+    from streamalert_spark.queries import load_all
+
+    df = load_all()["span_dedup_scrub"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("row_number") <= 2, plan  # window def + projection ref
+    assert "rangepartitioning" not in plan.lower(), plan
