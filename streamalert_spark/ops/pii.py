@@ -118,3 +118,64 @@ def pseudonymize(key_col: Column, salt: str) -> Column:
     a keyed MAC (HMAC-SHA256) — md5-of-concat keeps the exact mapping
     reproducible in any SQL engine for the consistency audit."""
     return F.md5(F.concat(F.lit(salt), F.lit(":"), key_col.cast("string")))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-preserving IP pseudonymization (CryptoPAn-style)
+# ---------------------------------------------------------------------------
+# Xu et al. "Prefix-Preserving IP Address Anonymization" (CryptoPAn): bit i
+# of the pseudonym is the original bit XOR a keyed pseudorandom function of
+# the PRECEDING i-1 bits, so two addresses sharing a k-bit prefix share
+# exactly a k-bit pseudonym prefix — subnet structure survives, addresses
+# don't. The PRF here is the parity of the first md5 hex digit of
+# (key ':' prefix-bits); production swaps md5 for AES/HMAC, same shape.
+# Both the Spark plan and the DuckDB oracle consume the SAME generated SQL
+# expression text (dialect-neutral: substring/md5/CASE/%/+ only), so the
+# derivation can never drift between engines.
+
+IP_BITS = 32
+_ODD_HEX = "('1','3','5','7','9','b','d','f')"
+
+
+def ip_bits_sql(ip_col: str) -> str:
+    """SQL: the 32-char '0'/'1' string of an IPv4 address integer."""
+    return f"lpad(bin(CAST({ip_col} AS BIGINT)), {IP_BITS}, '0')"
+
+
+def prefix_preserving_anon_sql(bits_col: str, key: str = "pk") -> str:
+    """SQL: the anonymized 32-bit integer from a bits-string column.
+    flip_i = parity of md5(key ':' first i-1 bits); anon bit = bit XOR
+    flip expressed as (bit + flip) % 2 (dialect-neutral XOR for 0/1)."""
+    terms = []
+    for i in range(1, IP_BITS + 1):
+        b = f"CAST(substring({bits_col}, {i}, 1) AS INT)"
+        prefix = f"substring({bits_col}, 1, {i - 1})"
+        flip = (f"(CASE WHEN substring(md5('{key}:' || {prefix}), 1, 1) "
+                f"IN {_ODD_HEX} THEN 1 ELSE 0 END)")
+        terms.append(
+            f"CAST((({b} + {flip}) % 2) AS BIGINT) * {1 << (IP_BITS - i)}")
+    return "(" + "\n + ".join(terms) + ")"
+
+
+def common_prefix_len_sql(x: str, y: str) -> str:
+    """SQL: length of the common prefix of two same-length bit strings —
+    the sum of prefix-equality indicators (once they differ at length k,
+    every longer prefix differs too)."""
+    terms = [
+        f"(CASE WHEN substring({x}, 1, {i}) = substring({y}, 1, {i}) "
+        f"THEN 1 ELSE 0 END)"
+        for i in range(1, IP_BITS + 1)
+    ]
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def prefix_preserving_anon(df: DataFrame, ip_col: str,
+                           key: str = "pk") -> DataFrame:
+    """Attach `anon_ip` (prefix-preserving pseudonym of the integer IPv4
+    column) — a pure generated projection, zero shuffle at any scale."""
+    return (
+        df.withColumn("_bits", F.expr(ip_bits_sql(ip_col)))
+        .withColumn("anon_ip",
+                    F.expr(prefix_preserving_anon_sql("_bits", key)))
+        .drop("_bits")
+    )

@@ -427,3 +427,97 @@ def pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-preserving IP pseudonymization + structure audit (CryptoPAn-style)
+# ---------------------------------------------------------------------------
+
+def _ip_anon_oracle() -> str:
+    from streamalert_spark.ops.pii import (
+        common_prefix_len_sql, ip_bits_sql, prefix_preserving_anon_sql,
+    )
+
+    return f"""
+WITH ips AS (
+  SELECT DISTINCT CAST(167772160 + (user_id * 7919) % 16777216 AS BIGINT)
+         AS ip
+  FROM events WHERE user_id IS NOT NULL
+),
+b AS (SELECT ip, {ip_bits_sql('ip')} AS bits FROM ips),
+a AS (SELECT ip, bits, {prefix_preserving_anon_sql('bits')} AS anon_ip
+      FROM b),
+ab AS (SELECT ip, bits, anon_ip, {ip_bits_sql('anon_ip')} AS anon_bits
+       FROM a),
+p AS (
+  SELECT bits, anon_bits,
+         lead(bits) OVER (PARTITION BY substring(bits, 1, 12)
+                          ORDER BY ip) AS nbits,
+         lead(anon_bits) OVER (PARTITION BY substring(bits, 1, 12)
+                               ORDER BY ip) AS nabits
+  FROM ab
+),
+c AS (
+  SELECT {common_prefix_len_sql('bits', 'nbits')} AS cpl_orig,
+         {common_prefix_len_sql('anon_bits', 'nabits')} AS cpl_anon
+  FROM p WHERE nbits IS NOT NULL
+)
+SELECT cpl_orig AS cpl, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN cpl_orig = cpl_anon THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_preserved
+FROM c GROUP BY cpl_orig ORDER BY cpl
+"""
+
+
+@query("ip_prefix_anonymize_audit", oracle=_ip_anon_oracle(),
+       doc="CryptoPAn-style prefix-preserving IP pseudonymization (Xu et "
+           "al.): bit i of the pseudonym = bit XOR keyed-PRF(first i-1 "
+           "bits), so subnets survive anonymization and the audit proves "
+           "it — per common-prefix-length bucket, EVERY consecutive pair "
+           "preserves its cpl exactly (n_preserved == n_pairs). The "
+           "anonymizer is a zero-shuffle generated projection; the audit "
+           "windows are hash-partitioned by /12 prefix. Spark and the "
+           "oracle consume the SAME generated SQL expression text, so "
+           "the bit derivation cannot drift between engines.")
+def ip_prefix_anonymize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from streamalert_spark.ops.pii import (
+        common_prefix_len_sql, ip_bits_sql, prefix_preserving_anon,
+    )
+    from streamalert_spark.session import read_table
+
+    ips = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select((F.lit(167772160) + (F.col("user_id") * 7919) % 16777216)
+                .cast("bigint").alias("ip"))
+        .distinct()
+    )
+    ab = (
+        prefix_preserving_anon(ips, "ip")
+        .withColumn("bits", F.expr(ip_bits_sql("ip")))
+        .withColumn("anon_bits", F.expr(ip_bits_sql("anon_ip")))
+    )
+    w = W.partitionBy(F.expr("substring(bits, 1, 12)")).orderBy("ip")
+    p = (
+        ab.select(
+            "bits", "anon_bits",
+            F.lead("bits").over(w).alias("nbits"),
+            F.lead("anon_bits").over(w).alias("nabits"),
+        )
+        .filter(F.col("nbits").isNotNull())
+    )
+    c = p.select(
+        F.expr(common_prefix_len_sql("bits", "nbits")).alias("cpl_orig"),
+        F.expr(common_prefix_len_sql("anon_bits", "nabits")).alias("cpl_anon"),
+    )
+    return (
+        c.groupBy(F.col("cpl_orig").alias("cpl"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("cpl_orig") == F.col("cpl_anon"), 1)
+                   .otherwise(0)).cast("bigint").alias("n_preserved"),
+        )
+        .repartition(1).sortWithinPartitions("cpl")
+    )

@@ -150,3 +150,44 @@ def test_mad_summary_matches_python_reference(spark):
     assert got["median"] == round(med, 6)
     assert got["mad"] == round(mad, 6)
     assert got["n_outliers"] == n_out
+
+
+# ------------------------------------------- prefix-preserving IP anon
+
+def test_prefix_preserving_anon_property_all_pairs(spark):
+    """The CryptoPAn invariant on ALL pairs (not just the audit's
+    consecutive ones): common-prefix-length is preserved exactly, and
+    the mapping is injective on the sample."""
+    from streamalert_spark.ops.pii import prefix_preserving_anon
+
+    rng = random.Random(7)
+    ips = sorted({rng.randrange(0, 1 << 32) for _ in range(120)})
+    df = spark.createDataFrame([(ip,) for ip in ips], "ip bigint")
+    rows = {r["ip"]: r["anon_ip"] for r in
+            prefix_preserving_anon(df, "ip").collect()}
+    assert len(set(rows.values())) == len(ips)  # injective
+
+    def cpl(a, b):
+        x = (a ^ b) & 0xFFFFFFFF
+        return 32 - x.bit_length()
+
+    for i in range(len(ips)):
+        for j in range(i + 1, len(ips)):
+            a, b = ips[i], ips[j]
+            assert cpl(a, b) == cpl(rows[a], rows[b]), (a, b)
+
+
+def test_prefix_preserving_anon_key_changes_mapping(spark):
+    """Rotating the key unlinks the pseudonyms (different key, different
+    mapping) while each keyed mapping stays deterministic."""
+    from streamalert_spark.ops.pii import prefix_preserving_anon
+
+    df = spark.createDataFrame([(i * 977,) for i in range(50)], "ip bigint")
+    a1 = {r["ip"]: r["anon_ip"]
+          for r in prefix_preserving_anon(df, "ip", key="k1").collect()}
+    a1b = {r["ip"]: r["anon_ip"]
+           for r in prefix_preserving_anon(df, "ip", key="k1").collect()}
+    a2 = {r["ip"]: r["anon_ip"]
+          for r in prefix_preserving_anon(df, "ip", key="k2").collect()}
+    assert a1 == a1b
+    assert a1 != a2
