@@ -156,10 +156,14 @@ def dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _components_ctes(num_hashes: int = 16, band_size: int = 4,
-                     threshold: float = 0.5) -> str:
+                     threshold: float = 0.5, table: str = "documents",
+                     lead_ctes: str = "") -> str:
     """The shared WITH-body (3-gram shingles -> minhash bands -> verified
-    pairs -> recursive reachability) used by BOTH component-consuming
-    oracles — one fixture, no copy-paste drift (the r6 CDC lesson)."""
+    pairs -> recursive reachability) used by every component-consuming
+    oracle — one fixture, no copy-paste drift (the r6 CDC lesson).
+    ``table`` selects the corpus the shingles come from; ``lead_ctes``
+    (must end with a comma) lets a caller define that corpus as its own
+    CTE chain — e.g. the dedup cascade's exact-fingerprint survivors."""
     bands = []
     for bi in range(num_hashes // band_size):
         cols = " || '|' || ".join(f"mh_{bi * band_size + j}" for j in range(band_size))
@@ -169,7 +173,8 @@ def _components_ctes(num_hashes: int = 16, band_size: int = 4,
     bands_sql = "\nUNION ALL\n".join(bands)
     mh = ",".join(f"MIN(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes))
     return f"""
-WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+WITH RECURSIVE {lead_ctes}
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM {table}),
 sh AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
   FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
@@ -1463,3 +1468,89 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.hard_negatives(_emb(spark, sf_dir), _HARD_NEG_IDS, k=4)
         .repartition(1).sortWithinPartitions("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup cascade: exact-hash pass THEN minhash/LSH keep-best on the
+# survivors, with per-stage survivor accounting — the composition real
+# corpus pipelines run (cheap exact pass first shrinks the candidate
+# space the quadratic-ish near-dup stage sees).
+# ---------------------------------------------------------------------------
+
+def _cascade_oracle(**kw) -> str:
+    lead = """
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+s1 AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),"""
+    return _components_ctes(table="s1", lead_ctes=lead, **kw) + """
+, comp AS (SELECT id AS doc_id, MIN(r) AS component_id
+           FROM reach GROUP BY id),
+base AS (
+  SELECT s1.doc_id, s1.n_chars,
+         COALESCE(c.component_id, s1.doc_id) AS component_id
+  FROM s1 LEFT JOIN comp c USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id,
+         FIRST_VALUE(doc_id) OVER (
+           PARTITION BY component_id
+           ORDER BY n_chars DESC, doc_id) AS kept_doc_id
+  FROM base
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage,
+         'exact_hash' AS stage_name,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_in,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_out
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'minhash_keep_best',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s1),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ranked
+          WHERE doc_id = kept_doc_id)
+) ORDER BY stage
+"""
+
+
+@query("dedup_cascade_stages", oracle=_cascade_oracle(),
+       doc="Two-stage dedup cascade with per-stage survivor accounting: "
+           "exact md5 keep-min-doc_id first (one uniform-key groupBy), "
+           "then LSH-verified components + keep-longest on the SURVIVORS "
+           "only — the near-dup stage's shingle/band work runs on the "
+           "already-shrunk corpus, which is the whole point of "
+           "cascading at 100 TB. Stage counts are 1-row aggregates "
+           "attached by broadcast, never collected.")
+def dedup_cascade_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    keep = (docs.select(F.md5("text").alias("f"), "doc_id")
+            .groupBy("f").agg(F.min("doc_id").alias("doc_id")))
+    s1 = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+    pairs = dedup.lsh_verified_pairs(s1, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    base = (
+        s1.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .withColumn("component_id",
+                    F.coalesce("component_id", "doc_id"))
+    )
+    w = W.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc())
+    kept = (base.withColumn("kept_doc_id", F.first("doc_id").over(w))
+            .filter(F.col("doc_id") == F.col("kept_doc_id")))
+    row1 = (
+        docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_in"))
+        .crossJoin(F.broadcast(
+            s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_out"))))
+        .select(F.lit(1).cast("bigint").alias("stage"),
+                F.lit("exact_hash").alias("stage_name"), "n_in", "n_out")
+    )
+    row2 = (
+        s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_in"))
+        .crossJoin(F.broadcast(
+            kept.agg(F.count(F.lit(1)).cast("bigint").alias("n_out"))))
+        .select(F.lit(2).cast("bigint").alias("stage"),
+                F.lit("minhash_keep_best").alias("stage_name"),
+                "n_in", "n_out")
+    )
+    return (row1.unionByName(row2)
+            .repartition(1).sortWithinPartitions("stage"))
