@@ -242,3 +242,62 @@ def stratified_sample(
     others = ~F.col(strata_col).isin(list(rates)) & deterministic_keep(key, default_rate)
     keep = others if keep is None else (keep | others)
     return df.filter(keep)
+
+
+def containment_decontamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    threshold_ppm: int = 800_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Containment-based decontamination — the EVAL-side metric: an eval
+    document is contaminated when some training document contains most of
+    it, i.e. containment = |shared n-gram shingles| / |eval's shingles|
+    is high (Jaccard misses a short eval doc swallowed by a long train
+    doc; containment is what benchmark leakage actually is). Exact
+    integer fixed point: containment_ppm = shared * 1e6 DIV eval_size.
+
+    Output per eval doc: its shingle count, max containment over all
+    training docs (ppm), and how many training docs cross the threshold.
+
+    Scale: distinct (doc, shingle) sets partial-aggregate before the
+    shingle-key equi-join; the join fans out only on shingles the eval
+    set actually has (eval corpora are small), then one (train, eval)
+    pair count and one per-eval aggregate. No broadcast required.
+    """
+    def shingles(df: DataFrame, out_id: str) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        idx = F.when(F.size(toks) >= n,
+                     F.sequence(F.lit(1), F.size(toks) - (n - 1))).otherwise(
+                         F.array().cast("array<int>"))
+        parts = [F.element_at("w", F.col("i") + j) for j in range(n)]
+        return (
+            df.select(F.col(id_col).alias(out_id), toks.alias("w"),
+                      F.explode(idx).alias("i"))
+            .select(out_id, F.concat_ws(" ", *parts).alias("shingle"))
+            .distinct()
+        )
+
+    ev = shingles(eval_df, "eval_id")
+    tr = shingles(train, "train_id")
+    ev_sz = ev.groupBy("eval_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ev_sz"))
+    shared = (
+        tr.join(ev, "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    pair = shared.join(ev_sz, "eval_id").withColumn(
+        "containment_ppm",
+        F.expr("(shared * CAST(1000000 AS BIGINT)) DIV ev_sz"))
+    return (
+        pair.groupBy(F.col("eval_id").alias(id_col))
+        .agg(
+            F.max("ev_sz").alias("n_shingles"),
+            F.max("containment_ppm").alias("max_containment_ppm"),
+            F.sum(F.when(F.col("containment_ppm") >= threshold_ppm, 1)
+                   .otherwise(0)).cast("bigint").alias("n_contaminating"),
+        )
+    )

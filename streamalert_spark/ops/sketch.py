@@ -232,12 +232,27 @@ def histogram_quantiles(
     width is the demo calibration; production picks power-of-two or
     quantile-calibrated edges, same plan.
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     bucket = F.floor(F.col(value_col) / F.lit(width)).cast("bigint")
     hist = (df.groupBy(key_col, bucket.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("cnt")))
+    return quantiles_from_histogram(hist, key_col, width, quantiles)
+
+
+def quantiles_from_histogram(
+    hist,
+    key_col: str,
+    width: float = 10.0,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+):
+    """Quantile estimates from an ALREADY-BUILT (key, bucket, cnt) frame —
+    the merge-side half of ``histogram_quantiles``, usable on any source
+    of mergeable bin counts (a batch groupBy, a union of per-day
+    histograms, a streaming state store's final counts)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     w = Window.partitionBy(key_col).orderBy("bucket")
     c = (hist.withColumn("cum", F.sum("cnt").over(w))
          .withColumn("cum_before", F.col("cum") - F.col("cnt"))

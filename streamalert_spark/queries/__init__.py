@@ -110,7 +110,9 @@ _VERIFY_FIRST = [
     # ^ 50 entries — the external sampler's full prefix (18 r8-new or
     # r8-changed + 3 re-gated + the complete 29-query r4-stale tail).
     # Registered after the prefix filled (lead r9 with them):
-    # ip_prefix_anonymize_audit, dedup_cascade_stages. Staleness is
+    # ip_prefix_anonymize_audit, dedup_cascade_stages,
+    # decontaminate_containment, stream_histogram_quantiles_bounded.
+    # Staleness is
     # STRUCTURAL: with a
     # ~177-query registry and a 50-slot external sample, a full refresh
     # takes 4 rounds — the in-repo parity sweep (tests/test_oracle_parity)

@@ -1554,3 +1554,54 @@ def dedup_cascade_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (row1.unionByName(row2)
             .repartition(1).sortWithinPartitions("stage"))
+
+
+# ---------------------------------------------------------------------------
+# Containment decontamination (eval-side metric)
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+),
+ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+ev_sz AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS ev_sz
+          FROM ev GROUP BY eval_id),
+shared AS (
+  SELECT tr.train_id, ev.eval_id, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM tr JOIN ev USING (shingle)
+  GROUP BY tr.train_id, ev.eval_id
+),
+pair AS (
+  SELECT s.eval_id, (s.shared * 1000000) // z.ev_sz AS containment_ppm,
+         z.ev_sz
+  FROM shared s JOIN ev_sz z USING (eval_id)
+)
+SELECT eval_id AS doc_id,
+       CAST(MAX(ev_sz) AS BIGINT) AS n_shingles,
+       CAST(MAX(containment_ppm) AS BIGINT) AS max_containment_ppm,
+       CAST(SUM(CASE WHEN containment_ppm >= 800000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminating
+FROM pair GROUP BY eval_id ORDER BY doc_id
+"""
+
+
+@query("decontaminate_containment", oracle=_CONTAINMENT_ORACLE,
+       doc="Eval-side containment decontamination: an eval doc is dirty "
+           "when |shared 3-gram shingles| / |its own shingles| is high — "
+           "the metric Jaccard misses when a long training doc swallows "
+           "a short eval doc. Exact integer ppm; distinct shingle sets "
+           "partial-aggregate before the shingle-key join; no broadcast.")
+def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops import curation
+
+    docs = _docs(spark, sf_dir)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return (
+        curation.containment_decontamination(train, eval_df)
+        .repartition(1).sortWithinPartitions("doc_id")
+    )

@@ -1136,3 +1136,108 @@ def stream_hll_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("grp")
     )
+
+
+# ---------------------------------- streaming histogram quantiles, bounded
+
+_STREAM_HIST_ORACLE = """
+WITH vals AS (
+  SELECT CAST(i % 3 AS BIGINT) AS grp,
+         CAST((i * i) % 977 AS DOUBLE) AS v
+  FROM range(1, 301) t(i)
+),
+hist AS (
+  SELECT grp, CAST(floor(v / 10.0) AS BIGINT) AS bucket, COUNT(*) AS cnt
+  FROM vals GROUP BY 1, 2
+),
+c AS (
+  SELECT grp, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum
+  FROM hist
+),
+j AS (
+  SELECT c.*, cum - cnt AS cum_before,
+         MAX(cum) OVER (PARTITION BY grp) AS n
+  FROM c
+)
+SELECT grp,
+       MAX(CASE WHEN cum_before < 0.5 * n AND cum >= 0.5 * n
+                THEN ROUND(bucket * 10.0 + 10.0 * (0.5 * n - cum_before) / cnt, 6)
+           END) AS p50_est,
+       MAX(CASE WHEN cum_before < 0.9 * n AND cum >= 0.9 * n
+                THEN ROUND(bucket * 10.0 + 10.0 * (0.9 * n - cum_before) / cnt, 6)
+           END) AS p90_est,
+       MAX(CASE WHEN cum_before < 0.99 * n AND cum >= 0.99 * n
+                THEN ROUND(bucket * 10.0 + 10.0 * (0.99 * n - cum_before) / cnt, 6)
+           END) AS p99_est,
+       CAST(MAX(n) AS BIGINT) AS n_events
+FROM j GROUP BY grp ORDER BY grp
+"""
+
+
+@query("stream_histogram_quantiles_bounded", oracle=_STREAM_HIST_ORACLE,
+       doc="STREAMING quantile monitoring via a mergeable fixed-width "
+           "histogram: a NATIVE stateful count per (group, bucket) "
+           "accumulates across micro-batches (state = occupied buckets, "
+           "independent of row count — the reason to histogram a stream "
+           "instead of sorting it), update-mode emissions land in an "
+           "append ledger where the cumulative counts make retries "
+           "idempotent (max = final), and the quantile interpolation "
+           "runs batch-side on the final bins via the SAME merge-side "
+           "estimator the batch sketch uses. Hash-checked against the "
+           "batch histogram definition over the full input.")
+def stream_histogram_quantiles_bounded(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from streamalert_spark.ops.sketch import quantiles_from_histogram
+    from streamalert_spark.sources.app_source import register_app_source
+
+    register_app_source(spark)
+    work = tempfile.mkdtemp(prefix="hist_stream_q_")
+    try:
+        src = (
+            spark.readStream.format("streamalert_app")
+            .option("app", "synthetic").option("end_timestamp", "300")
+            .option("page_size", "100")
+            .load()
+        )
+        i = F.col("event_timestamp")
+        updates = (
+            src.select(
+                F.pmod(i, F.lit(3)).cast("bigint").alias("grp"),
+                F.floor(F.pmod(i * i, F.lit(977)).cast("double") / 10.0)
+                 .cast("bigint").alias("bucket"),
+            )
+            .groupBy("grp", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+        def sink(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(f"{work}/bins")
+
+        with bounded_stream_shuffle(spark):
+            q = (
+                updates.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        rows = (spark.read
+                .schema("grp bigint, bucket bigint, cnt bigint")
+                .parquet(f"{work}/bins").collect())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    emitted = spark.createDataFrame(rows, "grp bigint, bucket bigint, cnt bigint")
+    # update-mode emissions are cumulative per key -> max is the final bin
+    final_bins = emitted.groupBy("grp", "bucket").agg(
+        F.max("cnt").alias("cnt"))
+    return (
+        quantiles_from_histogram(final_bins, "grp", width=10.0)
+        .repartition(1).sortWithinPartitions("grp")
+    )

@@ -191,3 +191,39 @@ def test_prefix_preserving_anon_key_changes_mapping(spark):
           for r in prefix_preserving_anon(df, "ip", key="k2").collect()}
     assert a1 == a1b
     assert a1 != a2
+
+
+def test_span_dedup_matches_python_reference_random_corpora(spark):
+    """Randomized small-vocab corpora (seeded): the Spark op must agree
+    with a direct Python rebuild of first-occurrence span dedup on every
+    output column, including the scrubbed digest."""
+    import hashlib
+
+    from streamalert_spark.ops.text import span_dedup_scrub
+
+    rng = random.Random(88)
+    vocab = ["a", "b", "c"]
+    for trial in range(5):
+        docs = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randrange(1, 20))))
+                for i in range(12)]
+        # python reference
+        seen, expect = set(), {}
+        for doc_id, text in docs:
+            toks = text.split(" ")
+            spans = [" ".join(toks[s:s + 3])
+                     for s in range(0, len(toks), 3)]
+            kept = []
+            for sp in spans:
+                if sp not in seen:
+                    seen.add(sp)
+                    kept.append(sp)
+            scrubbed = " ".join(kept)
+            expect[doc_id] = (len(spans), len(kept),
+                              hashlib.md5(scrubbed.encode()).hexdigest(),
+                              len(scrubbed))
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {r["doc_id"]: (r["n_spans"], r["n_kept"], r["scrubbed_md5"],
+                             r["scrubbed_len"])
+               for r in span_dedup_scrub(df, span_len=3).collect()}
+        assert got == expect, f"trial {trial}"
