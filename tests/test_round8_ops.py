@@ -227,3 +227,31 @@ def test_span_dedup_matches_python_reference_random_corpora(spark):
                              r["scrubbed_len"])
                for r in span_dedup_scrub(df, span_len=3).collect()}
         assert got == expect, f"trial {trial}"
+
+
+# --------------------------- kernel vs SQL-twin equivalence pins
+
+def test_minhash_kernel_equals_sql_formulation(spark):
+    """The Arrow minhash kernel and the pure-expression SQL formulation
+    (the engine-portable reference) must produce bit-identical
+    signatures — the pin that lets the kernel stay the default without
+    drifting from what the oracles encode."""
+    from streamalert_spark.ops.dedup import (
+        minhash_signatures, minhash_signatures_sql,
+    )
+    from streamalert_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    k = sorted(tuple(r) for r in minhash_signatures(docs).collect())
+    s = sorted(tuple(r) for r in minhash_signatures_sql(docs).collect())
+    assert k == s
+
+
+def test_simhash_kernel_equals_sql_formulation(spark):
+    from streamalert_spark.ops.dedup import simhash_bits, simhash_bits_sql
+    from streamalert_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    k = sorted(tuple(r) for r in simhash_bits(docs).collect())
+    s = sorted(tuple(r) for r in simhash_bits_sql(docs).collect())
+    assert k == s
