@@ -111,7 +111,8 @@ _VERIFY_FIRST = [
     # r8-changed + 3 re-gated + the complete 29-query r4-stale tail).
     # Registered after the prefix filled (lead r9 with them):
     # ip_prefix_anonymize_audit, dedup_cascade_stages,
-    # decontaminate_containment, stream_histogram_quantiles_bounded.
+    # decontaminate_containment, stream_histogram_quantiles_bounded,
+    # beaconing_pairs, impossible_travel_hops.
     # Staleness is
     # STRUCTURAL: with a
     # ~177-query registry and a 50-slot external sample, a full refresh

@@ -1343,3 +1343,205 @@ def mad_outlier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     out = robust_outlier_summary(ev, "event_type", "value", "event_id", k=3.0)
     return out.repartition(1).sortWithinPartitions("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Beaconing detection: regular-interval callbacks per (src, dst) pair
+# ---------------------------------------------------------------------------
+
+_BEACON_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es
+  FROM events WHERE user_id IS NOT NULL
+),
+d AS (
+  SELECT user_id, event_type, event_id,
+         es - lag(es) OVER (PARTITION BY user_id, event_type
+                            ORDER BY es, event_id) AS delta
+  FROM e
+),
+dd AS (SELECT * FROM d WHERE delta IS NOT NULL AND delta > 0),
+r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY delta, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM dd
+),
+m1 AS (
+  SELECT user_id, event_type,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN delta END) AS med
+  FROM r1 GROUP BY user_id, event_type
+),
+dev AS (
+  SELECT r1.user_id, r1.event_type, r1.event_id, r1.n,
+         abs(r1.delta - m1.med) AS adev, m1.med
+  FROM r1 JOIN m1 USING (user_id, event_type)
+),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY adev, event_id) AS rn2
+  FROM dev
+),
+m2 AS (
+  SELECT user_id, event_type,
+         MAX(CASE WHEN rn2 = (n + 1) // 2 THEN adev END) AS mad
+  FROM r2 GROUP BY user_id, event_type
+),
+sc AS (
+  SELECT d.user_id, d.event_type,
+         CAST(MAX(d.n) AS BIGINT) AS n_deltas,
+         CAST(MAX(d.med) AS BIGINT) AS median_delta_s,
+         CAST(MAX(m2.mad) AS BIGINT) AS mad_delta_s,
+         CAST(floor(MAX(m2.mad) * 1000000.0 / MAX(d.med)) AS BIGINT)
+           AS irregularity_ppm
+  FROM dev d JOIN m2 USING (user_id, event_type)
+  WHERE d.med >= 1
+  GROUP BY d.user_id, d.event_type
+  HAVING MAX(d.n) >= 5
+)
+SELECT * FROM sc
+ORDER BY irregularity_ppm, user_id, event_type
+LIMIT 20
+"""
+
+
+@query("beaconing_pairs", oracle=_BEACON_ORACLE,
+       doc="Beaconing detection: per (src, dst) channel, inter-arrival "
+           "deltas -> exact lower-median period and MAD jitter -> "
+           "irregularity = floor(MAD*1e6/median). A compromised host "
+           "calling home on a timer scores near 0; human traffic scores "
+           "high. Channels with >= 5 deltas, 20 most-regular. All "
+           "windows hash-partitioned by the channel key; the score is "
+           "integer-exact (no stddev/sqrt).")
+def beaconing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull()).select(
+        "user_id", "event_type", "event_id",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', ts) DIV 1000000").alias("es"))
+    w = W.partitionBy("user_id", "event_type").orderBy("es", "event_id")
+    deltas = (
+        ev.withColumn("delta", F.col("es") - F.lag("es").over(w))
+        .filter(F.col("delta").isNotNull() & (F.col("delta") > 0))
+        .select("user_id", "event_type", "event_id", "delta")
+    )
+    w_ord = W.partitionBy("user_id", "event_type").orderBy("delta", "event_id")
+    w_all = W.partitionBy("user_id", "event_type")
+    r1 = (deltas.withColumn("rn", F.row_number().over(w_ord))
+          .withColumn("n", F.count(F.lit(1)).over(w_all)))
+    med = r1.groupBy("user_id", "event_type").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"),
+                     F.col("delta"))).alias("med"))
+    dev = (r1.join(med, ["user_id", "event_type"])
+           .withColumn("adev", F.abs(F.col("delta") - F.col("med"))))
+    w_dev = W.partitionBy("user_id", "event_type").orderBy("adev", "event_id")
+    r2 = dev.withColumn("rn2", F.row_number().over(w_dev))
+    mad = r2.groupBy("user_id", "event_type").agg(
+        F.max(F.when(F.col("rn2") == F.expr("(n + 1) DIV 2"),
+                     F.col("adev"))).alias("mad"))
+    sc = (
+        dev.join(mad, ["user_id", "event_type"])
+        .filter(F.col("med") >= 1)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_deltas"),
+            F.max("med").cast("bigint").alias("median_delta_s"),
+            F.max("mad").cast("bigint").alias("mad_delta_s"),
+            F.floor(F.max("mad") * 1000000.0 / F.max("med"))
+             .cast("bigint").alias("irregularity_ppm"),
+        )
+        .filter(F.col("n_deltas") >= 5)
+    )
+    return sc.orderBy("irregularity_ppm", "user_id", "event_type").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Impossible-travel detection (plane-coordinate speed gate)
+# ---------------------------------------------------------------------------
+
+_IMPOSSIBLE_TRAVEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es,
+         (event_id * 37) % 1000 AS x,
+         (event_id * 91) % 1000 AS y
+  FROM events WHERE user_id IS NOT NULL
+),
+hops AS (
+  SELECT user_id, event_id, es, x, y,
+         lag(x) OVER w AS px, lag(y) OVER w AS py,
+         lag(es) OVER w AS pes
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+),
+sc AS (
+  SELECT user_id,
+         (x - px) * (x - px) + (y - py) * (y - py) AS dist2,
+         CASE WHEN es - pes < 1 THEN 1 ELSE es - pes END AS dt
+  FROM hops WHERE pes IS NOT NULL
+),
+r AS (
+  SELECT user_id, (dist2 * 1000000) // (dt * dt) AS speed2_ratio
+  FROM sc
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hops,
+       CAST(SUM(CASE WHEN speed2_ratio > 25000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_impossible,
+       CAST(MAX(speed2_ratio) AS BIGINT) AS max_speed2_ratio
+FROM r GROUP BY user_id
+ORDER BY max_speed2_ratio DESC, user_id
+LIMIT 20
+"""
+
+
+@query("impossible_travel_hops", oracle=_IMPOSSIBLE_TRAVEL_ORACLE,
+       doc="Impossible-travel detection on plane coordinates (the "
+           "lat/lon-haversine seam, kept trig-free so both engines agree "
+           "bit-for-bit): consecutive per-user hops score "
+           "speed^2 = dist^2*1e6 DIV dt^2 as exact integers; a hop "
+           "faster than the 5-units/s gate (25e6 in the squared fixed "
+           "point) is impossible. One window keyed user_id, top-20 by "
+           "TakeOrdered; coordinates synthesized deterministically from "
+           "event_id (production swaps in a geo-IP lookup join).")
+def impossible_travel_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull()).select(
+        "user_id", "event_id",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', ts) DIV 1000000").alias("es"),
+        ((F.col("event_id") * 37) % 1000).alias("x"),
+        ((F.col("event_id") * 91) % 1000).alias("y"),
+    )
+    w = W.partitionBy("user_id").orderBy("es", "event_id")
+    hops = (
+        ev.select(
+            "user_id", "x", "y", "es",
+            F.lag("x").over(w).alias("px"),
+            F.lag("y").over(w).alias("py"),
+            F.lag("es").over(w).alias("pes"),
+        )
+        .filter(F.col("pes").isNotNull())
+    )
+    sc = hops.select(
+        "user_id",
+        ((F.col("x") - F.col("px")) * (F.col("x") - F.col("px"))
+         + (F.col("y") - F.col("py")) * (F.col("y") - F.col("py")))
+        .alias("dist2"),
+        F.when(F.col("es") - F.col("pes") < 1, F.lit(1))
+         .otherwise(F.col("es") - F.col("pes")).alias("dt"),
+    ).withColumn(
+        "speed2_ratio",
+        F.expr("(dist2 * CAST(1000000 AS BIGINT)) DIV (dt * dt)"))
+    return (
+        sc.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hops"),
+            F.sum(F.when(F.col("speed2_ratio") > 25_000_000, 1).otherwise(0))
+             .cast("bigint").alias("n_impossible"),
+            F.max("speed2_ratio").cast("bigint").alias("max_speed2_ratio"),
+        )
+        .orderBy(F.col("max_speed2_ratio").desc(), "user_id").limit(20)
+    )
