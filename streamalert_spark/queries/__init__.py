@@ -112,7 +112,8 @@ _VERIFY_FIRST = [
     # Registered after the prefix filled (lead r9 with them):
     # ip_prefix_anonymize_audit, dedup_cascade_stages,
     # decontaminate_containment, stream_histogram_quantiles_bounded,
-    # beaconing_pairs, impossible_travel_hops.
+    # beaconing_pairs, impossible_travel_hops, decayed_risk_scores,
+    # typosquat_domain_verdicts.
     # Staleness is
     # STRUCTURAL: with a
     # ~177-query registry and a 50-slot external sample, a full refresh

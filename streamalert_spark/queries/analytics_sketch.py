@@ -1545,3 +1545,178 @@ def impossible_travel_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("max_speed2_ratio").desc(), "user_id").limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Half-life decayed risk score (power-of-two decay, integer-exact)
+# ---------------------------------------------------------------------------
+
+_DECAY_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es
+  FROM events WHERE user_id IS NOT NULL
+),
+anchor AS (SELECT MAX(es) AS now_s FROM e),
+scored AS (
+  SELECT e.user_id,
+         CAST(floor(e.value * 100 + 0.5) AS BIGINT) * 1000000
+           // (CAST(1 AS BIGINT) << CAST(least((anchor.now_s - e.es) // 3600,
+                                               40) AS INT)) AS part
+  FROM e, anchor
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(part) AS BIGINT) AS decayed_score_fp
+FROM scored GROUP BY user_id
+ORDER BY decayed_score_fp DESC, user_id
+LIMIT 20
+"""
+
+
+@query("decayed_risk_scores", oracle=_DECAY_ORACLE,
+       doc="Behavioral risk with a 1-hour half-life, libm-free: each "
+           "event contributes floor(cents)*1e6 DIV 2^age_hours (exact "
+           "integer shifts, age capped at 40 so the divisor fits "
+           "BIGINT), summed per user — the exponential-decay score "
+           "every SIEM uses, in arithmetic both engines reproduce bit "
+           "for bit. One scan + 1-row broadcast anchor + one keyed "
+           "aggregate; top-20 by TakeOrdered.")
+def decayed_risk_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull()).select(
+        "user_id", "value",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', ts) DIV 1000000").alias("es"))
+    anchor = ev.agg(F.max("es").alias("now_s"))
+    scored = (
+        ev.crossJoin(F.broadcast(anchor))
+        .withColumn("age_h", F.least((F.col("now_s") - F.col("es"))
+                                     .cast("bigint") / F.lit(3600), F.lit(40))
+                    .cast("int"))
+        .withColumn("age_h", F.least(
+            F.expr("(now_s - es) DIV 3600"), F.lit(40)).cast("int"))
+        .withColumn(
+            "part",
+            F.expr("(CAST(floor(value * 100 + 0.5) AS BIGINT) "
+                   "* CAST(1000000 AS BIGINT)) "
+                   "DIV shiftleft(CAST(1 AS BIGINT), age_h)"))
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+             F.sum("part").cast("bigint").alias("decayed_score_fp"))
+        .orderBy(F.col("decayed_score_fp").desc(), "user_id").limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Typosquat / homoglyph domain detection (native levenshtein both engines)
+# ---------------------------------------------------------------------------
+
+_BRANDS = ("paypal", "google", "amazon", "microsoft", "netflix")
+
+_TYPOSQUAT_ORACLE = f"""
+WITH ids AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+brands(b) AS (SELECT UNNEST({list(_BRANDS)!r})),
+cand AS (
+  SELECT user_id,
+         CASE
+           WHEN user_id % 11 = 0 THEN substring(md5('dom:' || user_id), 1, 8)
+           WHEN user_id % 7 = 0 THEN ['paypal','google','amazon','microsoft',
+                                      'netflix'][CAST(user_id % 5 AS INT) + 1]
+           ELSE (
+             SELECT substring(b, 1, CAST(user_id % length(b) AS INT))
+                    || ['0','1','x'][CAST(user_id % 3 AS INT) + 1]
+                    || substring(b, CAST(user_id % length(b) AS INT) + 2)
+             FROM (SELECT ['paypal','google','amazon','microsoft','netflix']
+                          [CAST(user_id % 5 AS INT) + 1] AS b)
+           )
+         END AS domain
+  FROM ids
+),
+dists AS (
+  SELECT c.user_id, c.domain, brands.b AS brand,
+         levenshtein(c.domain, brands.b) AS raw_dist,
+         levenshtein(translate(c.domain, '01', 'oi'), brands.b) AS skel_dist
+  FROM cand c, brands
+),
+best AS (
+  SELECT user_id, domain,
+         MIN({{'skel_dist': skel_dist, 'raw_dist': raw_dist,
+              'brand': brand}}) AS m
+  FROM dists GROUP BY user_id, domain
+),
+labeled AS (
+  SELECT user_id, domain, m.brand AS matched_brand,
+         CAST(m.skel_dist AS BIGINT) AS skel_dist,
+         CAST(m.raw_dist AS BIGINT) AS raw_dist,
+         CASE WHEN m.raw_dist = 0 THEN 'exact'
+              WHEN m.skel_dist = 0 THEN 'homoglyph'
+              WHEN m.skel_dist <= 1 THEN 'typosquat'
+              ELSE 'clean' END AS verdict
+  FROM best
+)
+SELECT verdict, matched_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_domains
+FROM labeled
+GROUP BY verdict, matched_brand
+ORDER BY verdict, matched_brand
+"""
+
+
+@query("typosquat_domain_verdicts", oracle=_TYPOSQUAT_ORACLE,
+       doc="Typosquat / homoglyph detection against a protected-brand "
+           "list: candidate domains skeleton-map confusable chars "
+           "(0->o, 1->i) then score native levenshtein against every "
+           "brand (a literal-array explode — no join at all); verdict = "
+           "exact / homoglyph (skeleton hit) / typosquat (distance 1) / "
+           "clean. Both engines run their NATIVE edit-distance kernel. "
+           "Brand list scales as a broadcast table; per-domain work is "
+           "O(brands).")
+def typosquat_domain_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = (_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+           .select("user_id").distinct())
+    brands_arr = F.array(*[F.lit(b) for b in _BRANDS])
+    b = F.element_at(brands_arr, (F.col("user_id") % 5).cast("int") + 1)
+    p = (F.col("user_id") % F.length(b)).cast("int")
+    mutated = F.concat(
+        F.substring(b, F.lit(1), p),
+        F.element_at(F.array(F.lit("0"), F.lit("1"), F.lit("x")),
+                     (F.col("user_id") % 3).cast("int") + 1),
+        F.substring(b, p + 2, F.length(b)),
+    )
+    cand = ids.withColumn(
+        "domain",
+        F.when(F.col("user_id") % 11 == 0,
+               F.substring(F.md5(F.concat(F.lit("dom:"),
+                                          F.col("user_id").cast("string"))),
+                           1, 8))
+         .when(F.col("user_id") % 7 == 0, b)
+         .otherwise(mutated))
+    dists = (
+        cand.select("user_id", "domain",
+                    F.explode(brands_arr).alias("brand"))
+        .withColumn("raw_dist", F.levenshtein("domain", "brand"))
+        .withColumn("skel_dist",
+                    F.levenshtein(F.translate("domain", "01", "oi"),
+                                  "brand"))
+    )
+    best = (
+        dists.groupBy("user_id", "domain")
+        .agg(F.min(F.struct("skel_dist", "raw_dist", "brand")).alias("m"))
+    )
+    labeled = best.select(
+        "user_id", "domain",
+        F.col("m.brand").alias("matched_brand"),
+        F.col("m.skel_dist").cast("bigint").alias("skel_dist"),
+        F.col("m.raw_dist").cast("bigint").alias("raw_dist"),
+        F.when(F.col("m.raw_dist") == 0, "exact")
+         .when(F.col("m.skel_dist") == 0, "homoglyph")
+         .when(F.col("m.skel_dist") <= 1, "typosquat")
+         .otherwise("clean").alias("verdict"),
+    )
+    return (
+        labeled.groupBy("verdict", "matched_brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_domains"))
+        .repartition(1).sortWithinPartitions("verdict", "matched_brand")
+    )
