@@ -521,3 +521,68 @@ def ip_prefix_anonymize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(1).sortWithinPartitions("cpl")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table PII profile (governance scan: every string column x every type)
+# ---------------------------------------------------------------------------
+
+_PII_TYPES = (
+    ("cc", pii.CC_PATTERN),
+    ("email", pii.EMAIL_PATTERN),
+    ("ipv4", pii.IPV4_PATTERN),
+    ("phone", pii.PHONE_PATTERN),
+    ("ssn", pii.SSN_PATTERN),
+)
+
+_PII_PROFILE_COLS = ("lang", "source", "text")
+
+
+def _pii_profile_oracle() -> str:
+    # plain string building (no f-string) so the regex braces stay literal
+    parts = []
+    for col in _PII_PROFILE_COLS:
+        for tname, pat in _PII_TYPES:
+            sql_pat = pat.replace("'", "''")
+            parts.append(
+                "SELECT '" + col + "' AS col_name, '" + tname
+                + "' AS pii_type,\n"
+                + "  CAST(SUM(len(regexp_extract_all(" + col + ", '"
+                + sql_pat + "'))) AS BIGINT) AS n_hits,\n"
+                + "  CAST(SUM(CASE WHEN len(regexp_extract_all(" + col
+                + ", '" + sql_pat + "')) > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+                + " AS n_rows_with_hits\nFROM piid")
+    return ("WITH piid AS (\n  SELECT doc_id, " + _PII_TEXT_SQL
+            + " AS text, lang, source FROM documents\n)\n"
+            + "\nUNION ALL\n".join(parts)
+            + "\nORDER BY col_name, pii_type")
+
+
+@query("table_pii_profile", oracle=_pii_profile_oracle(),
+       doc="Governance PII profile of a whole table: every string column "
+           "scanned against every PII pattern, reporting total hits and "
+           "rows-with-hits per (column, type) — the scan that proves "
+           "which columns are clean (zeros are the deliverable) and "
+           "which need the redaction pass. Columns stack via explode in "
+           "ONE scan; regexes stay literal (codegen'd); only the 15-row "
+           "rollup shuffles.")
+def table_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_pii(_docs(spark, sf_dir))
+    stacked = docs.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("col_name"), F.col(c).alias("v"))
+        for c in _PII_PROFILE_COLS
+    ])).alias("s")).select("s.col_name", "s.v")
+    per_type = F.array(*[
+        F.struct(F.lit(t).alias("pii_type"),
+                 pii._count(F.col("v"), p).alias("c"))
+        for t, p in _PII_TYPES
+    ])
+    hits = (stacked.select("col_name", F.explode(per_type).alias("h"))
+            .select("col_name", "h.pii_type", "h.c"))
+    return (
+        hits.groupBy("col_name", "pii_type")
+        .agg(F.sum("c").cast("bigint").alias("n_hits"),
+             F.sum(F.when(F.col("c") > 0, 1).otherwise(0)).cast("bigint")
+              .alias("n_rows_with_hits"))
+        .repartition(1).sortWithinPartitions("col_name", "pii_type")
+    )
