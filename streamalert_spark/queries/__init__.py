@@ -113,7 +113,8 @@ _VERIFY_FIRST = [
     # ip_prefix_anonymize_audit, dedup_cascade_stages,
     # decontaminate_containment, stream_histogram_quantiles_bounded,
     # beaconing_pairs, impossible_travel_hops, decayed_risk_scores,
-    # typosquat_domain_verdicts, table_pii_profile.
+    # typosquat_domain_verdicts, table_pii_profile,
+    # stream_decayed_counters_bounded.
     # Staleness is
     # STRUCTURAL: with a
     # ~177-query registry and a 50-slot external sample, a full refresh

@@ -1241,3 +1241,95 @@ def stream_histogram_quantiles_bounded(spark: SparkSession,
         quantiles_from_histogram(final_bins, "grp", width=10.0)
         .repartition(1).sortWithinPartitions("grp")
     )
+
+
+# ------------------------------------ streaming decayed counters, bounded
+
+_STREAM_DECAY_ORACLE = """
+WITH e AS (
+  SELECT CAST(i % 5 AS BIGINT) AS k, i AS seq,
+         CAST(i // 60 AS BIGINT) AS h,
+         CAST((i % 7) + 1 AS BIGINT) AS v
+  FROM range(1, 301) t(i)
+),
+folded AS (
+  SELECT k,
+         list_reduce(
+           list(row(h, v * 1000000) ORDER BY seq),
+           (acc, x) -> row(x[1],
+                           acc[2] // (CAST(1 AS BIGINT)
+                             << CAST(least(x[1] - acc[1], 62) AS INT))
+                           + x[2])) AS m
+  FROM e GROUP BY k
+)
+SELECT k, CAST(m[1] AS BIGINT) AS last_h, CAST(m[2] AS BIGINT) AS score_fp
+FROM folded ORDER BY k
+"""
+
+
+@query("stream_decayed_counters_bounded", oracle=_STREAM_DECAY_ORACLE,
+       doc="STREAMING half-life decayed risk counters: per-key "
+           "(last_hour, score) state folded across micro-batches — "
+           "score integer-halves once per elapsed hour, then the event "
+           "adds v*1e6. Exact against the one-shot batch fold because "
+           "floor division NESTS over power-of-two divisors, so the "
+           "oracle reproduces the identical value with DuckDB's "
+           "list_reduce. State is TWO BIGINTs per key (optional idle "
+           "TTL evicts keys whose score has decayed to ~0); update-mode "
+           "emissions land in an epoch ledger, latest epoch wins.")
+def stream_decayed_counters_bounded(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from streamalert_spark.sources.app_source import register_app_source
+    from streamalert_spark.streaming.decay import decayed_counters_stream
+
+    register_app_source(spark)
+    work = tempfile.mkdtemp(prefix="decay_stream_q_")
+    try:
+        src = (
+            spark.readStream.format("streamalert_app")
+            .option("app", "synthetic").option("end_timestamp", "300")
+            .option("page_size", "100")
+            .load()
+        )
+        i = F.col("event_timestamp")
+        ev = src.select(
+            F.pmod(i, F.lit(5)).cast("bigint").alias("k"),
+            i.cast("bigint").alias("seq"),
+            F.expr("event_timestamp DIV 60").cast("bigint").alias("h"),
+            (F.pmod(i, F.lit(7)) + 1).cast("bigint").alias("v"),
+        )
+        out = decayed_counters_stream(ev)
+
+        def sink(batch_df, epoch_id):
+            (batch_df.withColumn("epoch", F.lit(int(epoch_id)))
+             .write.mode("append").parquet(f"{work}/led"))
+
+        with bounded_stream_shuffle(spark):
+            q = (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        rows = (spark.read
+                .schema("k bigint, last_h bigint, score_fp bigint, "
+                        "epoch bigint")
+                .parquet(f"{work}/led").collect())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    led = spark.createDataFrame(
+        rows, "k bigint, last_h bigint, score_fp bigint, epoch bigint")
+    final = led.groupBy("k").agg(
+        F.max_by(F.struct("last_h", "score_fp"), "epoch").alias("m"))
+    return (
+        final.select("k", F.col("m.last_h").alias("last_h"),
+                     F.col("m.score_fp").alias("score_fp"))
+        .repartition(1).sortWithinPartitions("k")
+    )

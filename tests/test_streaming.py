@@ -1124,3 +1124,115 @@ def test_cep_ordered_expired_run_evicted(spark, tmp_path):
     # user 5's expired run was evicted by the event-time timeout; the one
     # remaining row is the sentinel's own un-flushable buffered event
     assert state_rows == 1
+
+
+def _decay_write_batch(spark, in_dir, name, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["k", "seq", "h", "v"])
+    (spark.createDataFrame(pdf.astype("int64"))
+     .coalesce(1).write.parquet(str(in_dir / name)))
+
+
+def _decay_src(spark, in_dir):
+    return (
+        spark.readStream
+        .schema("k bigint, seq bigint, h bigint, v bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir / "*"))
+    )
+
+
+def test_decayed_counters_match_batch_fold(spark, tmp_path):
+    """The streamed per-key score equals the one-shot Python fold of the
+    full history — the nested-floor identity the DuckDB oracle also
+    relies on. NoTimeout: state rows persist for both keys."""
+    from streamalert_spark.streaming.bounded import bounded_stream_shuffle
+    from streamalert_spark.streaming.decay import decayed_counters_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    _decay_write_batch(spark, in_dir, "b0",
+                       [(1, 1, 0, 3), (1, 2, 2, 5), (2, 3, 0, 7)])
+    _decay_write_batch(spark, in_dir, "b1", [(1, 4, 3, 2)])
+    out = decayed_counters_stream(_decay_src(spark, in_dir))
+    led = []
+
+    def sink(batch_df, epoch_id):
+        led.extend((r["k"], r["last_h"], r["score_fp"])
+                   for r in batch_df.collect())
+
+    with bounded_stream_shuffle(spark):
+        q = (out.writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .start())
+        try:
+            q.processAllAvailable()
+            state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        finally:
+            q.stop()
+
+    # batch fold of key 1's full history: (0,3) (2,5) (3,2)
+    s = 3 * 1_000_000
+    s = (s >> 2) + 5 * 1_000_000
+    s = (s >> 1) + 2 * 1_000_000
+    latest = {}
+    for k, last_h, score in led:
+        latest[k] = (last_h, score)
+    assert latest[1] == (3, s)
+    assert latest[2] == (0, 7_000_000)
+    assert state_rows == 2  # NoTimeout: both keys keep their score row
+
+
+def test_decayed_counters_ttl_evicts_idle_keys(spark, tmp_path):
+    """With idle_ttl_s set, keys quiet past the TTL lose their state row
+    (their score has decayed to ~0 by construction when the TTL spans
+    enough half-lives); a fresh key arriving later is the only row left.
+    processAllAvailable never settles under ProcessingTimeTimeout, so
+    progress is polled — same pattern as the processing-time merge test."""
+    from streamalert_spark.streaming.bounded import bounded_stream_shuffle
+    from streamalert_spark.streaming.decay import decayed_counters_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def wait_for_input(q, n, deadline_s=120):
+        deadline = time.time() + deadline_s
+        seen = 0
+        while time.time() < deadline:
+            seen = sum(int(p["numInputRows"]) for p in q.recentProgress)
+            if seen >= n:
+                return
+            time.sleep(1)
+        raise AssertionError(f"only {seen}/{n} rows processed")
+
+    def wait_for_state_rows(q, n, deadline_s=60):
+        deadline = time.time() + deadline_s
+        last = None
+        while time.time() < deadline:
+            lp = q.lastProgress
+            if lp and lp.get("stateOperators"):
+                last = lp["stateOperators"][0]["numRowsTotal"]
+                if last == n:
+                    return last
+            time.sleep(1)
+        return last
+
+    _decay_write_batch(spark, in_dir, "b0",
+                       [(1, 1, 0, 3), (2, 2, 0, 7)])
+    out = decayed_counters_stream(_decay_src(spark, in_dir), idle_ttl_s=2)
+    with bounded_stream_shuffle(spark):
+        q = (out.writeStream.foreachBatch(lambda df, eid: df.collect())
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .start())
+        try:
+            wait_for_input(q, 2)
+            time.sleep(3)  # keys 1 and 2 idle past the 2s TTL
+            _decay_write_batch(spark, in_dir, "b1", [(3, 3, 1, 1)])
+            wait_for_input(q, 3)
+            state_rows = wait_for_state_rows(q, 1)
+        finally:
+            q.stop()
+    assert state_rows == 1  # only the fresh key survives
