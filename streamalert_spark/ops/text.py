@@ -486,3 +486,54 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
         )
         .withColumn("avg_lik", F.expr("sum_lik DIV n_bigrams"))
     )
+
+
+def token_drift_tvd(df: DataFrame, split_col: Column,
+                    group_col: str = "source", text_col: str = "text",
+                    scale: int = 1_000_000) -> DataFrame:
+    """Distribution drift between two corpus slices, per group: the total
+    variation distance TVD = 1/2 * sum_t |p_a(t) - p_b(t)| over token
+    unigram distributions, in EXACT integer arithmetic — per token the
+    term |c_a*N_b - c_b*N_a| is an exact BIGINT (chi-square and KL need
+    libm; TVD is the drift metric that stays rational), summed exactly,
+    with ONE integer division at the end:
+    tvd_ppm = sum * scale DIV (2*N_a*N_b).
+
+    ``split_col`` is a boolean Column naming the slice (old/new crawl,
+    last week/this week, train/holdout). Output per group: token totals
+    of both slices and tvd_ppm in [0, scale].
+
+    Scale: one token explode, one (group, token) count shuffle
+    (partial-aggregated), a 1-row-per-group totals join, one final
+    aggregate. Exact-range bound: c*N products overflow past ~3e9 tokens
+    per (group, slice) — switch the sum column to DECIMAL(38,0) past
+    that (documented, same plan).
+    """
+    toks = (
+        df.select(F.col(group_col).alias("grp"),
+                  split_col.alias("in_b"),
+                  F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("grp", "tok").agg(
+        F.sum(F.when(F.col("in_b"), 0).otherwise(1)).cast("bigint")
+         .alias("c_a"),
+        F.sum(F.when(F.col("in_b"), 1).otherwise(0)).cast("bigint")
+         .alias("c_b"),
+    )
+    totals = counts.groupBy("grp").agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"))
+    return (
+        counts.join(totals, "grp")
+        .withColumn("term", F.abs(F.col("c_a") * F.col("n_b")
+                                  - F.col("c_b") * F.col("n_a")))
+        .groupBy("grp")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.expr(f"CASE WHEN MAX(n_a) = 0 OR MAX(n_b) = 0 THEN NULL "
+                   f"ELSE (SUM(term) * CAST({scale} AS BIGINT)) "
+                   f"DIV (2 * MAX(n_a) * MAX(n_b)) END").alias("tvd_ppm"),
+        )
+    )

@@ -698,3 +698,50 @@ def cross_source_ngram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
         .repartition(1).sortWithinPartitions("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift: total-variation distance between slices, per source
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+WITH toks AS (
+  SELECT source AS grp, (doc_id // 20) % 2 = 1 AS in_b, w AS tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+),
+counts AS (
+  SELECT grp, tok,
+         CAST(SUM(CASE WHEN in_b THEN 0 ELSE 1 END) AS BIGINT) AS c_a,
+         CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM toks GROUP BY grp, tok
+),
+totals AS (
+  SELECT grp, CAST(SUM(c_a) AS BIGINT) AS n_a,
+         CAST(SUM(c_b) AS BIGINT) AS n_b
+  FROM counts GROUP BY grp
+)
+SELECT c.grp AS source,
+       MAX(t.n_a) AS n_a, MAX(t.n_b) AS n_b,
+       CAST((SUM(abs(c.c_a * t.n_b - c.c_b * t.n_a)) * 1000000)
+            // (2 * MAX(t.n_a) * MAX(t.n_b)) AS BIGINT) AS tvd_ppm
+FROM counts c JOIN totals t USING (grp)
+GROUP BY c.grp
+ORDER BY source
+"""
+
+
+@query("token_drift_tvd", oracle=_DRIFT_ORACLE,
+       doc="Corpus drift monitor: per source, the total-variation "
+           "distance between the token distributions of two slices "
+           "(here an interleaved doc split — in production, old vs new "
+           "crawl) in exact integer ppm. TVD stays rational where "
+           "chi-square/KL need libm; one (group, token) count shuffle "
+           "and one division at the end.")
+def token_drift_tvd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    out = text.token_drift_tvd(
+        docs, split_col=(F.expr("doc_id DIV 20") % 2 == 1),
+        group_col="source")
+    return (out.withColumnRenamed("grp", "source")
+            .repartition(1).sortWithinPartitions("source"))
