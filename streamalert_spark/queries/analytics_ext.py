@@ -959,3 +959,67 @@ def resample_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"))
         .repartition(1).sortWithinPartitions("event_type", "hr")
     )
+
+
+# ---------------------------------------------- event transition matrix
+
+_TRANSITION_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events WHERE user_id IS NOT NULL
+),
+hops AS (
+  SELECT event_type AS t_from,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS t_to
+  FROM e
+),
+c AS (
+  SELECT t_from, t_to, CAST(COUNT(*) AS BIGINT) AS n
+  FROM hops WHERE t_to IS NOT NULL GROUP BY t_from, t_to
+),
+tot AS (SELECT t_from, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY t_from)
+SELECT c.t_from, c.t_to, c.n,
+       (c.n * 1000000) // t.n_from AS p_ppm,
+       CAST(row_number() OVER (PARTITION BY c.t_from
+                               ORDER BY c.n DESC, c.t_to) AS BIGINT)
+         AS rank_within_from
+FROM c JOIN tot t USING (t_from)
+ORDER BY t_from, t_to
+"""
+
+
+@query("event_transition_matrix", oracle=_TRANSITION_ORACLE,
+       doc="First-order behavioral transition matrix: per-user "
+           "consecutive event pairs -> P(next | current) in exact "
+           "integer ppm, with each row's rank among its source state's "
+           "successors — the Markov baseline that anomaly rules compare "
+           "a session against. One user-keyed window + one "
+           "(from, to) count shuffle; matrix size is states^2, "
+           "independent of row count.")
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()).select(
+        "user_id", "event_id", "event_type",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', ts)").alias("us"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    hops = (ev.select(F.col("event_type").alias("t_from"),
+                      F.lead("event_type").over(w).alias("t_to"))
+            .filter(F.col("t_to").isNotNull()))
+    c = hops.groupBy("t_from", "t_to").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = c.groupBy("t_from").agg(F.sum("n").cast("bigint").alias("n_from"))
+    w_rank = W.partitionBy("t_from").orderBy(F.col("n").desc(), "t_to")
+    return (
+        c.join(tot, "t_from")
+        .withColumn("p_ppm",
+                    F.expr("(n * CAST(1000000 AS BIGINT)) DIV n_from"))
+        .withColumn("rank_within_from",
+                    F.row_number().over(w_rank).cast("bigint"))
+        .drop("n_from")
+        .repartition(1).sortWithinPartitions("t_from", "t_to")
+    )
