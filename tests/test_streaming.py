@@ -1236,3 +1236,48 @@ def test_decayed_counters_ttl_evicts_idle_keys(spark, tmp_path):
         finally:
             q.stop()
     assert state_rows == 1  # only the fresh key survives
+
+
+def test_decayed_counters_state_survives_restart(spark, tmp_path):
+    """Checkpoint recovery: stop the query after batch 1, restart on the
+    same checkpoint, feed batch 2 — the final score must equal the fold
+    of the FULL history, proving (last_h, score) round-trips the state
+    store across restarts."""
+    from streamalert_spark.streaming.bounded import bounded_stream_shuffle
+    from streamalert_spark.streaming.decay import decayed_counters_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    led = []
+
+    def sink(batch_df, epoch_id):
+        led.extend((r["k"], r["last_h"], r["score_fp"])
+                   for r in batch_df.collect())
+
+    def start():
+        out = decayed_counters_stream(_decay_src(spark, in_dir))
+        return (out.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start())
+
+    _decay_write_batch(spark, in_dir, "b0", [(1, 1, 0, 3), (1, 2, 2, 5)])
+    with bounded_stream_shuffle(spark):
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        _decay_write_batch(spark, in_dir, "b1", [(1, 3, 3, 2)])
+        q2 = start()
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+
+    s = 3 * 1_000_000
+    s = (s >> 2) + 5 * 1_000_000
+    s = (s >> 1) + 2 * 1_000_000
+    latest = {k: (h, sc) for k, h, sc in led}
+    assert latest[1] == (3, s)
