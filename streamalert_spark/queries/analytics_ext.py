@@ -1023,3 +1023,82 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_from")
         .repartition(1).sortWithinPartitions("t_from", "t_to")
     )
+
+
+# ------------------------------------------------- association rules
+
+_ASSOC_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT l.l_orderkey AS basket, p.p_type AS item
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM b),
+c1 AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY item),
+pairs AS (
+  SELECT x.item AS item_a, y.item AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+  GROUP BY x.item, y.item
+)
+SELECT p.item_a, p.item_b, p.c_ab,
+       (p.c_ab * 1000000) // a.c AS conf_a_to_b_ppm,
+       (p.c_ab * 1000000) // bb.c AS conf_b_to_a_ppm,
+       (p.c_ab * n.n_baskets * 1000000) // (a.c * bb.c) AS lift_x1e6
+FROM pairs p
+JOIN c1 a ON a.item = p.item_a
+JOIN c1 bb ON bb.item = p.item_b
+CROSS JOIN n
+ORDER BY p.c_ab DESC, p.item_a, p.item_b
+LIMIT 25
+"""
+
+
+@query("basket_association_rules", oracle=_ASSOC_ORACLE,
+       doc="Market-basket association rules over order baskets: pair "
+           "support, both conditional confidences, and lift — all exact "
+           "integer ppm (lift > 1e6 means the pair co-occurs more than "
+           "independence predicts). The pair self-join is keyed by "
+           "basket, so fan-out is bounded by basket size squared (never "
+           "corpus-squared); item counts join back on the item key; the "
+           "1-row basket total rides a broadcast. Top-25 by TakeOrdered.")
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_partkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    from streamalert_spark.ops.hints import gated_broadcast
+
+    b = (li.join(gated_broadcast(part),
+                 li.l_partkey == part.p_partkey)
+         .select(F.col("l_orderkey").alias("basket"),
+                 F.col("p_type").alias("item"))
+         .distinct())
+    n = b.select("basket").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+    c1 = b.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    x = b.alias("x")
+    y = b.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.basket") == F.col("y.basket"))
+               & (F.col("x.item") < F.col("y.item")))
+        .groupBy(F.col("x.item").alias("item_a"),
+                 F.col("y.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+    out = (
+        pairs
+        .join(c1.select(F.col("item").alias("item_a"),
+                        F.col("c").alias("c_a")), "item_a")
+        .join(c1.select(F.col("item").alias("item_b"),
+                        F.col("c").alias("c_b")), "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a", "item_b", "c_ab",
+            F.expr("(c_ab * CAST(1000000 AS BIGINT)) DIV c_a")
+             .alias("conf_a_to_b_ppm"),
+            F.expr("(c_ab * CAST(1000000 AS BIGINT)) DIV c_b")
+             .alias("conf_b_to_a_ppm"),
+            F.expr("(c_ab * n_baskets * CAST(1000000 AS BIGINT)) "
+                   "DIV (c_a * c_b)").alias("lift_x1e6"),
+        )
+    )
+    return out.orderBy(F.col("c_ab").desc(), "item_a", "item_b").limit(25)
