@@ -115,7 +115,8 @@ _VERIFY_FIRST = [
     # beaconing_pairs, impossible_travel_hops, decayed_risk_scores,
     # typosquat_domain_verdicts, table_pii_profile,
     # stream_decayed_counters_bounded, token_drift_tvd,
-    # event_transition_matrix, basket_association_rules.
+    # event_transition_matrix, basket_association_rules,
+    # top_session_paths, new_entity_emergence.
     # Staleness is
     # STRUCTURAL: with a
     # ~177-query registry and a 50-slot external sample, a full refresh

@@ -1102,3 +1102,95 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.col("c_ab").desc(), "item_a", "item_b").limit(25)
+
+
+# ---------------------------------------------------- top session paths
+
+_SESSION_PATHS_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events WHERE user_id IS NOT NULL
+),
+ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS rn
+  FROM e
+),
+paths AS (
+  SELECT user_id,
+         string_agg(event_type, ' > ' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 5 GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT 20
+"""
+
+
+@query("top_session_paths", oracle=_SESSION_PATHS_ORACLE,
+       doc="Path mining: each user's first 5 events in order form a "
+           "path string; the 20 most common paths. One user-keyed "
+           "window (rank <= 5 caps the per-user carry), one path "
+           "count shuffle, TakeOrdered top-k.")
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()).select(
+        "user_id", "event_id", "event_type",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', ts)").alias("us"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    ranked = (ev.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 5))
+    paths = (
+        ranked.groupBy("user_id")
+        .agg(F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"]),
+            " > ").alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path").limit(20)
+    )
+
+
+# ------------------------------------------------ new-entity emergence
+
+_EMERGENCE_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_ts
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+)
+SELECT CAST(epoch_us(first_ts) // 86400000000 AS BIGINT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_new_entities
+FROM firsts GROUP BY day ORDER BY day
+"""
+
+
+@query("new_entity_emergence", oracle=_EMERGENCE_ORACLE,
+       doc="New-entity emergence curve: each entity's first-seen day, "
+           "rolled up to new-entities-per-day — the batch twin of the "
+           "streaming first_seen detector, and the curve a sudden "
+           "credential-stuffing wave bends. Two partial-aggregated "
+           "shuffles (min per entity, count per day).")
+def new_entity_emergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()).select(
+        "user_id",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', ts)").alias("us"))
+    firsts = ev.groupBy("user_id").agg(F.min("us").alias("first_us"))
+    return (
+        firsts.select(F.expr("first_us DIV 86400000000").cast("bigint")
+                      .alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_entities"))
+        .repartition(1).sortWithinPartitions("day")
+    )
