@@ -69,3 +69,61 @@ def kcore(
         .groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
     )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """k-truss pruning: keep edges participating in >= k-2 triangles of
+    the CURRENT subgraph, repeated for ``rounds`` prune rounds (removals
+    cascade — dropping one weak edge can demote the triangles of its
+    neighbors, which is why triangle-count filtering alone is not a
+    truss). A fixed round count keeps the computation oracle-checkable
+    (the DuckDB twin unrolls the same rounds as MATERIALIZED CTEs — the
+    k-means precedent); production runs until the per-round removed
+    count hits zero, same loop.
+
+    Output: surviving (a, b, sup) with each edge's final-round support.
+
+    Scale per round: triangles via the ordered-wedge join (edges
+    oriented low->high so hub fan-out is bounded), support = one
+    partial-aggregated union count, prune = one edge-keyed join. Each
+    round localCheckpoint()s to truncate lineage; NOTHING is collected
+    to the driver.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = (
+        edges.select(F.least(a_col, b_col).alias("a"),
+                     F.greatest(a_col, b_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    minsup = k - 2
+    out = None
+    for _ in range(rounds):
+        e1 = e.select(F.col("a").alias("a"), F.col("b").alias("w"))
+        e2 = e.select(F.col("a").alias("w"), F.col("b").alias("c"))
+        wedges = e1.join(e2, "w").select("a", F.col("w").alias("b"), "c")
+        tri = wedges.join(
+            e.select(F.col("a").alias("a"), F.col("b").alias("c")),
+            ["a", "c"])
+        sup = (
+            tri.select(F.col("a").alias("x"), F.col("b").alias("y"))
+            .unionByName(tri.select(F.col("b").alias("x"),
+                                    F.col("c").alias("y")))
+            .unionByName(tri.select(F.col("a").alias("x"),
+                                    F.col("c").alias("y")))
+            .groupBy(F.col("x").alias("a"), F.col("y").alias("b"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+        )
+        out = (sup.join(e, ["a", "b"])
+               .filter(F.col("sup") >= minsup)
+               .localCheckpoint())
+        e = out.select("a", "b")
+    return out

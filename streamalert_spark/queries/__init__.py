@@ -116,7 +116,7 @@ _VERIFY_FIRST = [
     # typosquat_domain_verdicts, table_pii_profile,
     # stream_decayed_counters_bounded, token_drift_tvd,
     # event_transition_matrix, basket_association_rules,
-    # top_session_paths, new_entity_emergence.
+    # top_session_paths, new_entity_emergence, ktruss_edges.
     # Staleness is
     # STRUCTURAL: with a
     # ~177-query registry and a 50-slot external sample, a full refresh

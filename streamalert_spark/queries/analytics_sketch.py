@@ -1720,3 +1720,74 @@ def typosquat_domain_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_domains"))
         .repartition(1).sortWithinPartitions("verdict", "matched_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss: cohesive-subgraph extraction by cascading triangle-support prune
+# ---------------------------------------------------------------------------
+
+def _ktruss_oracle(rounds: int = 3, minsup: int = 2) -> str:
+    """Unrolled fixed-round k-truss as MATERIALIZED CTEs (without the
+    hint DuckDB inlines each round's THREE references to the previous
+    round, which expands exponentially — measured minutes at round 4;
+    materialized it is milliseconds)."""
+    def tri(e: str) -> str:
+        return (f"SELECT e1.a AS a, e1.b AS b, e2.b AS c FROM {e} e1 "
+                f"JOIN {e} e2 ON e2.a = e1.b "
+                f"JOIN {e} e3 ON e3.a = e1.a AND e3.b = e2.b")
+
+    ctes = ["""nodes AS MATERIALIZED (
+  SELECT DISTINCT doc_id % 60 AS v FROM documents
+),
+e0 AS MATERIALIZED (
+  SELECT x.v AS a, y.v AS b
+  FROM nodes x, nodes y
+  WHERE x.v < y.v AND (
+    (x.v // 6 = y.v // 6 AND (x.v + y.v) % 5 <> 0)
+    OR y.v = x.v + 6
+  )
+)"""]
+    for i in range(rounds):
+        ctes.append(f"t{i} AS MATERIALIZED ({tri(f'e{i}')})")
+        ctes.append(f"""s{i} AS MATERIALIZED (
+  SELECT x AS a, y AS b, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+    SELECT a AS x, b AS y FROM t{i}
+    UNION ALL SELECT b, c FROM t{i}
+    UNION ALL SELECT a, c FROM t{i}
+  ) GROUP BY x, y
+)""")
+        ctes.append(f"""e{i + 1} AS MATERIALIZED (
+  SELECT s.a, s.b, s.sup FROM s{i} s JOIN e{i} e ON e.a = s.a AND e.b = s.b
+  WHERE s.sup >= {minsup}
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT a, b, sup FROM e{rounds} ORDER BY a, b")
+
+
+@query("ktruss_edges", oracle=_ktruss_oracle(),
+       doc="4-truss extraction over a punctured-clique fixture graph "
+           "(blocks of 6 with holes + cross-block spokes): edges must "
+           "sit in >= 2 triangles of the CURRENT subgraph, pruned for 3 "
+           "cascading rounds (the fixture converges in 2 — round 3 "
+           "proves the fixed point). Completes the graph family next to "
+           "pagerank/triangles/k-core/components: k-core peels NODES by "
+           "degree, k-truss peels EDGES by triangle support — the "
+           "stronger cohesion test that kills hub-and-spoke 'communit"
+           "ies'. Per round: ordered-wedge triangle join + one support "
+           "count + one edge-keyed prune join; no driver collects.")
+def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.kcore import ktruss
+
+    nodes = (_docs(spark, sf_dir)
+             .select((F.col("doc_id") % 60).alias("v")).distinct())
+    x = nodes.alias("x")
+    y = nodes.alias("y")
+    edges = (
+        x.join(y, (F.col("x.v") < F.col("y.v"))
+               & ((F.expr("x.v DIV 6") == F.expr("y.v DIV 6"))
+                  & ((F.col("x.v") + F.col("y.v")) % 5 != 0)
+                  | (F.col("y.v") == F.col("x.v") + 6)))
+        .select(F.col("x.v").alias("a"), F.col("y.v").alias("b"))
+    )
+    out = ktruss(edges, k=4, rounds=3)
+    return out.repartition(1).sortWithinPartitions("a", "b")
