@@ -44,6 +44,7 @@ from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from streamalert_spark.session import local_rows_df
 
 # main.py:43-51 constants
 API_URL = "https://api.threatstream.com"
@@ -215,7 +216,8 @@ def ingest_feed(
         for seq, r in enumerate(rows)
     ]
     # VALUES-style local relation so downstream size gates see real stats
-    df = spark.createDataFrame(
+    df = local_rows_df(
+        spark,
         records,
         "seq bigint, ioc_value string, ioc_type string, sub_type string, "
         "source string, expiration_ts bigint",

@@ -97,6 +97,12 @@ def ktruss(
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    if k < 3:
+        # the prune inner-joins support counts onto edges, so edges in zero
+        # triangles drop unconditionally — correct for k >= 3 (minsup >= 1),
+        # wrong for k <= 2 where the truss is every edge. Reject rather
+        # than silently return the 3-truss.
+        raise ValueError("k must be >= 3 (the 2-truss is the edge set itself)")
     e = (
         edges.select(F.least(a_col, b_col).alias("a"),
                      F.greatest(a_col, b_col).alias("b"))

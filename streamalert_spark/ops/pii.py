@@ -17,6 +17,8 @@ checksum stays inside whole-stage codegen.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -135,17 +137,38 @@ def pseudonymize(key_col: Column, salt: str) -> Column:
 
 IP_BITS = 32
 _ODD_HEX = "('1','3','5','7','9','b','d','f')"
+_KEY_RE = re.compile(r"^[A-Za-z0-9_-]{1,64}$")
 
 
 def ip_bits_sql(ip_col: str) -> str:
-    """SQL: the 32-char '0'/'1' string of an IPv4 address integer."""
-    return f"lpad(bin(CAST({ip_col} AS BIGINT)), {IP_BITS}, '0')"
+    """SQL: the 32-char '0'/'1' string of an IPv4 address integer.
+
+    Input contract: {ip_col} must be a valid IPv4 integer in [0, 2^32).
+    A value outside that range would lpad-TRUNCATE to its first 32
+    binary chars (silently anonymizing a DIFFERENT address), so
+    out-of-range inputs map to NULL instead — dialect-neutral (the same
+    text runs in Spark and DuckDB, neither of which shares an
+    error-raising function), and a NULL pseudonym is auditable where a
+    wrong one is not."""
+    return (
+        f"(CASE WHEN CAST({ip_col} AS BIGINT) BETWEEN 0 AND 4294967295 "
+        f"THEN lpad(bin(CAST({ip_col} AS BIGINT)), {IP_BITS}, '0') "
+        f"ELSE NULL END)"
+    )
 
 
 def prefix_preserving_anon_sql(bits_col: str, key: str = "pk") -> str:
     """SQL: the anonymized 32-bit integer from a bits-string column.
     flip_i = parity of md5(key ':' first i-1 bits); anon bit = bit XOR
-    flip expressed as (bit + flip) % 2 (dialect-neutral XOR for 0/1)."""
+    flip expressed as (bit + flip) % 2 (dialect-neutral XOR for 0/1).
+
+    ``key`` is interpolated into SQL text, so it is restricted to
+    [A-Za-z0-9_-] (no quotes/backslashes) — a free-form secret would
+    otherwise break or alter the generated statement in both engines."""
+    if not _KEY_RE.match(key):
+        raise ValueError(
+            "key must match [A-Za-z0-9_-]{1,64} (it is embedded in "
+            "generated SQL text)")
     terms = []
     for i in range(1, IP_BITS + 1):
         b = f"CAST(substring({bits_col}, {i}, 1) AS INT)"

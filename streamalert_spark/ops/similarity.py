@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from streamalert_spark.session import local_rows_df
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -75,8 +76,8 @@ def cosine_pairs(
     pair_rows = [(bi, bj) for bi in range(num_blocks) for bj in range(bi, num_blocks)]
     # Two independently-constructed plans (fresh literal frames, renamed
     # columns) so the cogroup below is not an ambiguous self-join.
-    left_pairs = spark.createDataFrame(pair_rows, "bi int, bj int")
-    right_pairs = spark.createDataFrame(pair_rows, "r_bi int, r_bj int")
+    left_pairs = local_rows_df(spark, pair_rows, "bi int, bj int")
+    right_pairs = local_rows_df(spark, pair_rows, "r_bi int, r_bj int")
     blk = (F.col(id_col) % num_blocks).cast("int")
     left = (
         df.select(F.col(id_col).alias("l_id"), F.col(vec_col).alias("l_vec"),

@@ -50,80 +50,78 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # queries whose underlying operators changed most recently and should be
 # re-verified first. Every other query follows in registration order.
 _VERIFY_FIRST = [
-    # ---- round-8 new queries prepend HERE (keep list length <= 50) ----
-    "span_dedup_scrub",            # new: first-occurrence span dedup rewrite
-    "bigram_lm_doc_scores",        # new: fixed-point bigram-LM filter
-    "cross_source_ngram_matrix",   # new: source-pair contamination matrix
-    "embedding_quantize_topk",     # new: SQ8 int8-dot ANN
-    "skew_key_diagnostics",        # new: hot-key share/ratio report
-    "interval_overlap_agg",        # new: grid-bucketed overlap join
-    "mad_outlier_summary",         # new: median/MAD robust outliers
-    "stream_hll_distinct_bounded",  # new: streaming mergeable HLL state
-    "resample_fill_gaps",          # new: zero-filled hourly spine
-    "stream_pattern_match_ooo_bounded",  # new: watermark-staged OOO CEP
-    "gopher_quality_flags",        # new: Gopher document quality rules
-    "quality_logistic_score",      # new: fixed-weight quality classifier
-    "cross_doc_dup_rate",          # new: cross-doc 4-gram duplication
-    "user_risk_rfm",               # new: RFM behavioral banding
-    "pseudonymize_consistent",     # new: keyed pseudonym + join audit
-    "dedup_keep_best",             # new: per-cluster representative keep
-    "hard_negative_mining",        # new: cross-label top-k negatives
-    "stream_static_enrich_bounded",  # new: stream-static dim join
-    # round-8 changed operators — re-verify first: cep.py grew state
-    # eviction (remove-on-reset + timeouts), the ti ingester's dedup is
-    # now arrival-order last-write-wins, the alert-writer demo batches
-    # are larger (physical only)
-    "stream_pattern_match_bounded",
-    "threat_intel_feed_ingest",
-    "alert_output_writer_ledger",
-    # last green driver row is ROUND 4 — the full 29-query stale tail
-    # (computed from CORRECTNESS_r02..r07)
-    "q4_priority_with_returns",
-    "q6_forecast_revenue",
-    "q12_shipping_priority_counts",
-    "q13_customer_distribution",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q21_waiting_suppliers",
-    "q22_sales_opportunity",
-    "time_rollup_multi",
-    "set_operations_cohorts",
-    "ranking_functions_surface",
-    "pack_sequences",
-    "vocab_topk",
-    "mixture_reweight",
-    "tfidf_top_terms",
-    "bpe_merge_pairs",
-    "pii_detect_redact",
-    "clean_text_normalize",
-    "udtf_tokenize_offsets",
-    "udaf_lower_median",
-    "ivf_ann_topk",
-    "boilerplate_ngram_spans",
-    "graph_triangles",
-    "pagerank_top_nodes",
-    "dedup_resolution",
-    "dedup_components",
-    "lsh_verified_pairs",
-    "semantic_cell_neardup",
-    "semantic_decontamination",
-    # ^ 50 entries — the external sampler's full prefix (18 r8-new or
-    # r8-changed + 3 re-gated + the complete 29-query r4-stale tail).
-    # Registered after the prefix filled (lead r9 with them):
-    # ip_prefix_anonymize_audit, dedup_cascade_stages,
-    # decontaminate_containment, stream_histogram_quantiles_bounded,
-    # beaconing_pairs, impossible_travel_hops, decayed_risk_scores,
-    # typosquat_domain_verdicts, table_pii_profile,
-    # stream_decayed_counters_bounded, token_drift_tvd,
-    # event_transition_matrix, basket_association_rules,
-    # top_session_paths, new_entity_emergence, ktruss_edges.
-    # Staleness is
-    # STRUCTURAL: with a
-    # ~177-query registry and a 50-slot external sample, a full refresh
-    # takes 4 rounds — the in-repo parity sweep (tests/test_oracle_parity)
-    # covers every query every run; this list only decides which names
-    # the external sampler re-checks soonest. After r8 the oldest
-    # driver-green row for any oracle-paired query should be r5.
+    # ---- round-9 new queries prepend HERE (keep list length <= 50) ----
+    # r8-registered, never externally sampled (registered after r8's
+    # prefix filled) -- claims until the driver hash-checks them:
+    "ip_prefix_anonymize_audit",
+    "dedup_cascade_stages",
+    "decontaminate_containment",
+    "stream_histogram_quantiles_bounded",
+    "beaconing_pairs",
+    "impossible_travel_hops",
+    "decayed_risk_scores",        # r9: dead first age_h withColumn removed
+    "typosquat_domain_verdicts",
+    "table_pii_profile",
+    "stream_decayed_counters_bounded",
+    "token_drift_tvd",            # r9: oracle gained the zero-total guard
+    "event_transition_matrix",
+    "basket_association_rules",
+    "top_session_paths",
+    "new_entity_emergence",
+    "ktruss_edges",
+    # round-9 changed queries -- re-verify first:
+    "alert_merge_greedy",         # r9: gained the full-payload JSON oracle
+    "stream_pattern_match_ooo_bounded",  # r9: 1-in-5 key subset + oracle
+    # last green driver row is ROUND 5 -- the oldest 32 of the 44-query
+    # r5-stale tail (computed from CORRECTNESS_r02..r08); the remaining
+    # 12 lead r10 (listed below)
+    "classify_strict_json",
+    "rule_alerts_native",
+    "normalized_artifacts",
+    "alert_merge_windowed",
+    "alert_merge_greedy_groups",
+    "rule_datatype_routing",
+    "streamquery_feedback",
+    "simhash_neardup_pairs",
+    "source_kinesis_decode",
+    "source_sns_extract",
+    "source_s3_records",
+    "app_source_backfill",
+    "fuzzy_name_pairs",
+    "inverted_index_terms",
+    "cms_heavy_hitters",
+    "table_profile_lineitem",
+    "zorder_pruning_ledger",
+    "cdc_merge_snapshot",
+    "salted_topk_per_type",
+    "winsorize_event_values",
+    "scd2_status_history",
+    "compaction_plan_bins",
+    "stream_cdc_apply_bounded",
+    "equidepth_histogram",
+    "referential_integrity_audit",
+    "freshness_gap_report",
+    "seasonal_rate_spikes",
+    "stream_dedup_gate_bounded",
+    "kmv_sketch_rollup",
+    "train_eval_split_manifest",
+    "kcore_dense_nodes",
+    "snapshot_diff_feed",
+    # ^ 50 entries -- the external sampler's full prefix (16 never-sampled
+    # + 2 r9-changed + 32 of the r5-stale tail). Still r5-stale after r9
+    # (lead r10 with them): incremental_agg_maintenance,
+    # weighted_sample_docs, app_source_salesforce,
+    # app_source_stream_resume, bpe_learned_merges, bpe_encode_tokens,
+    # entity_resolution_groups, incremental_dedup_pairs,
+    # salted_exact_distinct_users, stream_first_seen_bounded,
+    # histogram_quantile_sketch, stream_rate_alerts_bounded.
+    # Staleness is STRUCTURAL: with a ~210-query registry and a 50-slot
+    # external sample, a full refresh takes 4+ rounds -- the in-repo
+    # parity sweep (tests/test_oracle_parity) covers every query every
+    # run; this list only decides which names the external sampler
+    # re-checks soonest. After r9 the oldest driver-green row for any
+    # oracle-paired query should be r5 (those 12), with everything else
+    # r6+.
 ]
 
 

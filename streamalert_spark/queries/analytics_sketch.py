@@ -1590,9 +1590,6 @@ def decayed_risk_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor = ev.agg(F.max("es").alias("now_s"))
     scored = (
         ev.crossJoin(F.broadcast(anchor))
-        .withColumn("age_h", F.least((F.col("now_s") - F.col("es"))
-                                     .cast("bigint") / F.lit(3600), F.lit(40))
-                    .cast("int"))
         .withColumn("age_h", F.least(
             F.expr("(now_s - es) DIV 3600"), F.lit(40)).cast("int"))
         .withColumn(

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from streamalert_spark.ops import curation, text
 from streamalert_spark.queries import query
+from streamalert_spark.session import local_rows_df
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,8 +91,8 @@ ORDER BY doc_id
            "public-suffix handling, broadcast anti-join, zero corpus shuffle.")
 def url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_urls(_docs(spark, sf_dir))
-    blocked = spark.createDataFrame(
-        [("src3-cdn.example",), ("src7.co.uk",)], ["domain"])
+    blocked = local_rows_df(
+        spark, [("src3-cdn.example",), ("src7.co.uk",)], "domain string")
     kept = curation.domain_blocklist_filter(docs, blocked)
     return (
         kept.withColumn("path_depth", curation.url_path_depth(F.col("url")))
@@ -723,8 +724,10 @@ totals AS (
 )
 SELECT c.grp AS source,
        MAX(t.n_a) AS n_a, MAX(t.n_b) AS n_b,
-       CAST((SUM(abs(c.c_a * t.n_b - c.c_b * t.n_a)) * 1000000)
-            // (2 * MAX(t.n_a) * MAX(t.n_b)) AS BIGINT) AS tvd_ppm
+       CASE WHEN MAX(t.n_a) = 0 OR MAX(t.n_b) = 0 THEN NULL
+            ELSE CAST((SUM(abs(c.c_a * t.n_b - c.c_b * t.n_a)) * 1000000)
+                      // (2 * MAX(t.n_a) * MAX(t.n_b)) AS BIGINT)
+       END AS tvd_ppm
 FROM counts c JOIN totals t USING (grp)
 GROUP BY c.grp
 ORDER BY source

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from streamalert_spark.ops import dedup, similarity, text
 from streamalert_spark.queries import query
+from streamalert_spark.session import local_rows_df
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1036,8 +1037,8 @@ def stream_dedup_gate_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return (
-        spark.createDataFrame(rows, "new_id bigint, corpus_id bigint, "
-                                    "jaccard double")
+        local_rows_df(spark, rows, "new_id bigint, corpus_id bigint, "
+                                   "jaccard double")
         .repartition(1).sortWithinPartitions("new_id", "corpus_id")
     )
 

@@ -25,6 +25,7 @@ from streamalert_spark.queries import query
 from streamalert_spark.rules.engine import RulesEngine
 from streamalert_spark.rules.registry import Rule, RuleRegistry
 from streamalert_spark.schema.registry import LogSchema, SchemaRegistry
+from streamalert_spark.session import local_rows_df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,7 +218,8 @@ def threat_intel_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "userName": [PathSpec(path="user_id", function="user identity")],
     }))
     normed = normalizer.apply(records, record_id=F.md5(F.col("event_id").cast("string")))
-    ioc_df = spark.createDataFrame(
+    ioc_df = local_rows_df(
+        spark,
         [("3", "mal_user"), ("7", "mal_user"), ("13", "compromised"), ("42", "compromised")],
         "ioc_value string, sub_type string",
     )

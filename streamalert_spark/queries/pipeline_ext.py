@@ -13,12 +13,68 @@ from streamalert_spark.alerts.merge import merge_alerts_batch
 from streamalert_spark.alerts.model import ALERT_TS_FMT
 from streamalert_spark.queries import query
 from streamalert_spark.session import read_table
+from streamalert_spark.session import local_rows_df
 
 
-@query("alert_merge_greedy", oracle=None,
+# The raw merged_record JSON is oracle-reconstructable for THIS query's
+# flat input shape: the operator serializes with json.dumps(sort_keys=True)
+# (deterministic key order + ", "/": " separators), the group's records
+# carry only (user_id, event_type) — both constant within a group — so
+# OtherCommonKeys is exactly {"event_type": "error"} and every ValueDiffs
+# entry is an empty dict keyed by a created timestamp (duplicate created
+# strings collapse under Python dict semantics -> DISTINCT in the oracle;
+# the collapse is value-invariant because all diffs are {}). The oracle
+# replays the greedy walk of _GREEDY_GROUPS_ORACLE and string-builds the
+# identical JSON, so the driver hash checks the FULL merged payload.
+_GREEDY_FULL_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT CAST(user_id AS VARCHAR) AS uid, CAST(ts AS TIMESTAMP) AS created
+  FROM events WHERE event_type = 'error'
+), ordered AS (
+  SELECT uid, created,
+         row_number() OVER (PARTITION BY uid ORDER BY created) AS rn
+  FROM base
+), walk AS (
+  SELECT uid, rn, created, created AS grp_start, 1 AS cnt
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.uid, o.rn, o.created,
+         CASE WHEN o.created <= w.grp_start + INTERVAL 15 MINUTE AND w.cnt < 50
+              THEN w.grp_start ELSE o.created END,
+         CASE WHEN o.created <= w.grp_start + INTERVAL 15 MINUTE AND w.cnt < 50
+              THEN w.cnt + 1 ELSE 1 END
+  FROM ordered o JOIN walk w ON o.uid = w.uid AND o.rn = w.rn + 1
+)
+SELECT 'error_burst' AS rule_name,
+       '{"user_id":"' || uid || '"}' AS merge_values,
+       CAST(COUNT(*) AS BIGINT) AS alert_count,
+       strftime(MIN(created), '%Y-%m-%dT%H:%M:%S.%fZ') AS alert_time_first,
+       strftime(MAX(created), '%Y-%m-%dT%H:%M:%S.%fZ') AS alert_time_last,
+       '{"AlertCount": ' || COUNT(*)
+         || ', "AlertTimeFirst": "'
+         || strftime(MIN(created), '%Y-%m-%dT%H:%M:%S.%fZ')
+         || '", "AlertTimeLast": "'
+         || strftime(MAX(created), '%Y-%m-%dT%H:%M:%S.%fZ')
+         || '", "MergedBy": {"user_id": "' || uid
+         || '"}, "OtherCommonKeys": {"event_type": "error"}, "ValueDiffs": {'
+         || string_agg(
+              DISTINCT '"' || strftime(created, '%Y-%m-%dT%H:%M:%S.%fZ')
+                        || '": {}',
+              ', ' ORDER BY '"' || strftime(created, '%Y-%m-%dT%H:%M:%S.%fZ')
+                        || '": {}')
+         || '}}' AS merged_record
+FROM walk
+GROUP BY uid, grp_start
+ORDER BY rule_name, merge_values, alert_time_first
+"""
+
+
+@query("alert_merge_greedy", oracle=_GREEDY_FULL_ORACLE,
        doc="Greedy chronological alert merge with the 50-cap and "
            "oldest-alert window (alert_merger/main.py:106-132, "
-           "alert.py:289-433) — iterative semantics, rows-only check.")
+           "alert.py:289-433); the oracle replays the walk AND "
+           "string-builds the exact sort_keys JSON of the synthesized "
+           "merged record, hash-checking the full payload.")
 def alert_merge_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     alerts = ev.filter(F.col("event_type") == "error").select(
@@ -478,8 +534,8 @@ def threat_intel_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return (
-        spark.createDataFrame(
-            rows, "value string, sub_type string, expiration_ts bigint, "
-                  "n_hits bigint")
+        local_rows_df(
+            spark, rows, "value string, sub_type string, "
+                         "expiration_ts bigint, n_hits bigint")
         .repartition(1).sortWithinPartitions("value")
     )

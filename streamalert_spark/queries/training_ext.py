@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from streamalert_spark.ops import packing
 from streamalert_spark.ops.text import tokens
 from streamalert_spark.queries import query
+from streamalert_spark.session import local_rows_df
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,8 +361,8 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merges = learn_bpe(_docs(spark, sf_dir), n_merges=10)
     rows = [(i, pair, count) for i, (pair, count) in enumerate(merges)]
-    return spark.createDataFrame(
-        rows, "merge_idx bigint, pair string, pair_count bigint")
+    return local_rows_df(
+        spark, rows, "merge_idx bigint, pair string, pair_count bigint")
 
 
 @query("compression_ratio_signal", oracle=None,

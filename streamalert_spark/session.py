@@ -134,3 +134,35 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+def local_rows_df(spark: SparkSession, rows, schema: str):
+    """Small driver-side fixture/sentinel frame, Arrow-backed.
+
+    ``spark.createDataFrame(list, schema)`` builds a pickled-Python local
+    relation that fans out to defaultParallelism tasks, each paying a
+    Python-worker round trip — measured ~4.6 s to WRITE a 1-row frame at
+    local[32] (and ~0.5 s per action even warm). Routing the same rows
+    through a pandas DataFrame takes the Arrow path instead: a compact
+    1-partition relation, ~0.1 s. Falls back to the list path for
+    schemas/values Arrow can't convert (and for empty row lists, where
+    the list path is already cheap).
+
+    Use this for every driver-materialized frame that participates in a
+    measured query; at cluster scale these frames are broadcast-sized
+    fixtures, so the driver-side build cost IS their total cost.
+    """
+    if not rows:
+        return spark.createDataFrame([], schema)
+    try:
+        import pandas as pd
+        from pyspark.sql.types import StructType
+
+        names = [f.name for f in StructType.fromDDL(schema).fields]
+        tuples = [tuple(r) for r in rows]
+        pdf = pd.DataFrame(tuples, columns=names, dtype=object)
+        # NaN-free object columns keep None as None through Arrow
+        pdf = pdf.where(pd.notna(pdf), None)
+        return spark.createDataFrame(pdf, schema=schema)
+    except Exception:  # noqa: BLE001 — conversion gaps fall back, never fail
+        return spark.createDataFrame(rows, schema)

@@ -13,6 +13,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from streamalert_spark.session import local_rows_df
 
 
 @dataclass
@@ -47,7 +48,7 @@ def alert_counts_since(
     missing = [(i.rule_name, 0) for i in staged if i.rule_name not in seen]
     if missing:
         out = out.unionByName(
-            spark.createDataFrame(missing, "rule_name string, alert_count bigint")
+            local_rows_df(spark, missing, "rule_name string, alert_count bigint")
         )
     return out.orderBy(F.col("alert_count").desc(), "rule_name")
 

@@ -30,6 +30,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from streamalert_spark.session import local_rows_df
 
 
 def generate_time_parameters(now: datetime | None = None) -> dict[str, str]:
@@ -191,4 +192,4 @@ class ScheduledQueryRunner:
                     f"({len(payload.encode())} bytes of envelope); shorten "
                     f"the pack query/description or raise max_bytes")
             rows.append((payload,))
-        return self.spark.createDataFrame(rows, "value string")
+        return local_rows_df(self.spark, rows, "value string")

@@ -17,6 +17,7 @@ the FIRST start of a checkpoint, which is why the scope must cover
 from __future__ import annotations
 
 from contextlib import contextmanager
+from streamalert_spark.session import local_rows_df
 
 
 @contextmanager
@@ -59,4 +60,4 @@ def run_bounded_to_rows(spark, df, schema: str, shuffle_n: int = 8):
         rows = spark.read.schema(schema).parquet(f"{work}/out").collect()
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_rows_df(spark, rows, schema)

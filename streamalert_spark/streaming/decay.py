@@ -1,18 +1,24 @@
 """Streaming half-life decayed counters — per-key behavioral risk with a
 power-of-two hourly half-life, carried across micro-batches.
 
-Batch form: `queries/analytics_sketch.py decayed_risk_scores` (score at a
-fixed anchor = Σ floor(cents)*1e6 DIV 2^age_hours). The streaming form
-keeps ONE (last_hour, score) pair per key and folds each event as
+Batch twin: `queries/analytics_sketch.py decayed_risk_scores` encodes the
+SAME sequential fold (DuckDB list_reduce over the key's event-time-ordered
+history). The streaming form keeps ONE (last_hour, score) pair per key and
+folds each event as
 
     score = score DIV 2^(h - last_hour) + contribution;  last_hour = h
 
-The fold is EXACT against the batch definition because floor division
+Determinism contract: the streamed score equals the one-shot sequential
+fold over the key's full history, bit for bit, because floor division
 nests over power-of-two divisors (floor(floor(n/p)/q) == floor(n/(p*q)))
-and absolute-hour buckets make ages additive — so the streamed score at
-the final event equals the one-shot batch fold over the key's full
-history, bit for bit. DuckDB reproduces the same fold with list_reduce,
-which is what the driver oracle does.
+and absolute-hour buckets make ages additive. Note this is fold-vs-fold
+parity, NOT equality with the anchored per-event sum
+Σ floor(v*scale / 2^age_h): floor does not distribute over the
+intermediate sums, so the fold can differ from that sum by small carry
+amounts whenever >=2 decay steps separate contributions (e.g. scale=1e6,
+v=1 at h=0,10,20 → fold 1_000_977 vs per-event sum 1_000_976). Both the
+oracle and the batch query use the fold definition, so the two engines
+agree; just don't substitute the per-event-sum formula for either.
 
 Ordering contract: per-key rows arrive in event-time order across
 micro-batches (the same contract as `cep.pattern_match_stream`; front an

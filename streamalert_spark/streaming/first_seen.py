@@ -63,5 +63,9 @@ def first_seen(
         outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
+        # eviction: unbounded-by-design — the operator's contract IS the
+        # eternal set of keys ever seen (one boolean per key); expiring a
+        # key would re-alert on its next event. Production bounds the
+        # domain upstream (key scoping / roll the checkpoint per epoch).
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

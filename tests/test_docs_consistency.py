@@ -68,3 +68,20 @@ def test_scale_md_broadcast_claims_match_code():
     assert "gated" in ti_section.lower()
     lookup_section = scale.split("Lookup tables")[1].split("- **")[0]
     assert "gated" in lookup_section.lower()
+
+
+def test_notes_md_title_round_is_current():
+    """NOTES.md's title must name the round being built (r8 verdict found
+    it frozen at "round-6" while the body led with round-8 sections).
+    Current round = newest driver CORRECTNESS round + 1."""
+    import re
+
+    rounds = [
+        int(re.search(r"_r0*(\d+)", p.name).group(1))
+        for p in REPO.glob("CORRECTNESS_r*.json")
+    ]
+    current = max(rounds) + 1
+    title = (REPO / "NOTES.md").read_text().splitlines()[0]
+    assert f"round-{current} " in title, (
+        f"NOTES.md title says {title!r}; expected 'round-{current}' "
+        f"(newest CORRECTNESS is r{max(rounds)})")

@@ -1281,3 +1281,30 @@ def test_decayed_counters_state_survives_restart(spark, tmp_path):
     s = (s >> 1) + 2 * 1_000_000
     latest = {k: (h, sc) for k, h, sc in led}
     assert latest[1] == (3, s)
+
+
+def test_all_stateful_operators_declare_eviction():
+    """The r7 lesson as a standing gate: every applyInPandasWithState
+    call site in the package must either configure a real timeout
+    (ProcessingTimeTimeout / EventTimeTimeout — conditional is fine, the
+    policy exists) or carry an explicit `unbounded-by-design` marker
+    within the surrounding lines. A future stateful operator that
+    forgets both fails here, not in production state growth."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "streamalert_spark"
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        lines = py.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if ".applyInPandasWithState(" not in line:
+                continue
+            window = "\n".join(lines[max(0, i - 40): i + 12])
+            has_policy = ("ProcessingTimeTimeout" in window
+                          or "EventTimeTimeout" in window)
+            has_marker = "unbounded-by-design" in window
+            if not (has_policy or has_marker):
+                offenders.append(f"{py.relative_to(pkg.parent)}:{i + 1}")
+    assert not offenders, (
+        "stateful call sites with neither a timeout policy nor an "
+        f"explicit unbounded-by-design marker: {offenders}")
