@@ -51,6 +51,14 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # re-verified first. Every other query follows in registration order.
 _VERIFY_FIRST = [
     # ---- round-9 new queries prepend HERE (keep list length <= 50) ----
+    "cusum_changepoints",          # new: CUSUM persistent-shift detector
+    "oov_rate_by_source",          # new: vocab-coverage OOV audit
+    "link_prediction_scores",      # new: common-neighbor/Jaccard 2-hop
+    "ewma_control_chart",          # new: fixed-point EWMA spike alerts
+    "stream_ewma_alerts_bounded",  # new: stateful streaming EWMA twin
+    "training_shard_manifest",     # new: seeded global-shuffle shards
+    "score_quantile_normalize",    # new: per-source rank calibration
+    "dns_tunnel_scores",           # new: DNS exfil label statistics
     # r8-registered, never externally sampled (registered after r8's
     # prefix filled) -- claims until the driver hash-checks them:
     "ip_prefix_anonymize_audit",
@@ -99,22 +107,18 @@ _VERIFY_FIRST = [
     "compaction_plan_bins",
     "stream_cdc_apply_bounded",
     "equidepth_histogram",
-    "referential_integrity_audit",
-    "freshness_gap_report",
-    "seasonal_rate_spikes",
-    "stream_dedup_gate_bounded",
-    "kmv_sketch_rollup",
-    "train_eval_split_manifest",
-    "kcore_dense_nodes",
-    "snapshot_diff_feed",
-    # ^ 50 entries -- the external sampler's full prefix (16 never-sampled
-    # + 2 r9-changed + 32 of the r5-stale tail). Still r5-stale after r9
-    # (lead r10 with them): incremental_agg_maintenance,
-    # weighted_sample_docs, app_source_salesforce,
-    # app_source_stream_resume, bpe_learned_merges, bpe_encode_tokens,
-    # entity_resolution_groups, incremental_dedup_pairs,
-    # salted_exact_distinct_users, stream_first_seen_bounded,
-    # histogram_quantile_sketch, stream_rate_alerts_bounded.
+    # ^ 50 entries -- the external sampler's full prefix (8 r9-new +
+    # 16 never-sampled + 2 r9-changed + 24 of the r5-stale tail). Still
+    # r5-stale after r9 (lead r10 with them): referential_integrity_audit,
+    # freshness_gap_report, seasonal_rate_spikes,
+    # stream_dedup_gate_bounded, kmv_sketch_rollup,
+    # train_eval_split_manifest, kcore_dense_nodes, snapshot_diff_feed,
+    # incremental_agg_maintenance, weighted_sample_docs,
+    # app_source_salesforce, app_source_stream_resume,
+    # bpe_learned_merges, bpe_encode_tokens, entity_resolution_groups,
+    # incremental_dedup_pairs, salted_exact_distinct_users,
+    # stream_first_seen_bounded, histogram_quantile_sketch,
+    # stream_rate_alerts_bounded.
     # Staleness is STRUCTURAL: with a ~210-query registry and a 50-slot
     # external sample, a full refresh takes 4+ rounds -- the in-repo
     # parity sweep (tests/test_oracle_parity) covers every query every

@@ -1788,3 +1788,427 @@ def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ktruss(edges, k=4, rounds=3)
     return out.repartition(1).sortWithinPartitions("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# Link prediction — common-neighbor / Jaccard scoring of 2-hop non-edges.
+# ---------------------------------------------------------------------------
+
+_LINKPRED_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+raw AS (
+  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT cnt FROM n) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 3 + 7) % (SELECT cnt FROM n) FROM documents
+),
+edges AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+sym AS (
+  SELECT a AS u, b AS v FROM edges UNION ALL SELECT b, a FROM edges
+),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+cand AS (
+  SELECT s1.u AS a, s2.v AS c, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM sym s1 JOIN sym s2 ON s2.u = s1.v AND s1.u < s2.v
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.a = s1.u AND e.b = s2.v)
+  GROUP BY s1.u, s2.v
+)
+SELECT cand.a, cand.c, cand.cn,
+       CAST((cand.cn * 1000000)
+            // (da.d + dc.d - cand.cn) AS BIGINT) AS jaccard_ppm
+FROM cand
+JOIN deg da ON da.node = cand.a
+JOIN deg dc ON dc.node = cand.c
+ORDER BY cand.cn DESC, jaccard_ppm DESC, cand.a, cand.c
+LIMIT 100
+"""
+
+
+@query("link_prediction_scores", oracle=_LINKPRED_ORACLE,
+       doc="Link prediction over the deterministic doc graph: candidate "
+           "pairs are 2-hop neighbors with no direct edge, scored by "
+           "common-neighbor count and exact integer Jaccard "
+           "(cn*1e6 DIV (deg_a+deg_c-cn)) — the classic "
+           "common-neighbors/Jaccard baselines of Liben-Nowell & "
+           "Kleinberg. One wedge self-join (oriented a<c so each pair "
+           "counts once), one anti-join against the edge set, two "
+           "degree-broadcast joins, top-100 by TakeOrdered — no global "
+           "sort, no driver collect. Wedge fan-out is the same "
+           "hub-bounded pattern as graph_triangles.")
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n = docs.count()  # driver scalar: node-space size for the modulus
+    raw = docs.select(F.col("doc_id").alias("src"),
+                      ((F.col("doc_id") * 2 + 1) % n).alias("dst")) \
+        .unionByName(docs.select(F.col("doc_id").alias("src"),
+                                 ((F.col("doc_id") * 3 + 7) % n).alias("dst")))
+    edges = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+        .unionByName(edges.select(F.col("b").alias("u"),
+                                  F.col("a").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")) \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    s1 = sym.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    s2 = sym.select(F.col("u").alias("w"), F.col("v").alias("c"))
+    two_hop = (s1.join(s2, "w")
+               .filter(F.col("a") < F.col("c"))
+               .select("a", "c"))
+    cand = (
+        two_hop.join(edges.select(F.col("a"), F.col("b").alias("c")),
+                     ["a", "c"], "left_anti")
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    dc = deg.select(F.col("node").alias("c"), F.col("d").alias("dc"))
+    return (
+        cand.join(da, "a").join(dc, "c")
+        .select("a", "c", "cn",
+                F.expr("(cn * 1000000) DIV (da + dc - cn)")
+                .cast("bigint").alias("jaccard_ppm"))
+        .orderBy(F.col("cn").desc(), F.col("jaccard_ppm").desc(), "a", "c")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart — integer fixed-point smoothing over the hourly spine.
+# ---------------------------------------------------------------------------
+
+_EWMA_SCALE = 1_000_000
+
+_EWMA_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h
+  FROM events
+),
+bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+spine AS (
+  SELECT t.event_type, CAST(s.h AS BIGINT) AS h,
+         row_number() OVER (PARTITION BY t.event_type
+                            ORDER BY s.h) AS rn
+  FROM (SELECT DISTINCT event_type FROM ev) t,
+       (SELECT UNNEST(range((SELECT lo FROM bounds),
+                            (SELECT hi FROM bounds) + 1)) AS h) s
+),
+cnts AS (
+  SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS x
+  FROM ev GROUP BY event_type, h
+),
+xs AS (
+  SELECT sp.event_type, sp.h, sp.rn, COALESCE(c.x, 0) AS x
+  FROM spine sp LEFT JOIN cnts c USING (event_type, h)
+),
+walk AS (
+  SELECT event_type, h, rn, x,
+         CAST(0 AS BIGINT) AS s_prev_fp,
+         x * {_EWMA_SCALE} AS s_fp
+  FROM xs WHERE rn = 1
+  UNION ALL
+  SELECT xs.event_type, xs.h, xs.rn, xs.x,
+         w.s_fp AS s_prev_fp,
+         (3 * w.s_fp) // 4 + (xs.x * {_EWMA_SCALE}) // 4
+  FROM xs JOIN walk w
+    ON xs.event_type = w.event_type AND xs.rn = w.rn + 1
+)
+SELECT event_type, h, x, s_prev_fp
+FROM walk
+WHERE rn > 1 AND x >= 5 AND x * {_EWMA_SCALE} > 2 * s_prev_fp
+ORDER BY event_type, h
+"""
+
+
+@query("ewma_control_chart", oracle=_EWMA_ORACLE,
+       doc="EWMA control chart (alpha=1/4) over per-type hourly counts "
+           "on a zero-filled spine, in exact fixed-point integers: "
+           "s' = (3s) DIV 4 + (x*1e6) DIV 4 — non-negative floor "
+           "division, so both engines fold bit-identically (the "
+           "decayed-counter discipline). Alerts = hours whose count "
+           "more than doubles the smoothed baseline (x >= 5 floor). "
+           "The fold runs NATIVELY via F.aggregate over each type's "
+           "hour array — per-type arrays are bounded by the time range "
+           "(not row count), the one shuffle is the hourly pre-count, "
+           "and nothing leaves the JVM; the oracle replays the fold as "
+           "a recursive CTE.")
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', ts) DIV 1000000 DIV 3600").alias("h"))
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"))
+    per_type = (
+        hourly.groupBy("event_type")
+        .agg(F.map_from_entries(F.collect_list(F.struct("h", "x")))
+             .alias("m"))
+        .crossJoin(F.broadcast(bounds))
+    )
+    # fold state: (s_fp, flagged hours).  seq index i -> hour lo+i;
+    # rn==1 seeds s with x*SCALE (no alert possible on the seed).
+    folded = per_type.select(
+        "event_type",
+        F.aggregate(
+            F.sequence(F.col("lo"), F.col("hi")),
+            F.struct(
+                F.lit(-1).cast("bigint").alias("s_fp"),
+                F.expr("CAST(array() AS array<struct<h:bigint,x:bigint,"
+                       "s_prev_fp:bigint>>)").alias("hits"),
+            ),
+            lambda acc, h: F.struct(
+                F.when(acc["s_fp"] < 0,
+                       F.coalesce(F.element_at(F.col("m"), h), F.lit(0))
+                       * _EWMA_SCALE)
+                 .otherwise(
+                     # DIV 4 as shiftright: exact integer floor division
+                     # on non-negative bigints (no double round-trip)
+                     F.shiftright(3 * acc["s_fp"], 2)
+                     + F.shiftright(
+                         F.coalesce(F.element_at(F.col("m"), h), F.lit(0))
+                         * _EWMA_SCALE, 2))
+                 .cast("bigint").alias("s_fp"),
+                F.when(
+                    (acc["s_fp"] >= 0)
+                    & (F.coalesce(F.element_at(F.col("m"), h), F.lit(0)) >= 5)
+                    & (F.coalesce(F.element_at(F.col("m"), h), F.lit(0))
+                       * _EWMA_SCALE > 2 * acc["s_fp"]),
+                    F.concat(acc["hits"], F.array(F.struct(
+                        h.cast("bigint").alias("h"),
+                        F.coalesce(F.element_at(F.col("m"), h), F.lit(0))
+                        .cast("bigint").alias("x"),
+                        acc["s_fp"].cast("bigint").alias("s_prev_fp")))),
+                ).otherwise(acc["hits"]).alias("hits"),
+            ),
+        )["hits"].alias("hits"),
+    )
+    return (
+        folded.select("event_type", F.explode("hits").alias("e"))
+        .select("event_type", F.col("e.h").alias("h"),
+                F.col("e.x").alias("x"),
+                F.col("e.s_prev_fp").alias("s_prev_fp"))
+        .repartition(1).sortWithinPartitions("event_type", "h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DNS tunneling detection — integer label statistics over query names.
+# ---------------------------------------------------------------------------
+
+_DNS_TUNNEL_ORACLE = """
+WITH ids AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+qnames AS (
+  SELECT user_id,
+         CASE WHEN user_id % 4 = 0
+              THEN substring(md5('dns:' || user_id), 1, 26)
+                   || '.' || substring(md5('dns2:' || user_id), 1, 20)
+                   || '.t.example.com'
+              WHEN user_id % 4 = 1 THEN 'www.example.com'
+              ELSE 'api-' || (user_id % 100) || '.example.com'
+         END AS qname
+  FROM ids
+),
+feats AS (
+  SELECT user_id, qname,
+         CAST(len(string_split(qname, '.')) AS BIGINT) AS n_labels,
+         CAST((SELECT MAX(len(l)) FROM UNNEST(string_split(qname, '.'))
+               AS t(l)) AS BIGINT) AS max_label_len,
+         string_split(qname, '.')[1] AS first_label
+  FROM qnames
+),
+scored AS (
+  SELECT user_id, qname, n_labels, max_label_len,
+         CAST(CASE WHEN len(first_label) = 0 THEN 0
+              ELSE ((len(first_label)
+                     - len(regexp_replace(first_label, '[0-9]', '', 'g')))
+                    * 1000000) // len(first_label) END AS BIGINT)
+           AS digit_ppm
+  FROM feats
+)
+SELECT user_id, qname, n_labels, max_label_len, digit_ppm,
+       CASE WHEN max_label_len >= 24 AND digit_ppm >= 150000
+            THEN 'tunnel_suspect' ELSE 'benign' END AS verdict
+FROM scored
+ORDER BY user_id
+"""
+
+
+@query("dns_tunnel_scores", oracle=_DNS_TUNNEL_ORACLE,
+       doc="DNS tunneling detection on query names (the classic exfil "
+           "channel every reference deployment watches): per-name "
+           "integer features — label count, max label length, "
+           "digit-ratio ppm of the leftmost label — flag names whose "
+           "encoded-payload shape (long high-digit first label) "
+           "crosses both thresholds. Pure generated projection over "
+           "synthesized deterministic qnames: zero shuffle at any "
+           "scale, and every feature is exact integer arithmetic both "
+           "engines reproduce (no entropy/libm).")
+def dns_tunnel_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = (_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+           .select("user_id").distinct())
+    u = F.col("user_id").cast("string")
+    qname = (
+        F.when(F.col("user_id") % 4 == 0,
+               F.concat(F.substring(F.md5(F.concat(F.lit("dns:"), u)), 1, 26),
+                        F.lit("."),
+                        F.substring(F.md5(F.concat(F.lit("dns2:"), u)), 1, 20),
+                        F.lit(".t.example.com")))
+        .when(F.col("user_id") % 4 == 1, F.lit("www.example.com"))
+        .otherwise(F.concat(F.lit("api-"),
+                            (F.col("user_id") % 100).cast("string"),
+                            F.lit(".example.com")))
+    )
+    feats = ids.select(
+        "user_id", qname.alias("qname"),
+    ).select(
+        "user_id", "qname",
+        F.size(F.split("qname", r"\.")).cast("bigint").alias("n_labels"),
+        F.array_max(F.transform(F.split("qname", r"\."), F.length))
+         .cast("bigint").alias("max_label_len"),
+        F.element_at(F.split("qname", r"\."), 1).alias("first_label"),
+    )
+    lbl_len = F.length("first_label")
+    digit_ppm = F.when(lbl_len == 0, F.lit(0)).otherwise(
+        F.expr("((length(first_label) - length(regexp_replace("
+               "first_label, '[0-9]', ''))) * 1000000) "
+               "DIV length(first_label)")).cast("bigint")
+    return (
+        feats.withColumn("digit_ppm", digit_ppm)
+        .select("user_id", "qname", "n_labels", "max_label_len", "digit_ppm",
+                F.when((F.col("max_label_len") >= 24)
+                       & (F.col("digit_ppm") >= 150000),
+                       F.lit("tunnel_suspect"))
+                 .otherwise(F.lit("benign")).alias("verdict"))
+        .repartition(1).sortWithinPartitions("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection — cumulative positive drift over the spine.
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h
+  FROM events
+),
+bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+mus AS (
+  SELECT event_type,
+         CAST(COUNT(*) // ((SELECT hi - lo + 1 FROM bounds)) AS BIGINT)
+           AS mu
+  FROM ev GROUP BY event_type
+),
+spine AS (
+  SELECT t.event_type, CAST(s.h AS BIGINT) AS h,
+         row_number() OVER (PARTITION BY t.event_type
+                            ORDER BY s.h) AS rn
+  FROM (SELECT DISTINCT event_type FROM ev) t,
+       (SELECT UNNEST(range((SELECT lo FROM bounds),
+                            (SELECT hi FROM bounds) + 1)) AS h) s
+),
+cnts AS (
+  SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS x
+  FROM ev GROUP BY event_type, h
+),
+xs AS (
+  SELECT sp.event_type, sp.h, sp.rn, COALESCE(c.x, 0) AS x, m.mu
+  FROM spine sp
+  LEFT JOIN cnts c USING (event_type, h)
+  JOIN mus m USING (event_type)
+),
+walk AS (
+  SELECT event_type, h, rn, x, mu,
+         CAST(0 AS BIGINT) AS s_prev,
+         greatest(CAST(0 AS BIGINT), x - mu) AS s
+  FROM xs WHERE rn = 1
+  UNION ALL
+  SELECT xs.event_type, xs.h, xs.rn, xs.x, xs.mu,
+         w.s AS s_prev,
+         greatest(CAST(0 AS BIGINT), w.s + xs.x - xs.mu)
+  FROM xs JOIN walk w
+    ON xs.event_type = w.event_type AND xs.rn = w.rn + 1
+)
+SELECT event_type, h, x, mu, s AS cusum
+FROM walk
+WHERE s_prev <= 4 * mu AND s > 4 * mu
+ORDER BY event_type, h
+"""
+
+
+@query("cusum_changepoints", oracle=_CUSUM_ORACLE,
+       doc="CUSUM change-point detection per event type (Page 1954): "
+           "fold S' = max(0, S + x - mu) over the zero-filled hourly "
+           "spine with mu = the type's integer mean hourly rate; emit "
+           "the hours where S first CROSSES the 4*mu decision band — "
+           "the persistent-rate-shift detector that complements the "
+           "EWMA chart's transient-spike alarm. All-integer fold (no "
+           "floats to drift), run natively via F.aggregate per type; "
+           "the oracle replays it as a recursive CTE. One hourly "
+           "pre-count shuffle; per-type arrays bound by the time "
+           "range, not row count.")
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', ts) DIV 1000000 DIV 3600").alias("h"))
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"))
+    per_type = (
+        hourly.groupBy("event_type")
+        .agg(F.map_from_entries(F.collect_list(F.struct("h", "x")))
+             .alias("m"),
+             F.sum("x").cast("bigint").alias("total"))
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("mu", F.expr("total DIV (hi - lo + 1)").cast("bigint"))
+    )
+    x_at = lambda h: F.coalesce(F.element_at(F.col("m"), h), F.lit(0))  # noqa: E731
+    folded = per_type.select(
+        "event_type", "mu",
+        F.aggregate(
+            F.sequence(F.col("lo"), F.col("hi")),
+            F.struct(
+                F.lit(-1).cast("bigint").alias("s"),
+                F.expr("CAST(array() AS array<struct<h:bigint,x:bigint,"
+                       "cusum:bigint>>)").alias("hits"),
+            ),
+            lambda acc, h: F.struct(
+                F.greatest(
+                    F.lit(0).cast("bigint"),
+                    F.greatest(acc["s"], F.lit(0)) + x_at(h) - F.col("mu"))
+                 .alias("s"),
+                F.when(
+                    (F.greatest(acc["s"], F.lit(0)) <= 4 * F.col("mu"))
+                    & (F.greatest(
+                        F.lit(0).cast("bigint"),
+                        F.greatest(acc["s"], F.lit(0)) + x_at(h)
+                        - F.col("mu")) > 4 * F.col("mu")),
+                    F.concat(acc["hits"], F.array(F.struct(
+                        h.cast("bigint").alias("h"),
+                        x_at(h).cast("bigint").alias("x"),
+                        F.greatest(
+                            F.lit(0).cast("bigint"),
+                            F.greatest(acc["s"], F.lit(0)) + x_at(h)
+                            - F.col("mu")).cast("bigint").alias("cusum")))),
+                ).otherwise(acc["hits"]).alias("hits"),
+            ),
+        )["hits"].alias("hits"),
+    )
+    return (
+        folded.select("event_type", "mu", F.explode("hits").alias("e"))
+        .select("event_type", F.col("e.h").alias("h"),
+                F.col("e.x").alias("x"), "mu",
+                F.col("e.cusum").alias("cusum"))
+        .repartition(1).sortWithinPartitions("event_type", "h")
+    )

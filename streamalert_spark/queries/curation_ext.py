@@ -748,3 +748,57 @@ def token_drift_tvd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="source")
     return (out.withColumnRenamed("grp", "source")
             .repartition(1).sortWithinPartitions("source"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source quantile normalization of a quality score
+# ---------------------------------------------------------------------------
+
+_QNORM_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) - 1 AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       CAST(CASE WHEN n > 1 THEN (r * 1000000) // (n - 1)
+                 ELSE 0 END AS BIGINT) AS pct_ppm,
+       CAST(least(CASE WHEN n > 1 THEN (r * 1000000) // (n - 1)
+                       ELSE 0 END // 100000, 9) AS BIGINT) AS decile
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+@query("score_quantile_normalize", oracle=_QNORM_ORACLE,
+       doc="Per-source quantile normalization of a quality score (CCNet "
+           "does exactly this before head/middle/tail cuts): each "
+           "source's score distribution maps to uniform [0,1e6] ppm via "
+           "within-source rank, so one global threshold is fair across "
+           "sources with very different score scales; decile = ppm DIV "
+           "1e5 capped at 9. Integer-exact (ranks, not floats); the one "
+           "shuffle is the per-source window partition — at 100 TB, "
+           "source cardinality spreads the windows and no global sort "
+           "exists.")
+def score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source",
+                                       F.col("n_chars").cast("bigint")
+                                       .alias("n_chars"))
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id", "source", "n_chars",
+        (F.row_number().over(w) - 1).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"))
+    pct = F.when(F.col("n") > 1,
+                 F.expr("(r * 1000000) DIV (n - 1)")).otherwise(F.lit(0))
+    return (
+        ranked.withColumn("pct_ppm", pct.cast("bigint"))
+        .select("doc_id", "source", "n_chars", "pct_ppm",
+                F.least(F.expr("pct_ppm DIV 100000"), F.lit(9))
+                .cast("bigint").alias("decile"))
+        .repartition(1).sortWithinPartitions("doc_id")
+    )

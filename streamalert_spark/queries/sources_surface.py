@@ -1349,3 +1349,66 @@ def stream_decayed_counters_bounded(spark: SparkSession,
                      F.col("m.score_fp").alias("score_fp"))
         .repartition(1).sortWithinPartitions("k")
     )
+
+
+# --------------------------------------- streaming EWMA control chart, bounded
+
+from streamalert_spark.queries.analytics_sketch import _EWMA_ORACLE
+
+
+@query("stream_ewma_alerts_bounded", oracle=_EWMA_ORACLE,
+       doc="STREAMING EWMA control chart: the ewma_control_chart batch "
+           "query run as a per-type applyInPandasWithState fold across "
+           "3 hour-aligned micro-batches — state is (last_hour, s_fp), "
+           "empty spine hours fold x=0, and the alert set (count "
+           "doubles the smoothed baseline) must equal the batch "
+           "recursive-CTE walk exactly: every fold step is "
+           "non-negative integer floor division, so stream and batch "
+           "are bit-identical. Oracle = the SAME batch EWMA SQL; "
+           "alert-only emission means no watermark sentinel batch is "
+           "needed. State: two bigints per event TYPE (bounded "
+           "domain).")
+def stream_ewma_alerts_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from streamalert_spark.session import read_table
+    from streamalert_spark.streaming.bounded import run_bounded_to_rows
+    from streamalert_spark.streaming.decay import (
+        EWMA_OUT_SCHEMA, ewma_alerts_stream,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', ts) DIV 1000000 DIV 3600").alias("h"))
+    lo, hi = ev.agg(F.min("h"), F.max("h")).first()
+    # hour-aligned tercile splits: each micro-batch carries WHOLE hours,
+    # preserving the stateful fold's per-key event-time order contract
+    c1 = lo + (hi - lo) // 3
+    c2 = lo + 2 * (hi - lo) // 3
+    work = tempfile.mkdtemp(prefix="ewma_stream_q_")
+    in_dir = os.path.join(work, "in")
+    try:
+        for i, cond in enumerate([
+            F.col("h") <= c1,
+            (F.col("h") > c1) & (F.col("h") <= c2),
+            F.col("h") > c2,
+        ]):
+            part = os.path.join(in_dir, f"b{i}")
+            ev.filter(cond).coalesce(1).write.parquet(part)
+            os.utime(part, (1_000_000 + 10 * i,) * 2)
+            for f in os.listdir(part):
+                os.utime(os.path.join(part, f), (1_000_000 + 10 * i,) * 2)
+        src = (
+            spark.readStream
+            .schema("event_type string, h bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(in_dir, "*"))
+        )
+        out = ewma_alerts_stream(src, lo_hour=int(lo))
+        rows = run_bounded_to_rows(spark, out, EWMA_OUT_SCHEMA)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return rows.repartition(1).sortWithinPartitions("event_type", "h")

@@ -475,3 +475,130 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dsir_importance(docs, "doc_id", "text",
                           target_filter=F.col("lang") == "en")
     return out.repartition(1).sortWithinPartitions("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Training shard manifest — seeded deterministic global shuffle.
+# ---------------------------------------------------------------------------
+
+_SHARD_ORACLE_TMPL = """
+WITH hashed AS (
+  SELECT doc_id, n_chars,
+         md5('shard:42:' || doc_id) AS h
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, n_chars, h, {hex} % 16 AS shard_id
+  FROM hashed
+)
+SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id)
+            AS BIGINT) AS pos,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM placed
+ORDER BY shard_id, pos
+"""
+
+
+def _shard_oracle() -> str:
+    from streamalert_spark.ops.sketch import hex_prefix_int_sql
+
+    return _SHARD_ORACLE_TMPL.replace("{hex}", hex_prefix_int_sql("h"))
+
+
+@query("training_shard_manifest", oracle=_shard_oracle(),
+       doc="Deterministic seeded global shuffle into training shards: "
+           "shard = keyed-md5 hash bucket, within-shard order = the hash "
+           "itself — a reproducible corpus-wide permutation with NO "
+           "global sort (the standard trick: a hash-bucketed writer "
+           "gives every epoch the same shard files and intra-shard "
+           "order from just the seed). One hash projection + one "
+           "window per shard; shards are independent, so at 100 TB "
+           "each shard's position sort is a writer-local sort over "
+           "corpus_size/n_shards rows, embarrassingly parallel.")
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from streamalert_spark.ops.sketch import hex_prefix_int
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    hashed = docs.withColumn(
+        "h", F.md5(F.concat(F.lit("shard:42:"),
+                            F.col("doc_id").cast("string"))))
+    placed = hashed.withColumn("shard_id",
+                               (hex_prefix_int(F.col("h")) % 16))
+    w = W.partitionBy("shard_id").orderBy("h", "doc_id")
+    return (
+        placed.select(
+            "doc_id",
+            F.col("shard_id").cast("bigint").alias("shard_id"),
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            F.col("n_chars").cast("bigint").alias("n_chars"))
+        .repartition(1).sortWithinPartitions("shard_id", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# OOV rate by source — vocabulary coverage audit against a learned top-V.
+# ---------------------------------------------------------------------------
+
+_OOV_ORACLE = """
+WITH toks AS (
+  SELECT source, w AS token
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+  WHERE w <> ''
+),
+freq AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+vocab AS (
+  SELECT token FROM freq
+  ORDER BY freq DESC, token
+  LIMIT 16
+),
+flagged AS (
+  SELECT t.source,
+         CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v ON v.token = t.token
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST((SUM(oov) * 1000000) // COUNT(*) AS BIGINT) AS oov_ppm
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("oov_rate_by_source", oracle=_OOV_ORACLE,
+       doc="Vocabulary-coverage audit: learn a top-16 token vocab from "
+           "the corpus (freq desc, token tie-break), then measure each "
+           "source's out-of-vocabulary token rate in exact ppm — the "
+           "standard pre-tokenizer health check (a source with an "
+           "outlier OOV rate inflates token counts and truncates "
+           "effective context). The vocab is top-K by TakeOrdered "
+           "(never a global sort) and joins back as a broadcast; the "
+           "corpus-sized work is one partial-aggregated token count "
+           "per source.")
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.hints import gated_broadcast
+
+    docs = _docs(spark, sf_dir)
+    toks = (docs.select("source", F.explode(tokens(F.col("text")))
+                        .alias("token"))
+            .filter(F.col("token") != ""))
+    vocab = (toks.groupBy("token")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+             .orderBy(F.col("freq").desc(), "token")
+             .limit(16)
+             .select("token", F.lit(1).alias("in_vocab")))
+    flagged = toks.join(gated_broadcast(vocab), "token", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+             F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+             .cast("bigint").alias("n_oov"))
+        .select("source", "n_tokens", "n_oov",
+                F.expr("(n_oov * 1000000) DIV n_tokens").cast("bigint")
+                .alias("oov_ppm"))
+        .repartition(1).sortWithinPartitions("source")
+    )

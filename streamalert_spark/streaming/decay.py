@@ -95,3 +95,88 @@ def decayed_counters_stream(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA control chart — the stateful twin of the batch
+# ewma_control_chart query (queries/analytics_sketch.py).
+# ---------------------------------------------------------------------------
+
+EWMA_OUT_SCHEMA = "event_type string, h bigint, x bigint, s_prev_fp bigint"
+EWMA_STATE_SCHEMA = "last_h bigint, s_fp bigint"
+EWMA_SCALE = 1_000_000
+# (3/4)^400 ~ 1e-50: after this many empty hours any bigint state is 0,
+# so the zero-fold loop is bounded regardless of gap size
+_EWMA_MAX_GAP = 400
+
+
+def ewma_alerts_stream(
+    events: DataFrame,
+    lo_hour: int,
+    idle_ttl_s: int | None = None,
+) -> DataFrame:
+    """Per-type EWMA (alpha=1/4) spike alerts over (event_type, h) rows,
+    carried across micro-batches in exact fixed point. Fold per hour:
+    s' = (3s) DIV 4 + (x*SCALE) DIV 4, with empty spine hours folding
+    x=0 — bit-identical to the batch query's recursive walk, because
+    every step is non-negative integer floor division.
+
+    ``lo_hour`` anchors the spine: the batch definition seeds hour lo
+    with s = x_lo*SCALE (no alert possible there), and a key first seen
+    later implicitly folded zeros from lo (s stays 0). Emission = alert
+    rows only (x >= 5 AND x*SCALE > 2*s_prev), so quiet hours emit
+    nothing and the bounded demo needs no watermark sentinel.
+
+    Ordering contract: per-key hours arrive in event-time order across
+    micro-batches and each micro-batch carries WHOLE hours (split input
+    on hour boundaries) — same contract as decayed_counters_stream.
+    State: two bigints per event type; optional processing-time TTL for
+    retired types (a type idle past the TTL restarts from the zero fold,
+    exact whenever the idle gap exceeds _EWMA_MAX_GAP hours).
+    """
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
+            if idle_ttl_s is not None:
+                state.setTimeoutDuration(idle_ttl_s * 1000)
+            return
+        rows = (pd.concat(frames, ignore_index=True)
+                if len(frames) > 1 else frames[0])
+        counts = rows.groupby("h").size().sort_index()
+        last_h, s = tuple(state.get) if state.exists else (lo_hour - 1, 0)
+        out_h, out_x, out_s = [], [], []
+        for h, x in counts.items():
+            h, x = int(h), int(x)
+            gap = min(h - last_h - 1, _EWMA_MAX_GAP)
+            for _ in range(gap):
+                s = (3 * s) >> 2
+            if h == lo_hour:
+                s = x * EWMA_SCALE  # the batch walk's rn=1 seed
+            else:
+                if x >= 5 and x * EWMA_SCALE > 2 * s:
+                    out_h.append(h); out_x.append(x); out_s.append(s)
+                s = ((3 * s) >> 2) + ((x * EWMA_SCALE) >> 2)
+            last_h = h
+        state.update((last_h, s))
+        if idle_ttl_s is not None:
+            state.setTimeoutDuration(idle_ttl_s * 1000)
+        if out_h:
+            yield pd.DataFrame({"event_type": key[0], "h": out_h,
+                                "x": out_x, "s_prev_fp": out_s})
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if idle_ttl_s is not None else GroupStateTimeout.NoTimeout)
+    # eviction: unbounded-by-design when no TTL is passed — state is two
+    # bigints per EVENT TYPE (a bounded domain, unlike per-user keys);
+    # the bounded demo runs without TTL, production passes one.
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
