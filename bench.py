@@ -51,7 +51,7 @@ def main() -> None:
     # passes can). Stragglers get one extra attempt at the end. A soft
     # wall-clock budget guarantees the JSON line lands even when contention
     # stretches a pass: refinement stops, first-pass numbers stand.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "780"))
     started = time.monotonic()
 
     def over_budget() -> bool:

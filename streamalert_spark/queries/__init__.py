@@ -51,6 +51,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # re-verified first. Every other query follows in registration order.
 _VERIFY_FIRST = [
     # ---- round-9 new queries prepend HERE (keep list length <= 50) ----
+    "touch_attribution",           # new: U-shaped revenue attribution
     "cusum_changepoints",          # new: CUSUM persistent-shift detector
     "oov_rate_by_source",          # new: vocab-coverage OOV audit
     "link_prediction_scores",      # new: common-neighbor/Jaccard 2-hop
@@ -106,10 +107,10 @@ _VERIFY_FIRST = [
     "scd2_status_history",
     "compaction_plan_bins",
     "stream_cdc_apply_bounded",
-    "equidepth_histogram",
-    # ^ 50 entries -- the external sampler's full prefix (8 r9-new +
-    # 16 never-sampled + 2 r9-changed + 24 of the r5-stale tail). Still
-    # r5-stale after r9 (lead r10 with them): referential_integrity_audit,
+    # ^ 50 entries -- the external sampler's full prefix (9 r9-new +
+    # 16 never-sampled + 2 r9-changed + 23 of the r5-stale tail). Still
+    # r5-stale after r9 (lead r10 with them): equidepth_histogram,
+    # referential_integrity_audit,
     # freshness_gap_report, seasonal_rate_spikes,
     # stream_dedup_gate_bounded, kmv_sketch_rollup,
     # train_eval_split_manifest, kcore_dense_nodes, snapshot_diff_feed,

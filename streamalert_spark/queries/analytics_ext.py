@@ -1194,3 +1194,105 @@ def new_entity_emergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_entities"))
         .repartition(1).sortWithinPartitions("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) touch attribution — first/last view per purchase
+# ---------------------------------------------------------------------------
+
+_TOUCH_ATTR_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, value,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) * 1000000) AS BIGINT) AS us
+  FROM events WHERE user_id IS NOT NULL
+),
+u AS (
+  SELECT user_id, event_id, us, 0 AS is_p,
+         us AS vus, CAST(NULL AS DOUBLE) AS pval
+  FROM e WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, event_id, us, 1, CAST(NULL AS BIGINT), value
+  FROM e WHERE event_type = 'purchase'
+),
+attached AS (
+  SELECT user_id, event_id, us, is_p, pval,
+         first_value(vus IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, is_p, event_id
+           ROWS UNBOUNDED PRECEDING) AS first_view_us,
+         last_value(vus IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, is_p, event_id
+           ROWS UNBOUNDED PRECEDING) AS last_view_us
+  FROM u
+),
+scored AS (
+  SELECT user_id, event_id, us, first_view_us, last_view_us,
+         CAST(floor(pval * 100 + 0.5) AS BIGINT) AS cents
+  FROM attached WHERE is_p = 1
+)
+SELECT user_id, event_id, us,
+       CAST(first_view_us AS BIGINT) AS first_view_us,
+       CAST(last_view_us AS BIGINT) AS last_view_us,
+       cents,
+       CASE WHEN first_view_us IS NULL THEN CAST(0 AS BIGINT)
+            ELSE CAST((cents * 2) // 5 AS BIGINT) END AS cents_first_touch,
+       CASE WHEN first_view_us IS NULL THEN CAST(0 AS BIGINT)
+            ELSE cents - CAST((cents * 2) // 5 AS BIGINT)
+       END AS cents_last_touch,
+       CASE WHEN first_view_us IS NULL THEN cents
+            ELSE CAST(0 AS BIGINT) END AS cents_unattributed
+FROM scored
+ORDER BY user_id, event_id
+"""
+
+
+@query("touch_attribution", oracle=_TOUCH_ATTR_ORACLE,
+       doc="Position-based (U-shaped) revenue attribution: each purchase "
+           "credits its user's FIRST and LAST preceding view 40/60 in "
+           "exact integer cents (remainder to last touch; no preceding "
+           "view -> unattributed). Both touches attach in ONE "
+           "union+keyed-window pass (the backward-as-of pattern run "
+           "twice over the same sorted frame — first_value and "
+           "last_value IGNORE NULLS share the window), so the cost is "
+           "one user-keyed shuffle regardless of lookback depth; a "
+           "per-purchase views join would be O(views x purchases) per "
+           "user.")
+def touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()).select(
+        "user_id", "event_id", "event_type", "value",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', ts)").alias("us"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "us",
+        F.lit(0).alias("is_p"), F.col("us").alias("vus"),
+        F.lit(None).cast("double").alias("pval"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "us",
+        F.lit(1).alias("is_p"), F.lit(None).cast("bigint").alias("vus"),
+        F.col("value").alias("pval"))
+    u = views.unionByName(purchases)
+    w = (W.partitionBy("user_id").orderBy("us", "is_p", "event_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    attached = u.select(
+        "user_id", "event_id", "us", "is_p", "pval",
+        F.first("vus", ignorenulls=True).over(w).alias("first_view_us"),
+        F.last("vus", ignorenulls=True).over(w).alias("last_view_us"))
+    scored = (attached.filter(F.col("is_p") == 1)
+              .withColumn("cents", F.expr(
+                  "CAST(floor(pval * 100 + 0.5) AS BIGINT)")))
+    no_view = F.col("first_view_us").isNull()
+    first_cut = F.expr("(cents * 2) DIV 5").cast("bigint")
+    return (
+        scored.select(
+            "user_id", "event_id", "us",
+            F.col("first_view_us").cast("bigint").alias("first_view_us"),
+            F.col("last_view_us").cast("bigint").alias("last_view_us"),
+            "cents",
+            F.when(no_view, F.lit(0)).otherwise(first_cut)
+             .cast("bigint").alias("cents_first_touch"),
+            F.when(no_view, F.lit(0)).otherwise(F.col("cents") - first_cut)
+             .cast("bigint").alias("cents_last_touch"),
+            F.when(no_view, F.col("cents")).otherwise(F.lit(0))
+             .cast("bigint").alias("cents_unattributed"))
+        .repartition(1).sortWithinPartitions("user_id", "event_id")
+    )

@@ -269,3 +269,26 @@ def test_oov_rate_bounds_and_vocab_effect(spark):
     # so SOME source has a non-zero OOV rate (otherwise the audit is
     # degenerate and measures nothing)
     assert any(r["oov_ppm"] > 0 for r in rows)
+
+
+# ------------------------------------------------------- touch attribution
+
+def test_touch_attribution_conserves_cents(spark):
+    from streamalert_spark.queries import load_all
+
+    rows = load_all()["touch_attribution"].fn(spark, SF_DIR).collect()
+    assert rows
+    saw_attr = saw_unattr = False
+    for r in rows:
+        assert (r["cents_first_touch"] + r["cents_last_touch"]
+                + r["cents_unattributed"]) == r["cents"]
+        if r["first_view_us"] is None:
+            assert r["cents_unattributed"] == r["cents"]
+            assert r["last_view_us"] is None
+            saw_unattr = True
+        else:
+            # 40/60 split, remainder to last touch; last >= first view
+            assert r["cents_first_touch"] == (r["cents"] * 2) // 5
+            assert r["first_view_us"] <= r["last_view_us"] <= r["us"]
+            saw_attr = True
+    assert saw_attr  # fixture must exercise the attributed path
