@@ -719,3 +719,105 @@ def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = skew_diagnostics(orders, "o_custkey", top_n=10)
     return out.repartition(1).sortWithinPartitions(
         F.col("cnt").desc(), "key")
+
+
+# ----------------------------- Matryoshka truncation quality audit (ANN)
+
+_MATRYOSHKA_ORACLE = """
+WITH sc AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS s,
+         embedding
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(
+           embedding,
+           x -> CAST(CASE WHEN s = 0 THEN 0
+                          ELSE floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5)
+                     END AS BIGINT)) AS qv
+  FROM sc
+),
+probes AS (SELECT vec_id AS probe_id, qv AS pv FROM q
+           WHERE vec_id % 100 = 0),
+dots AS (
+  SELECT p.probe_id, c.vec_id,
+         CAST(SUM(c.qv[i] * p.pv[i]) AS BIGINT) AS dot_full,
+         CAST(SUM(CASE WHEN i <= 32 THEN c.qv[i] * p.pv[i] ELSE 0 END)
+              AS BIGINT) AS dot_half
+  FROM probes p, q c, UNNEST(range(1, len(c.qv) + 1)) AS t(i)
+  WHERE c.vec_id <> p.probe_id
+  GROUP BY p.probe_id, c.vec_id
+),
+ranked AS (
+  SELECT probe_id, vec_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY dot_full DESC, vec_id) AS rn_full,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY dot_half DESC, vec_id) AS rn_half
+  FROM dots
+)
+SELECT probe_id,
+       CAST(SUM(CASE WHEN rn_full <= 10 AND rn_half <= 10
+                     THEN 1 ELSE 0 END) AS BIGINT) AS overlap_at_10,
+       CAST(MIN(CASE WHEN rn_full = 1 THEN vec_id END) AS BIGINT)
+         AS top1_full,
+       CAST(MIN(CASE WHEN rn_half = 1 THEN vec_id END) AS BIGINT)
+         AS top1_half
+FROM ranked
+GROUP BY probe_id
+ORDER BY probe_id
+"""
+
+
+@query("ann_matryoshka_audit", oracle=_MATRYOSHKA_ORACLE,
+       doc="Matryoshka-truncation quality audit (Kusupati et al. MRL): "
+           "for each probe, rank the corpus by exact int8 dot over the "
+           "FULL 64 dims and over the first-32 PREFIX, and report "
+           "recall overlap@10 + both top-1s — the measurement that "
+           "decides whether a deployment can serve the cheaper prefix "
+           "index. Quantized BIGINT dots + vec_id tie-breaks make both "
+           "rankings bit-stable across engines. Probes broadcast; the "
+           "corpus-sized work is one scan producing both dots in one "
+           "pass, then two per-probe windows (partitioned by probe — "
+           "the probe count, not the corpus, bounds any partition).")
+def ann_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q8 = similarity.quantize_int8(emb)
+    probes = (q8.filter(F.col("vec_id") % 100 == 0)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("q_vec").alias("pv")))
+    dots = (
+        q8.filter(F.col("vec_id").isNotNull())
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id", "vec_id",
+            similarity.int8_dot(F.col("q_vec"), F.col("pv"))
+            .alias("dot_full"),
+            similarity.int8_dot(F.slice("q_vec", 1, 32),
+                                F.slice("pv", 1, 32)).alias("dot_half"),
+        )
+    )
+    wf = W.partitionBy("probe_id").orderBy(F.col("dot_full").desc(), "vec_id")
+    wh = W.partitionBy("probe_id").orderBy(F.col("dot_half").desc(), "vec_id")
+    ranked = dots.select(
+        "probe_id", "vec_id",
+        F.row_number().over(wf).alias("rn_full"),
+        F.row_number().over(wh).alias("rn_half"))
+    return (
+        ranked.groupBy("probe_id")
+        .agg(
+            F.sum(F.when((F.col("rn_full") <= 10) & (F.col("rn_half") <= 10),
+                         1).otherwise(0)).cast("bigint")
+            .alias("overlap_at_10"),
+            F.min(F.when(F.col("rn_full") == 1, F.col("vec_id")))
+            .cast("bigint").alias("top1_full"),
+            F.min(F.when(F.col("rn_half") == 1, F.col("vec_id")))
+            .cast("bigint").alias("top1_half"))
+        .repartition(1).sortWithinPartitions("probe_id")
+    )

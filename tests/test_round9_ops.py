@@ -292,3 +292,18 @@ def test_touch_attribution_conserves_cents(spark):
             assert r["first_view_us"] <= r["last_view_us"] <= r["us"]
             saw_attr = True
     assert saw_attr  # fixture must exercise the attributed path
+
+
+# --------------------------------------------------- matryoshka ANN audit
+
+def test_matryoshka_overlap_bounds_and_self_exclusion(spark):
+    from streamalert_spark.queries import load_all
+
+    rows = load_all()["ann_matryoshka_audit"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["overlap_at_10"] <= 10
+        assert r["top1_full"] != r["probe_id"]  # probe never matches itself
+        assert r["top1_half"] != r["probe_id"]
+    # truncation must cost SOMETHING somewhere, or the audit is vacuous
+    assert any(r["overlap_at_10"] < 10 for r in rows)
