@@ -51,6 +51,7 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # re-verified first. Every other query follows in registration order.
 _VERIFY_FIRST = [
     # ---- round-9 new queries prepend HERE (keep list length <= 50) ----
+    "password_spray_windows",      # new: low-and-slow auth spray gate
     "ann_matryoshka_audit",        # new: MRL prefix-dim recall audit
     "touch_attribution",           # new: U-shaped revenue attribution
     "cusum_changepoints",          # new: CUSUM persistent-shift detector
@@ -106,10 +107,10 @@ _VERIFY_FIRST = [
     "salted_topk_per_type",
     "winsorize_event_values",
     "scd2_status_history",
-    "compaction_plan_bins",
-    # ^ 50 entries -- the external sampler's full prefix (10 r9-new +
-    # 16 never-sampled + 2 r9-changed + 22 of the r5-stale tail). Still
-    # r5-stale after r9 (lead r10 with them): stream_cdc_apply_bounded,
+    # ^ 50 entries -- the external sampler's full prefix (11 r9-new +
+    # 16 never-sampled + 2 r9-changed + 21 of the r5-stale tail). Still
+    # r5-stale after r9 (lead r10 with them): compaction_plan_bins,
+    # stream_cdc_apply_bounded,
     # equidepth_histogram,
     # referential_integrity_audit,
     # freshness_gap_report, seasonal_rate_spikes,

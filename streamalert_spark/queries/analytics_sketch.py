@@ -2212,3 +2212,68 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("e.cusum").alias("cusum"))
         .repartition(1).sortWithinPartitions("event_type", "h")
     )
+
+
+# ---------------------------------------------------------------------------
+# Password-spray detection — one source, many accounts, low per-account rate.
+# ---------------------------------------------------------------------------
+
+_SPRAY_ORACLE = """
+WITH fails AS (
+  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS src,
+         user_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 AS d
+  FROM events
+  WHERE event_type = 'error' AND user_id IS NOT NULL
+),
+per_user AS (
+  SELECT src, d, user_id, CAST(COUNT(*) AS BIGINT) AS attempts
+  FROM fails GROUP BY src, d, user_id
+),
+per_window AS (
+  SELECT src, d,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(attempts) AS BIGINT) AS n_attempts,
+         CAST(MAX(attempts) AS BIGINT) AS max_per_user
+  FROM per_user GROUP BY src, d
+)
+SELECT src, d, n_users, n_attempts, max_per_user
+FROM per_window
+WHERE n_users >= 3 AND max_per_user <= 2
+ORDER BY src, d
+"""
+
+
+@query("password_spray_windows", oracle=_SPRAY_ORACLE,
+       doc="Password-spray detection: one SOURCE hitting MANY accounts "
+           "with few attempts each inside an hour window — the "
+           "low-and-slow inverse of brute force that per-account "
+           "lockouts never see (>=3 distinct accounts in a day, <=2 "
+           "attempts per account). Completes the auth-attack family next to "
+           "beaconing (C2), impossible travel (session theft), and CEP "
+           "(brute-force-then-success). Two partial-aggregated "
+           "shuffles — (src, day, user) then (src, day) — and "
+           "every measure is an exact integer.")
+def password_spray_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fails = (_events(spark, sf_dir)
+             .filter((F.col("event_type") == "error")
+                     & F.col("user_id").isNotNull())
+             .select(
+                 F.get_json_object("props", "$.k").cast("bigint")
+                 .alias("src"),
+                 "user_id",
+                 F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ "
+                        "'1970-01-01 00:00:00', ts) DIV 1000000 DIV 86400")
+                 .alias("d")))
+    per_user = (fails.groupBy("src", "d", "user_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("attempts")))
+    per_window = (
+        per_user.groupBy("src", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+             F.sum("attempts").cast("bigint").alias("n_attempts"),
+             F.max("attempts").cast("bigint").alias("max_per_user")))
+    return (
+        per_window.filter((F.col("n_users") >= 3)
+                          & (F.col("max_per_user") <= 2))
+        .repartition(1).sortWithinPartitions("src", "d")
+    )

@@ -307,3 +307,31 @@ def test_matryoshka_overlap_bounds_and_self_exclusion(spark):
         assert r["top1_half"] != r["probe_id"]
     # truncation must cost SOMETHING somewhere, or the audit is vacuous
     assert any(r["overlap_at_10"] < 10 for r in rows)
+
+
+# ------------------------------------------------------- password spray
+
+def test_password_spray_thresholds(spark):
+    """Every flagged window satisfies both gates, and the gates actually
+    EXCLUDE something (run at sf0.01 where spray-shaped windows exist)."""
+    from streamalert_spark.queries import load_all
+    from streamalert_spark.session import read_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = load_all()["password_spray_windows"].fn(spark, sf).collect()
+    assert rows, "sf0.01 fixture must flag at least one window"
+    for r in rows:
+        assert r["n_users"] >= 3
+        assert r["max_per_user"] <= 2
+        assert r["n_users"] <= r["n_attempts"] <= 2 * r["n_users"]
+    # the filter must be doing work: unfiltered windows outnumber flagged
+    ev = read_table(spark, sf, "events")
+    all_windows = (
+        ev.filter((F.col("event_type") == "error")
+                  & F.col("user_id").isNotNull())
+        .select(F.get_json_object("props", "$.k").alias("src"),
+                F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ "
+                       "'1970-01-01 00:00:00', ts) DIV 1000000 DIV 86400")
+                .alias("d"))
+        .distinct().count())
+    assert len(rows) < all_windows
