@@ -358,6 +358,24 @@ def lsh_verified_pairs(
     return verified.join(hint(cands), ["a", "b"], "left_semi")
 
 
+def corpus_band_table(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """The persisted half of the incremental dedup gate: compute the
+    corpus's (id, band_idx, band_key) LSH table ONCE and hand it to every
+    cross_corpus_neardup call via ``corpus_bands``. Production writes
+    this to a bucketed table keyed (band_idx, band_key) and appends each
+    accepted batch's bands; a caller that recomputes it per arriving
+    batch pays the full corpus signature kernel every time (measured:
+    the dominant cost of the streaming dedup-gate demo)."""
+    return _band_table(corpus, text_col, id_col, n, num_hashes, band_size)
+
+
 def cross_corpus_neardup(
     corpus: DataFrame,
     increment: DataFrame,
@@ -367,6 +385,7 @@ def cross_corpus_neardup(
     threshold: float = 0.5,
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL dedup: near-dups of a NEW batch against an EXISTING
     corpus with no corpus self-join — the shape of a production ingest
@@ -384,7 +403,8 @@ def cross_corpus_neardup(
     """
     # no cache_key: each band table feeds exactly one join (the candidate
     # cache below is the reused frame)
-    corp_b = _band_table(corpus, text_col, id_col, n, num_hashes, band_size)
+    corp_b = (corpus_bands if corpus_bands is not None else
+              _band_table(corpus, text_col, id_col, n, num_hashes, band_size))
     inc_b = _band_table(increment, text_col, id_col, n, num_hashes, band_size)
     cands = _swap_cache("xc_cands", (
         inc_b.select(F.col(id_col).alias("new_id"), "band_idx", "band_key")

@@ -1009,11 +1009,18 @@ def stream_dedup_gate_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a full LSH probe of pure demo overhead)
         increment.repartition(2).write.parquet(in_dir)
 
+        # the production shape: the corpus band table is computed ONCE
+        # and persisted; each micro-batch probes it. localCheckpoint
+        # materializes it so the per-batch plan doesn't re-run the
+        # corpus signature kernel (measured ~2s/batch at sf0.1).
+        corp_bands = dedup.corpus_band_table(corpus).localCheckpoint()
+
         def probe(batch_df, epoch_id):
             # epoch-keyed overwrite: a retried micro-batch (foreachBatch
             # is at-least-once) replaces its own output instead of
             # double-appending duplicate pairs
-            out = dedup.cross_corpus_neardup(corpus, batch_df, threshold=0.5)
+            out = dedup.cross_corpus_neardup(corpus, batch_df, threshold=0.5,
+                                             corpus_bands=corp_bands)
             out.write.mode("overwrite").parquet(f"{out_dir}/e{epoch_id}")
 
         src = (
