@@ -335,3 +335,29 @@ def test_password_spray_thresholds(spark):
                 .alias("d"))
         .distinct().count())
     assert len(rows) < all_windows
+
+
+# ------------------------------------------------- detections feed example
+
+def test_run_detections_example_composes(spark):
+    """The example's normalized feed must union every registered detector
+    with the uniform (detector, entity, window_at, measure) schema and
+    produce at least one detection from >= 4 distinct detectors."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from examples.run_detections import DETECTORS, normalize
+    from streamalert_spark.queries import load_all
+
+    registry = load_all()
+    feed = None
+    for detector, (qname, entity, when, measure) in DETECTORS.items():
+        out = normalize(detector, registry[qname].fn(spark, SF_DIR),
+                        entity, when, measure)
+        assert out.columns == ["detector", "entity", "window_at", "measure"]
+        feed = out if feed is None else feed.unionByName(out)
+    rows = feed.collect()
+    detectors_hit = {r["detector"] for r in rows}
+    assert len(detectors_hit) >= 4, detectors_hit
+    assert all(r["entity"] is not None for r in rows)
