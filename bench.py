@@ -75,7 +75,11 @@ def main() -> None:
                 dt = run_once(rq)
             except Exception as exc:  # noqa: BLE001 — report, don't die mid-bench
                 print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
-                timings[name] = -1.0
+                # a pass-2 failure must not clobber a valid pass-1 time
+                # (transient contention on the re-time would otherwise
+                # report the query as failed)
+                if name not in timings:
+                    timings[name] = -1.0
                 continue
             timings[name] = min(timings.get(name, dt), dt)
             pass2_covered += pass_i

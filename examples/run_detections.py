@@ -31,7 +31,7 @@ DETECTORS = {
                                     "user_id", "run_start_s", "n_failures"),
     "beaconing": ("beaconing_pairs", "user_id", None, "irregularity_ppm"),
     "impossible_travel": ("impossible_travel_hops",
-                          "user_id", "ts_b_s", "speed2_gate"),
+                          "user_id", None, "max_speed2_ratio"),
     "password_spray": ("password_spray_windows", "src", "d", "n_users"),
     "ewma_spike": ("ewma_control_chart", "event_type", "h", "x"),
     "cusum_rate_shift": ("cusum_changepoints", "event_type", "h", "cusum"),

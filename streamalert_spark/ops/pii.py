@@ -137,7 +137,7 @@ def pseudonymize(key_col: Column, salt: str) -> Column:
 
 IP_BITS = 32
 _ODD_HEX = "('1','3','5','7','9','b','d','f')"
-_KEY_RE = re.compile(r"^[A-Za-z0-9_-]{1,64}$")
+_KEY_RE = re.compile(r"[A-Za-z0-9_-]{1,64}")
 
 
 def ip_bits_sql(ip_col: str) -> str:
@@ -165,7 +165,7 @@ def prefix_preserving_anon_sql(bits_col: str, key: str = "pk") -> str:
     ``key`` is interpolated into SQL text, so it is restricted to
     [A-Za-z0-9_-] (no quotes/backslashes) — a free-form secret would
     otherwise break or alter the generated statement in both engines."""
-    if not _KEY_RE.match(key):
+    if not _KEY_RE.fullmatch(key):
         raise ValueError(
             "key must match [A-Za-z0-9_-]{1,64} (it is embedded in "
             "generated SQL text)")

@@ -83,9 +83,9 @@ _VERIFY_FIRST = [
     # round-9 changed queries -- re-verify first:
     "alert_merge_greedy",         # r9: gained the full-payload JSON oracle
     "stream_pattern_match_ooo_bounded",  # r9: 1-in-5 key subset + oracle
-    # last green driver row is ROUND 5 -- the oldest 32 of the 44-query
-    # r5-stale tail (computed from CORRECTNESS_r02..r08); the remaining
-    # 12 lead r10 (listed below)
+    # last green driver row is ROUND 5 -- the head of the 44-query
+    # r5-stale tail (computed from CORRECTNESS_r02..r08); r9-new queries
+    # displaced the rest, which lead r10 (listed below)
     "classify_strict_json",
     "rule_alerts_native",
     "normalized_artifacts",
@@ -127,8 +127,8 @@ _VERIFY_FIRST = [
     # parity sweep (tests/test_oracle_parity) covers every query every
     # run; this list only decides which names the external sampler
     # re-checks soonest. After r9 the oldest driver-green row for any
-    # oracle-paired query should be r5 (those 12), with everything else
-    # r6+.
+    # oracle-paired query should be r5 (the 23 leftovers above), with
+    # everything else r6+.
 ]
 
 

@@ -1965,30 +1965,23 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("CAST(array() AS array<struct<h:bigint,x:bigint,"
                        "s_prev_fp:bigint>>)").alias("hits"),
             ),
-            lambda acc, h: F.struct(
-                F.when(acc["s_fp"] < 0,
-                       F.coalesce(F.element_at(F.col("m"), h), F.lit(0))
-                       * _EWMA_SCALE)
+            lambda acc, h: (lambda x: F.struct(
+                F.when(acc["s_fp"] < 0, x * _EWMA_SCALE)
                  .otherwise(
                      # DIV 4 as shiftright: exact integer floor division
                      # on non-negative bigints (no double round-trip)
                      F.shiftright(3 * acc["s_fp"], 2)
-                     + F.shiftright(
-                         F.coalesce(F.element_at(F.col("m"), h), F.lit(0))
-                         * _EWMA_SCALE, 2))
+                     + F.shiftright(x * _EWMA_SCALE, 2))
                  .cast("bigint").alias("s_fp"),
                 F.when(
-                    (acc["s_fp"] >= 0)
-                    & (F.coalesce(F.element_at(F.col("m"), h), F.lit(0)) >= 5)
-                    & (F.coalesce(F.element_at(F.col("m"), h), F.lit(0))
-                       * _EWMA_SCALE > 2 * acc["s_fp"]),
+                    (acc["s_fp"] >= 0) & (x >= 5)
+                    & (x * _EWMA_SCALE > 2 * acc["s_fp"]),
                     F.concat(acc["hits"], F.array(F.struct(
                         h.cast("bigint").alias("h"),
-                        F.coalesce(F.element_at(F.col("m"), h), F.lit(0))
-                        .cast("bigint").alias("x"),
+                        x.cast("bigint").alias("x"),
                         acc["s_fp"].cast("bigint").alias("s_prev_fp")))),
                 ).otherwise(acc["hits"]).alias("hits"),
-            ),
+            ))(F.coalesce(F.element_at(F.col("m"), h), F.lit(0))),
         )["hits"].alias("hits"),
     )
     return (
@@ -2246,7 +2239,7 @@ ORDER BY src, d
 
 @query("password_spray_windows", oracle=_SPRAY_ORACLE,
        doc="Password-spray detection: one SOURCE hitting MANY accounts "
-           "with few attempts each inside an hour window — the "
+           "with few attempts each inside a day window — the "
            "low-and-slow inverse of brute force that per-account "
            "lockouts never see (>=3 distinct accounts in a day, <=2 "
            "attempts per account). Completes the auth-attack family next to "

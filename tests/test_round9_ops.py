@@ -353,11 +353,17 @@ def test_run_detections_example_composes(spark):
     registry = load_all()
     feed = None
     for detector, (qname, entity, when, measure) in DETECTORS.items():
-        out = normalize(detector, registry[qname].fn(spark, SF_DIR),
-                        entity, when, measure)
+        src = registry[qname].fn(spark, SF_DIR)
+        # every configured column must exist on its query's output — a
+        # renamed query column would otherwise silently feed NULLs
+        for col in (entity, when, measure):
+            assert col is None or col in src.columns, (detector, col)
+        out = normalize(detector, src, entity, when, measure)
         assert out.columns == ["detector", "entity", "window_at", "measure"]
         feed = out if feed is None else feed.unionByName(out)
     rows = feed.collect()
     detectors_hit = {r["detector"] for r in rows}
     assert len(detectors_hit) >= 4, detectors_hit
     assert all(r["entity"] is not None for r in rows)
+    assert all(r["measure"] is not None for r in rows), \
+        "a firing detector must carry its signal strength"
