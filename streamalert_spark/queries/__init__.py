@@ -51,6 +51,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # re-verified first. Every other query follows in registration order.
 _VERIFY_FIRST = [
     # ---- round-9 new queries prepend HERE (keep list length <= 50) ----
+    "bootstrap_ci_means",          # new: deterministic multiplier CI
+    "lpa_communities",             # new: synchronous label propagation
     "password_spray_windows",      # new: low-and-slow auth spray gate
     "ann_matryoshka_audit",        # new: MRL prefix-dim recall audit
     "touch_attribution",           # new: U-shaped revenue attribution
@@ -105,11 +107,10 @@ _VERIFY_FIRST = [
     "zorder_pruning_ledger",
     "cdc_merge_snapshot",
     "salted_topk_per_type",
-    "winsorize_event_values",
-    "scd2_status_history",
-    # ^ 50 entries -- the external sampler's full prefix (11 r9-new +
-    # 16 never-sampled + 2 r9-changed + 21 of the r5-stale tail). Still
-    # r5-stale after r9 (lead r10 with them): compaction_plan_bins,
+    # ^ 50 entries -- the external sampler's full prefix (13 r9-new +
+    # 16 never-sampled + 2 r9-changed + 19 of the r5-stale tail). Still
+    # r5-stale after r9 (lead r10 with them): winsorize_event_values,
+    # scd2_status_history, compaction_plan_bins,
     # stream_cdc_apply_bounded,
     # equidepth_histogram,
     # referential_integrity_audit,

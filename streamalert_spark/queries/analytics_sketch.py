@@ -2270,3 +2270,205 @@ def password_spray_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                           & (F.col("max_per_user") <= 2))
         .repartition(1).sortWithinPartitions("src", "d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic multiplier-bootstrap confidence intervals.
+# ---------------------------------------------------------------------------
+
+_BOOTSTRAP_ORACLE = """
+WITH purch AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('purchase', 'click', 'view')
+),
+reps AS (
+  SELECT p.event_id, p.event_type, p.cents, CAST(b AS BIGINT) AS b,
+         (CASE WHEN substring(md5(b || ':' || p.event_id), 1, 1)
+                    IN ('1','3','5','7','9','b','d','f')
+               THEN 1 ELSE 0 END
+          + CASE WHEN substring(md5(b || ':' || p.event_id), 2, 1)
+                      IN ('1','3','5','7','9','b','d','f')
+                 THEN 1 ELSE 0 END) AS w
+  FROM purch p, UNNEST(range(0, 32)) AS t(b)
+),
+rep_means AS (
+  SELECT event_type, b,
+         CASE WHEN SUM(w) = 0 THEN NULL
+              ELSE CAST((SUM(w * cents) * 1000000) // SUM(w) AS BIGINT)
+         END AS mean_fp
+  FROM reps GROUP BY event_type, b
+),
+sorted AS (
+  SELECT event_type, list_sort(list(mean_fp)) AS ms
+  FROM rep_means GROUP BY event_type
+),
+point AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST((SUM(cents) * 1000000) // COUNT(*) AS BIGINT) AS point_fp
+  FROM purch GROUP BY event_type
+)
+SELECT p.event_type, p.n, p.point_fp,
+       s.ms[2] AS ci_lo_fp, s.ms[31] AS ci_hi_fp
+FROM point p JOIN sorted s USING (event_type)
+ORDER BY event_type
+"""
+
+
+@query("bootstrap_ci_means", oracle=_BOOTSTRAP_ORACLE,
+       doc="Deterministic multiplier-bootstrap CI for the mean event "
+           "value per type: 32 replicas reweight every row by "
+           "w in {0,1,2} (two independent md5-derived coin flips — a "
+           "bounded-weight multiplier bootstrap; seeded hashing replaces "
+           "RNG so any engine reproduces the replicas bit-for-bit), each "
+           "replica's weighted mean is exact integer micro-cents, and "
+           "the CI is the 2nd/31st order statistic of the 32 sorted "
+           "replica means. One 32x row expansion into a "
+           "partial-aggregated (type, replica) shuffle — replicas "
+           "never materialize the corpus, and no RNG state exists to "
+           "desynchronize executors at any cluster size.")
+def bootstrap_ci_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purch = (_events(spark, sf_dir)
+             .filter(F.col("event_type").isin("purchase", "click", "view"))
+             .select("event_id", "event_type",
+                     F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                     .alias("cents")))
+    odd = "('1','3','5','7','9','b','d','f')"
+    reps = (purch
+            .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(31))))
+            .withColumn("h", F.md5(F.concat(F.col("b").cast("string"),
+                                            F.lit(":"),
+                                            F.col("event_id")
+                                            .cast("string"))))
+            .withColumn("w", F.expr(
+                f"CASE WHEN substring(h, 1, 1) IN {odd} THEN 1 ELSE 0 END"
+                f" + CASE WHEN substring(h, 2, 1) IN {odd} THEN 1 ELSE 0 "
+                f"END")))
+    rep_means = (reps.groupBy("event_type", "b")
+                 .agg(F.sum("w").alias("sw"),
+                      F.sum(F.col("w") * F.col("cents")).alias("swc"))
+                 .select("event_type",
+                         F.when(F.col("sw") == 0, F.lit(None))
+                         .otherwise(F.expr("(swc * 1000000) DIV sw"))
+                         .cast("bigint").alias("mean_fp")))
+    sorted_ms = (rep_means.groupBy("event_type")
+                 .agg(F.array_sort(F.collect_list("mean_fp")).alias("ms")))
+    point = (purch.groupBy("event_type")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                  F.expr("(SUM(cents) * 1000000) DIV COUNT(*)")
+                  .cast("bigint").alias("point_fp")))
+    return (
+        point.join(sorted_ms, "event_type")
+        .select("event_type", "n", "point_fp",
+                F.element_at("ms", 2).alias("ci_lo_fp"),
+                F.element_at("ms", 31).alias("ci_hi_fp"))
+        .repartition(1).sortWithinPartitions("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities — synchronous LPA, fixed rounds.
+# ---------------------------------------------------------------------------
+
+_LPA_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+raw AS (
+  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT cnt FROM n) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 3 + 7) % (SELECT cnt FROM n) FROM documents
+),
+edges AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+sym AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b, a FROM edges),
+l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+v1 AS (
+  SELECT s.u AS node, l.lbl, COUNT(*) AS c
+  FROM sym s JOIN l0 l ON l.node = s.v GROUP BY s.u, l.lbl
+),
+l1 AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl, row_number() OVER (
+      PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v1) WHERE rn = 1
+),
+v2 AS (
+  SELECT s.u AS node, l.lbl, COUNT(*) AS c
+  FROM sym s JOIN l1 l ON l.node = s.v GROUP BY s.u, l.lbl
+),
+l2 AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl, row_number() OVER (
+      PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v2) WHERE rn = 1
+),
+v3 AS (
+  SELECT s.u AS node, l.lbl, COUNT(*) AS c
+  FROM sym s JOIN l2 l ON l.node = s.v GROUP BY s.u, l.lbl
+),
+l3 AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl, row_number() OVER (
+      PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v3) WHERE rn = 1
+)
+SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node
+FROM l3
+GROUP BY lbl
+HAVING COUNT(*) >= 2
+ORDER BY n_nodes DESC, community
+"""
+
+
+@query("lpa_communities", oracle=_LPA_ORACLE,
+       doc="Label-propagation communities (Raghavan et al. 2007) over "
+           "the deterministic doc graph: labels start as node ids, each "
+           "SYNCHRONOUS round reassigns every node the MODE of its "
+           "neighbors' labels (ties -> min label, so the algorithm is "
+           "deterministic — async LPA is famously not), 3 rounds "
+           "unrolled; output = communities of size >= 2. Differs from "
+           "connected components (min-label convergence) by splitting "
+           "a component along dense cores. Per round: one edge-keyed "
+           "join + one (node, label) partial-aggregated count + one "
+           "per-node top-1 window — the GraphX/Pregel LPA shape in "
+           "pure DataFrame ops, lineage cut per round.")
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()  # driver scalar: node-space size for the modulus
+    raw = docs.select(F.col("doc_id").alias("src"),
+                      ((F.col("doc_id") * 2 + 1) % n).alias("dst")) \
+        .unionByName(docs.select(F.col("doc_id").alias("src"),
+                                 ((F.col("doc_id") * 3 + 7) % n).alias("dst")))
+    edges = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+        .unionByName(edges.select(F.col("b").alias("u"),
+                                  F.col("a").alias("v"))) \
+        .localCheckpoint()
+    labels = sym.select(F.col("u").alias("node")).distinct() \
+        .select("node", F.col("node").alias("lbl"))
+    w = W.partitionBy("node").orderBy(F.col("c").desc(), "lbl")
+    for _ in range(3):
+        votes = (sym.join(labels.select(F.col("node").alias("v"), "lbl"),
+                          "v")
+                 .groupBy(F.col("u").alias("node"), "lbl")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        labels = (votes.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("node", "lbl")
+                  .localCheckpoint())
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+             F.min("node").cast("bigint").alias("min_node"),
+             F.max("node").cast("bigint").alias("max_node"))
+        .filter(F.col("n_nodes") >= 2)
+        .orderBy(F.col("n_nodes").desc(), "community")
+    )

@@ -367,3 +367,52 @@ def test_run_detections_example_composes(spark):
     assert all(r["entity"] is not None for r in rows)
     assert all(r["measure"] is not None for r in rows), \
         "a firing detector must carry its signal strength"
+
+
+# ------------------------------------------------------- bootstrap CI
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    from streamalert_spark.queries import load_all
+
+    rows = load_all()["bootstrap_ci_means"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["ci_lo_fp"] <= r["point_fp"] <= r["ci_hi_fp"], r
+        assert r["ci_lo_fp"] < r["ci_hi_fp"], "degenerate CI"
+        assert r["n"] > 0
+
+
+def test_bootstrap_weights_are_two_coin_flips():
+    """The md5-derived multiplier takes each value in {0,1,2} with the
+    Binomial(2, 1/2) frequencies (sanity over a large id range)."""
+    import hashlib
+
+    odd = set("13579bdf")
+    counts = {0: 0, 1: 0, 2: 0}
+    for eid in range(4000):
+        h = hashlib.md5(f"7:{eid}".encode()).hexdigest()  # noqa: S324
+        counts[(h[0] in odd) + (h[1] in odd)] += 1
+    assert 0.2 < counts[0] / 4000 < 0.3
+    assert 0.45 < counts[1] / 4000 < 0.55
+    assert 0.2 < counts[2] / 4000 < 0.3
+
+
+# ------------------------------------------------------- LPA communities
+
+def test_lpa_communities_partition_nodes(spark):
+    """Community sizes must sum to the node count (every node assigned
+    exactly one label), and LPA must be strictly finer than one blob:
+    more than one community with fewer singletons than components would
+    allow."""
+    from streamalert_spark.queries import load_all
+    from streamalert_spark.session import read_table
+
+    rows = load_all()["lpa_communities"].fn(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    n = read_table(spark, SF_DIR, "documents").count()
+    # communities of size >= 2 plus the suppressed singletons == all nodes
+    covered = sum(r["n_nodes"] for r in rows)
+    assert covered <= n
+    for r in rows:
+        assert r["min_node"] <= r["max_node"]
+        assert r["n_nodes"] >= 2
