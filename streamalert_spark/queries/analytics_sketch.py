@@ -2470,5 +2470,6 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("node").cast("bigint").alias("min_node"),
              F.max("node").cast("bigint").alias("max_node"))
         .filter(F.col("n_nodes") >= 2)
-        .orderBy(F.col("n_nodes").desc(), "community")
+        .repartition(1)
+        .sortWithinPartitions(F.col("n_nodes").desc(), "community")
     )
