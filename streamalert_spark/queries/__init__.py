@@ -43,99 +43,27 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
-# Names surfaced FIRST in the registry (and therefore in queries()/
-# oracle_sql()). External correctness harnesses that sample a prefix of
-# the registry check these before anything else; the list holds (a)
-# queries that have never had an external correctness row and (b)
-# queries whose underlying operators changed most recently and should be
-# re-verified first. Every other query follows in registration order.
-_VERIFY_FIRST = [
-    # ---- round-9 new queries prepend HERE (keep list length <= 50) ----
-    "bootstrap_ci_means",          # new: deterministic multiplier CI
-    "lpa_communities",             # new: synchronous label propagation
-    "password_spray_windows",      # new: low-and-slow auth spray gate
-    "ann_matryoshka_audit",        # new: MRL prefix-dim recall audit
-    "touch_attribution",           # new: U-shaped revenue attribution
-    "cusum_changepoints",          # new: CUSUM persistent-shift detector
-    "oov_rate_by_source",          # new: vocab-coverage OOV audit
-    "link_prediction_scores",      # new: common-neighbor/Jaccard 2-hop
-    "ewma_control_chart",          # new: fixed-point EWMA spike alerts
-    "stream_ewma_alerts_bounded",  # new: stateful streaming EWMA twin
-    "training_shard_manifest",     # new: seeded global-shuffle shards
-    "score_quantile_normalize",    # new: per-source rank calibration
-    "dns_tunnel_scores",           # new: DNS exfil label statistics
-    # r8-registered, never externally sampled (registered after r8's
-    # prefix filled) -- claims until the driver hash-checks them:
-    "ip_prefix_anonymize_audit",
-    "dedup_cascade_stages",
-    "decontaminate_containment",
-    "stream_histogram_quantiles_bounded",
-    "beaconing_pairs",
-    "impossible_travel_hops",
-    "decayed_risk_scores",        # r9: dead first age_h withColumn removed
-    "typosquat_domain_verdicts",
-    "table_pii_profile",
-    "stream_decayed_counters_bounded",
-    "token_drift_tvd",            # r9: oracle gained the zero-total guard
-    "event_transition_matrix",
-    "basket_association_rules",
-    "top_session_paths",
-    "new_entity_emergence",
-    "ktruss_edges",
-    # round-9 changed queries -- re-verify first:
-    "alert_merge_greedy",         # r9: gained the full-payload JSON oracle
-    "stream_pattern_match_ooo_bounded",  # r9: 1-in-5 key subset + oracle
-    # last green driver row is ROUND 5 -- the head of the 44-query
-    # r5-stale tail (computed from CORRECTNESS_r02..r08); r9-new queries
-    # displaced the rest, which lead r10 (listed below)
-    "classify_strict_json",
-    "rule_alerts_native",
-    "normalized_artifacts",
-    "alert_merge_windowed",
-    "alert_merge_greedy_groups",
-    "rule_datatype_routing",
-    "streamquery_feedback",
-    "simhash_neardup_pairs",
-    "source_kinesis_decode",
-    "source_sns_extract",
-    "source_s3_records",
-    "app_source_backfill",
-    "fuzzy_name_pairs",
-    "inverted_index_terms",
-    "cms_heavy_hitters",
-    "table_profile_lineitem",
-    "zorder_pruning_ledger",
-    "cdc_merge_snapshot",
-    "salted_topk_per_type",
-    # ^ 50 entries -- the external sampler's full prefix (13 r9-new +
-    # 16 never-sampled + 2 r9-changed + 19 of the r5-stale tail). Still
-    # r5-stale after r9 (lead r10 with them): winsorize_event_values,
-    # scd2_status_history, compaction_plan_bins,
-    # stream_cdc_apply_bounded,
-    # equidepth_histogram,
-    # referential_integrity_audit,
-    # freshness_gap_report, seasonal_rate_spikes,
-    # stream_dedup_gate_bounded, kmv_sketch_rollup,
-    # train_eval_split_manifest, kcore_dense_nodes, snapshot_diff_feed,
-    # incremental_agg_maintenance, weighted_sample_docs,
-    # app_source_salesforce, app_source_stream_resume,
-    # bpe_learned_merges, bpe_encode_tokens, entity_resolution_groups,
-    # incremental_dedup_pairs, salted_exact_distinct_users,
-    # stream_first_seen_bounded, histogram_quantile_sketch,
-    # stream_rate_alerts_bounded.
-    # Staleness is STRUCTURAL: with a ~210-query registry and a 50-slot
-    # external sample, a full refresh takes 4+ rounds -- the in-repo
-    # parity sweep (tests/test_oracle_parity) covers every query every
-    # run; this list only decides which names the external sampler
-    # re-checks soonest. After r9 the oldest driver-green row for any
-    # oracle-paired query should be r5 (the 23 leftovers above), with
-    # everything else r6+.
+# Queries whose implementation or oracle changed THIS round and should
+# be re-verified externally even though their last driver row is recent.
+# The rest of the verify-first ordering is DERIVED, not curated: the
+# ledger (queries/ledger.py) scans the committed CORRECTNESS_r*.json
+# driver records and sorts never-driver-green names first, these changed
+# names second, then everything else oldest-green-first. Clear this list
+# at the start of each round.
+_CHANGED_THIS_ROUND = [
+    "bootstrap_ci_means",          # r10: NULL-replica guard in both engines
+    "password_spray_windows",      # r10: src IS NOT NULL + string extract
+    "compression_ratio_signal",    # r10: engine-neutral oracle (ex-rows-only)
+    "alert_output_writer_ledger",  # r10: demo trimmed for bench hygiene
+    "stream_ewma_alerts_bounded",  # r10: demo trimmed for bench hygiene
 ]
 
 
 def load_all() -> dict[str, RegisteredQuery]:
     """Import every query module (side-effect: registration) and return the
-    registry, ordered verify-first (see _VERIFY_FIRST) then by registration."""
+    registry, ordered by re-verification urgency (see queries/ledger.py:
+    never-driver-green first, then _CHANGED_THIS_ROUND, then oldest
+    driver-green round ascending)."""
     from streamalert_spark.queries import (  # noqa: F401
         analytics_ext,
         analytics_sketch,
@@ -156,7 +84,11 @@ def load_all() -> dict[str, RegisteredQuery]:
         warehouse_ext,
     )
 
-    head = [n for n in _VERIFY_FIRST if n in QUERIES]
-    ordered = {n: QUERIES[n] for n in head}
-    ordered.update({n: q for n, q in QUERIES.items() if n not in ordered})
-    return ordered
+    from pathlib import Path
+
+    from streamalert_spark.queries.ledger import load_ledger, verify_order
+
+    repo_root = Path(__file__).resolve().parents[2]
+    ledger = load_ledger(repo_root)
+    order = verify_order(list(QUERIES), ledger, _CHANGED_THIS_ROUND)
+    return {n: QUERIES[n] for n in order}
