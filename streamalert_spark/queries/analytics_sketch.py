@@ -2213,11 +2213,12 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPRAY_ORACLE = """
 WITH fails AS (
-  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS src,
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS src,
          user_id,
          CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 AS d
   FROM events
   WHERE event_type = 'error' AND user_id IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL
 ),
 per_user AS (
   SELECT src, d, user_id, CAST(COUNT(*) AS BIGINT) AS attempts
@@ -2250,7 +2251,10 @@ ORDER BY src, d
 def password_spray_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     fails = (_events(spark, sf_dir)
              .filter((F.col("event_type") == "error")
-                     & F.col("user_id").isNotNull())
+                     & F.col("user_id").isNotNull()
+                     # a NULL src would sort NULLS FIRST here but NULLS
+                     # LAST in the DuckDB oracle — exclude it in BOTH
+                     & F.get_json_object("props", "$.k").isNotNull())
              .select(
                  F.get_json_object("props", "$.k").cast("bigint")
                  .alias("src"),
@@ -2301,7 +2305,7 @@ rep_means AS (
 ),
 sorted AS (
   SELECT event_type, list_sort(list(mean_fp)) AS ms
-  FROM rep_means GROUP BY event_type
+  FROM rep_means WHERE mean_fp IS NOT NULL GROUP BY event_type
 ),
 point AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
@@ -2351,7 +2355,12 @@ def bootstrap_ci_means(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.when(F.col("sw") == 0, F.lit(None))
                          .otherwise(F.expr("(swc * 1000000) DIV sw"))
                          .cast("bigint").alias("mean_fp")))
-    sorted_ms = (rep_means.groupBy("event_type")
+    # Drop NULL replica means (sum(w)=0, possible only at tiny event
+    # counts) BEFORE sorting: Spark's collect_list skips NULLs while
+    # DuckDB's list() keeps them, so an unfiltered degenerate replica
+    # would shift the order statistics differently per engine.
+    sorted_ms = (rep_means.filter(F.col("mean_fp").isNotNull())
+                 .groupBy("event_type")
                  .agg(F.array_sort(F.collect_list("mean_fp")).alias("ms")))
     point = (purch.groupBy("event_type")
              .agg(F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -881,6 +881,12 @@ def stream_pattern_match_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Python state-machine work (every row round-trips the buffer) off the
 # bench's critical path. Oracle = the SAME batch CEP SQL on the SAME
 # subset.
+# str.replace substitutes EVERY occurrence — pin the marker to exactly
+# one hit so a future edit adding another bare "  FROM events" line to
+# the shared oracle cannot silently corrupt the subset oracle.
+assert _PATTERN_SEQ_ORACLE.count("  FROM events\n") == 1, (
+    "pattern-seq oracle gained a second '  FROM events' scan; the "
+    "subset rewrite below would corrupt it — use a unique marker")
 _PATTERN_SEQ_ORACLE_SUBSET = _PATTERN_SEQ_ORACLE.replace(
     "  FROM events\n",
     "  FROM events WHERE user_id % 5 = 0\n",
