@@ -573,7 +573,7 @@ WITH alerts AS (
          'rule_' || CAST(i % 3 AS VARCHAR) AS rule_name,
          'chan-' || CAST(i % 2 AS VARCHAR) AS descriptor,
          i
-  FROM range(1, 201) t(i)
+  FROM range(1, 61) t(i)
 )
 SELECT id, 'json:' || descriptor AS output,
        md5('{"descriptor": "' || descriptor || '", "id": "' || id
@@ -585,7 +585,7 @@ ORDER BY id, output
 
 @query("alert_output_writer_ledger", oracle=_ALERT_WRITER_ORACLE,
        doc="Alert DELIVERY as a Python DataSource streaming SINK "
-           "(format streamalert_outputs): 200 alerts stream through "
+           "(format streamalert_outputs): 60 alerts stream through 2 "
            "micro-batches; write(iterator) runs ON THE EXECUTORS, builds "
            "each output's request body with the transport-free builders, "
            "stages a task-local ledger file keyed by taskAttemptId, and "
@@ -614,10 +614,13 @@ def alert_output_writer_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src = (
             spark.readStream.format("streamalert_app")
-            .option("app", "synthetic").option("end_timestamp", "200")
-            # 2 micro-batches (120+80): the crash-window property needs a
-            # second epoch commit; a third batch is pure demo overhead
-            .option("page_size", "120")
+            .option("app", "synthetic").option("end_timestamp", "60")
+            # 2 micro-batches (40+20): the crash-window property needs a
+            # second epoch commit and nothing more — the exactly-once
+            # receipt semantics are per-commit, not per-row, so 60
+            # alerts exercise the identical protocol 200 did (r9
+            # verdict: bench hygiene, cut the demo floor)
+            .option("page_size", "40")
             .load()
             .select(
                 F.concat(F.lit("al-"),
@@ -1370,10 +1373,14 @@ from streamalert_spark.queries.analytics_sketch import _EWMA_ORACLE
            "doubles the smoothed baseline) must equal the batch "
            "recursive-CTE walk exactly: every fold step is "
            "non-negative integer floor division, so stream and batch "
-           "are bit-identical. Oracle = the SAME batch EWMA SQL; "
-           "alert-only emission means no watermark sentinel batch is "
-           "needed. State: two bigints per event TYPE (bounded "
-           "domain).")
+           "are bit-identical. The fold consumes JVM-side HOURLY "
+           "AGGREGATES (r10: the demo previously streamed raw events "
+           "through Python state — counting per hour is a map-side "
+           "combine, and at scale the Arrow transfer should carry "
+           "|types| x |hours| rows, not the corpus). Oracle = the SAME "
+           "batch EWMA SQL; alert-only emission means no watermark "
+           "sentinel batch is needed. State: two bigints per event "
+           "TYPE (bounded domain).")
 def stream_ewma_alerts_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
@@ -1389,7 +1396,14 @@ def stream_ewma_alerts_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
                "00:00:00', ts) DIV 1000000 DIV 3600").alias("h"))
-    lo, hi = ev.agg(F.min("h"), F.max("h")).first()
+    # the stateful fold consumes HOURLY AGGREGATES (its input contract —
+    # see ewma_alerts_stream): count once JVM-side, materialize the tiny
+    # (type, hour, x) frame, and the three demo batches are a few
+    # hundred rows each instead of three full raw-event parquet writes
+    hourly = (ev.groupBy("event_type", "h")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+              .localCheckpoint())
+    lo, hi = hourly.agg(F.min("h"), F.max("h")).first()
     # hour-aligned tercile splits: each micro-batch carries WHOLE hours,
     # preserving the stateful fold's per-key event-time order contract
     c1 = lo + (hi - lo) // 3
@@ -1403,13 +1417,13 @@ def stream_ewma_alerts_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h") > c2,
         ]):
             part = os.path.join(in_dir, f"b{i}")
-            ev.filter(cond).coalesce(1).write.parquet(part)
+            hourly.filter(cond).coalesce(1).write.parquet(part)
             os.utime(part, (1_000_000 + 10 * i,) * 2)
             for f in os.listdir(part):
                 os.utime(os.path.join(part, f), (1_000_000 + 10 * i,) * 2)
         src = (
             spark.readStream
-            .schema("event_type string, h bigint")
+            .schema("event_type string, h bigint, x bigint")
             .option("maxFilesPerTrigger", "1")
             .parquet(os.path.join(in_dir, "*"))
         )

@@ -115,11 +115,21 @@ def ewma_alerts_stream(
     lo_hour: int,
     idle_ttl_s: int | None = None,
 ) -> DataFrame:
-    """Per-type EWMA (alpha=1/4) spike alerts over (event_type, h) rows,
-    carried across micro-batches in exact fixed point. Fold per hour:
-    s' = (3s) DIV 4 + (x*SCALE) DIV 4, with empty spine hours folding
-    x=0 — bit-identical to the batch query's recursive walk, because
-    every step is non-negative integer floor division.
+    """Per-type EWMA (alpha=1/4) spike alerts over (event_type, h, x)
+    HOURLY AGGREGATES, carried across micro-batches in exact fixed
+    point. Fold per hour: s' = (3s) DIV 4 + (x*SCALE) DIV 4, with empty
+    spine hours folding x=0 — bit-identical to the batch query's
+    recursive walk, because every step is non-negative integer floor
+    division.
+
+    The input is pre-counted, not raw events, on purpose: per-hour
+    counting is a JVM partial aggregate (map-side combine) the upstream
+    micro-batch computes for free, so the Python state fold sees
+    |types| x |hours| rows instead of every raw event — at 100 TB that
+    is the difference between an Arrow transfer of a few thousand rows
+    per trigger and shipping the whole stream through Python. Rows for
+    the same (type, hour) within a batch are summed, so a partially
+    combined upstream is also legal.
 
     ``lo_hour`` anchors the spine: the batch definition seeds hour lo
     with s = x_lo*SCALE (no alert possible there), and a key first seen
@@ -146,7 +156,7 @@ def ewma_alerts_stream(
             return
         rows = (pd.concat(frames, ignore_index=True)
                 if len(frames) > 1 else frames[0])
-        counts = rows.groupby("h").size().sort_index()
+        counts = rows.groupby("h")["x"].sum().sort_index()
         last_h, s = tuple(state.get) if state.exists else (lo_hour - 1, 0)
         out_h, out_x, out_s = [], [], []
         for h, x in counts.items():

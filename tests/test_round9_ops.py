@@ -48,9 +48,13 @@ def test_ewma_stream_matches_walk_across_batches(spark, tmp_path):
     # hour -> count for one type; hour 103 is exactly 2x the running s of
     # 2*SCALE... construct the edge: s after seed 4 then folds
     counts = {100: 4, 101: 4, 102: 4, 106: 9, 110: 40}
-    rows = [(h, i) for h, c in counts.items() for i in range(c)]
-    b1 = [(h, i) for h, i in rows if h <= 104]
-    b2 = [(h, i) for h, i in rows if h > 104]
+    # the fold's input contract is hourly aggregates (event_type, h, x);
+    # split hour 106 across two same-batch rows to exercise the
+    # partially-combined-upstream summing path
+    rows = [(h, x) for h, x in counts.items() if h != 106]
+    rows += [(106, 4), (106, 5)]
+    b1 = [(h, x) for h, x in rows if h <= 104]
+    b2 = [(h, x) for h, x in rows if h > 104]
     in_dir = tmp_path / "in"
     in_dir.mkdir()
     for i, batch in enumerate([b1, b2]):
@@ -58,9 +62,10 @@ def test_ewma_stream_matches_walk_across_batches(spark, tmp_path):
         pq.write_table(pa.table({
             "event_type": ["login"] * len(batch),
             "h": [h for h, _ in batch],
+            "x": [x for _, x in batch],
         }), path)
         os.utime(path, (1_000_000 + 10 * i,) * 2)
-    src = (spark.readStream.schema("event_type string, h bigint")
+    src = (spark.readStream.schema("event_type string, h bigint, x bigint")
            .option("maxFilesPerTrigger", "1").parquet(str(in_dir)))
     out = ewma_alerts_stream(src, lo_hour=lo)
     got = sorted(
