@@ -58,6 +58,11 @@ def main() -> None:
         return time.monotonic() - started > budget_s
 
     timings: dict[str, float] = {}
+    # every attempt per query, in execution order — BENCH_LAST.json keeps
+    # these so a later reader can separate run-to-run contention from a
+    # real regression without re-running (r9 verdict: diagnosing one +2s
+    # phantom required diffing the working tree against HEAD)
+    attempts: dict[str, list[float]] = {}
     pass2_covered = 0
     for pass_i in range(2):
         # Pass 2 re-times in DESCENDING pass-1 time order: when the budget
@@ -82,13 +87,16 @@ def main() -> None:
                     timings[name] = -1.0
                 continue
             timings[name] = min(timings.get(name, dt), dt)
+            attempts.setdefault(name, []).append(round(dt, 3))
             pass2_covered += pass_i
     for name in sorted(timings, key=lambda n: -timings[n]):
         if timings[name] > 1.5 and not over_budget():
             try:
-                timings[name] = min(timings[name], run_once(registry[name]))
+                dt = run_once(registry[name])
             except Exception:  # noqa: BLE001
-                pass
+                continue
+            timings[name] = min(timings[name], dt)
+            attempts.setdefault(name, []).append(round(dt, 3))
 
     total = 0.0
     for name, best in timings.items():
@@ -107,12 +115,19 @@ def main() -> None:
         "n_queries": len(timings),
         "pass2_covered": pass2_covered,
     }
-    # full map -> file beside this script (always recoverable)
+    # full map -> file beside this script (always recoverable); the file
+    # copy additionally carries every attempt per query ({min, runs}),
+    # while the stdout line keeps the flat name->min map unchanged
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_LAST.json")
     try:
+        file_payload = dict(payload)
+        file_payload["queries"] = {
+            name: {"min": best, "runs": attempts.get(name, [])}
+            for name, best in timings.items()
+        }
         with open(full_path, "w") as fh:
-            json.dump(payload, fh, separators=(",", ":"))
+            json.dump(file_payload, fh, separators=(",", ":"))
             fh.write("\n")
     except OSError as exc:
         print(f"BENCH WARN could not write {full_path}: {exc}",
