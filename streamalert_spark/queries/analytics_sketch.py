@@ -2482,3 +2482,235 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions(F.col("n_nodes").desc(), "community")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-significant-digit audit — data-forensics / fraud screen.
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) in exact parts-per-million; the nine entries sum to
+# exactly 1,000,000, so the constants introduce no rounding drift in
+# either engine.
+_BENFORD_PPM = "[301030,176091,124939,96910,79181,66947,57992,51153,45757]"
+
+_BENFORD_ORACLE = f"""
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+d AS (
+  SELECT event_type,
+         CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c WHERE cents > 0
+),
+per AS (
+  SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n_d
+  FROM d GROUP BY event_type, digit
+),
+tot AS (
+  SELECT event_type, CAST(SUM(n_d) AS BIGINT) AS n FROM per
+  GROUP BY event_type
+),
+scored AS (
+  SELECT p.event_type, p.digit, p.n_d, t.n,
+         CAST((p.n_d * 1000000) // t.n AS BIGINT) AS obs_ppm,
+         CAST(({_BENFORD_PPM})[p.digit] AS BIGINT) AS exp_ppm
+  FROM per p JOIN tot t USING (event_type)
+)
+SELECT event_type, digit, n_d, obs_ppm, exp_ppm,
+       CAST(abs(obs_ppm - exp_ppm) AS BIGINT) AS dev_ppm,
+       CAST(SUM(abs(obs_ppm - exp_ppm))
+            OVER (PARTITION BY event_type) AS BIGINT) AS sad_ppm
+FROM scored
+ORDER BY event_type, digit
+"""
+
+
+@query("benford_first_digit_audit", oracle=_BENFORD_ORACLE,
+       doc="Benford's-law first-significant-digit audit per event type — "
+           "the standard forensic screen for fabricated or generated "
+           "numeric columns (human-invented amounts under-use leading "
+           "1s). The digit is taken from the INTEGER cents string, so no "
+           "float log10 ever runs; expected frequencies are exact ppm "
+           "constants that sum to 1e6; the per-type deviation is the sum "
+           "of absolute ppm gaps (integer-safe at any corpus size, "
+           "unlike a chi-square numerator which overflows bigint at "
+           "~1e6 rows). One partial-aggregated (type, digit) shuffle "
+           "over the scan; the digit domain caps output at 9 rows/type.")
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cents = (_events(spark, sf_dir)
+             .filter(F.col("value").isNotNull())
+             .select("event_type",
+                     F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                     .alias("cents"))
+             .filter(F.col("cents") > 0))
+    per = (cents
+           .select("event_type",
+                   F.substring(F.col("cents").cast("string"), 1, 1)
+                   .cast("bigint").alias("digit"))
+           .groupBy("event_type", "digit")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_d")))
+    tw = W.partitionBy("event_type")
+    scored = (per
+              .withColumn("n", F.sum("n_d").over(tw))
+              .withColumn("obs_ppm", F.expr("(n_d * 1000000) DIV n"))
+              .withColumn("exp_ppm",
+                          F.expr(f"CAST(element_at(array({_BENFORD_PPM[1:-1]}), "
+                                 "CAST(digit AS INT)) AS BIGINT)")))
+    return (
+        scored
+        .withColumn("dev_ppm", F.expr("abs(obs_ppm - exp_ppm)"))
+        .withColumn("sad_ppm",
+                    F.sum("dev_ppm").over(tw).cast("bigint"))
+        .select("event_type", "digit", "n_d", "obs_ppm", "exp_ppm",
+                "dev_ppm", "sad_ppm")
+        .repartition(1).sortWithinPartitions("event_type", "digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness (CV^2) — bot/automation detector.
+# ---------------------------------------------------------------------------
+
+_BURSTINESS_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+         event_id
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+gaps AS (
+  SELECT user_id,
+         s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS g
+  FROM seq
+),
+agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(g) AS HUGEINT) AS sum_g,
+         CAST(SUM(g * g) AS HUGEINT) AS sum_g2
+  FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+),
+scored AS (
+  SELECT user_id, n_gaps,
+         CAST((sum_g * 1000000) // n_gaps AS BIGINT) AS mean_gap_fp,
+         CAST(((n_gaps * sum_g2 - sum_g * sum_g) * 1000000)
+              // (sum_g * sum_g) AS BIGINT) AS cv2_fp
+  FROM agg WHERE n_gaps >= 2 AND sum_g > 0
+)
+SELECT user_id, n_gaps, mean_gap_fp, cv2_fp,
+       CASE WHEN cv2_fp > 2000000 THEN 'bursty'
+            WHEN cv2_fp < 500000 THEN 'periodic'
+            ELSE 'poissonish' END AS regime
+FROM scored
+ORDER BY user_id
+"""
+
+
+@query("interarrival_burstiness", oracle=_BURSTINESS_ORACLE,
+       doc="Squared coefficient of variation of per-user inter-event "
+           "gaps — the classic automation/bot discriminator (machine "
+           "schedules give CV^2 << 1, human/Poisson activity ~1, bursty "
+           "retry storms >> 1; complements beaconing_pairs, which looks "
+           "at src->dst pairs, by classifying the USER timeline). "
+           "Exact integer arithmetic end-to-end: CV^2 = n*Sum(g^2)/"
+           "Sum(g)^2 - 1 rearranged to a single fixed-point division "
+           "over DECIMAL(38,0)/HUGEINT power sums (bigint would "
+           "overflow once gaps span months), so no float variance ever "
+           "crosses engines. One per-user window (hash-partitioned by "
+           "user, no global sort) + one partial-aggregated shuffle.")
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    seq = (_events(spark, sf_dir)
+           .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+           .select("user_id", "event_id",
+                   F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ "
+                          "'1970-01-01 00:00:00', ts) DIV 1000000")
+                   .alias("s")))
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    gaps = (seq.withColumn("g", F.col("s") - F.lag("s").over(w))
+            .filter(F.col("g").isNotNull()))
+    # power sums ride DECIMAL(38,0): n*Sum(g^2)*1e6 tops bigint once a
+    # user's gaps span months (DuckDB side uses HUGEINT for the same
+    # reason); the final fixed-point quotient is bigint-sized again
+    agg = (gaps.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+                F.sum("g").cast("decimal(38,0)").alias("sum_g"),
+                F.sum(F.col("g") * F.col("g")).cast("decimal(38,0)")
+                .alias("sum_g2")))
+    scored = (
+        agg.filter((F.col("n_gaps") >= 2) & (F.col("sum_g") > 0))
+        .select(
+            "user_id", "n_gaps",
+            F.expr("(sum_g * 1000000) DIV n_gaps").cast("bigint")
+            .alias("mean_gap_fp"),
+            F.expr("((n_gaps * sum_g2 - sum_g * sum_g) * 1000000)"
+                   " DIV (sum_g * sum_g)").cast("bigint")
+            .alias("cv2_fp")))
+    return (
+        scored.withColumn(
+            "regime",
+            F.expr("CASE WHEN cv2_fp > 2000000 THEN 'bursty' "
+                   "WHEN cv2_fp < 500000 THEN 'periodic' "
+                   "ELSE 'poissonish' END"))
+        .repartition(1).sortWithinPartitions("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user event-type Gini diversity — account-takeover shape signal.
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH per AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id, event_type
+),
+agg AS (
+  SELECT user_id,
+         CAST(SUM(c) AS HUGEINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c * c) AS HUGEINT) AS sum_c2
+  FROM per GROUP BY user_id
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events, n_types,
+       CAST(1000000 - (sum_c2 * 1000000) // (n_events * n_events)
+            AS BIGINT) AS gini_fp
+FROM agg
+ORDER BY user_id
+"""
+
+
+@query("event_gini_diversity", oracle=_GINI_ORACLE,
+       doc="Gini impurity of each user's event-type mix (1 - sum p_i^2) "
+           "in exact fixed point — the entropy-style diversity signal "
+           "without the float log entropy needs (ln() is not guaranteed "
+           "bit-identical across engines; Gini is pure integer "
+           "arithmetic). Single-type accounts score 0 (scripted "
+           "scrapers), evenly mixed activity approaches 1-1/k. Two "
+           "partial-aggregated shuffles, both keyed by user.")
+def event_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (_events(spark, sf_dir)
+           .filter(F.col("user_id").isNotNull())
+           .groupBy("user_id", "event_type")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    # sum_c2 * 1e6 exceeds bigint once a user logs ~100k same-type
+    # events, so the quotient rides DECIMAL(38,0) (HUGEINT in DuckDB)
+    agg = (per.groupBy("user_id")
+           .agg(F.sum("c").cast("decimal(38,0)").alias("n_events"),
+                F.count(F.lit(1)).cast("bigint").alias("n_types"),
+                F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)")
+                .alias("sum_c2")))
+    return (
+        agg.select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "n_types",
+            F.expr("1000000 - (sum_c2 * 1000000) DIV (n_events * n_events)")
+            .cast("bigint").alias("gini_fp"))
+        .repartition(1).sortWithinPartitions("user_id")
+    )

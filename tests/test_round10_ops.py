@@ -1,0 +1,141 @@
+"""Unit tests for the round-10 operators: Benford digit/constant
+semantics, burstiness regime edges, Gini diversity bounds — each pinned
+against tiny hand fixtures independent of the DuckDB parity sweep."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+# ------------------------------------------------------------- Benford
+
+def test_benford_ppm_constants_are_exact():
+    """The nine hardcoded ppm constants must be floor(log10(1+1/d)*1e6)
+    up to the +-1 integerization that makes them sum to EXACTLY 1e6."""
+    import math
+
+    from streamalert_spark.queries.analytics_sketch import _BENFORD_PPM
+
+    ppm = [int(x) for x in _BENFORD_PPM.strip("[]").split(",")]
+    assert len(ppm) == 9
+    assert sum(ppm) == 1_000_000
+    for d, got in enumerate(ppm, start=1):
+        exact = math.log10(1 + 1 / d) * 1_000_000
+        assert abs(got - exact) < 1, (d, got, exact)
+    assert ppm == sorted(ppm, reverse=True)  # Benford is monotone
+
+
+def test_benford_digit_comes_from_cents_not_log(spark):
+    """value=0.01 -> cents=1 -> digit 1; value=9.5 -> cents=950 ->
+    digit 9; zero and negative values drop out."""
+    from streamalert_spark.queries.analytics_sketch import (
+        benford_first_digit_audit,
+    )
+    from streamalert_spark.session import local_rows_df
+
+    rows = [(1, "2024-01-01 00:00:00", 1, "t", 0.01, None),
+            (2, "2024-01-01 00:00:01", 1, "t", 9.50, None),
+            (3, "2024-01-01 00:00:02", 1, "t", 0.0, None),
+            (4, "2024-01-01 00:00:03", 1, "t", -3.0, None)]
+    df = local_rows_df(
+        spark, rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string").withColumn("ts", F.col("ts").cast("timestamp"))
+
+    import streamalert_spark.queries.analytics_sketch as mod
+    orig = mod._events
+    mod._events = lambda s, d: df
+    try:
+        got = {(r["digit"]): r["n_d"]
+               for r in benford_first_digit_audit(spark, SF_DIR).collect()}
+    finally:
+        mod._events = orig
+    assert got == {1: 1, 9: 1}
+
+
+# --------------------------------------------------------- burstiness
+
+def _run_burstiness(spark, rows):
+    from streamalert_spark.queries.analytics_sketch import (
+        interarrival_burstiness,
+    )
+    from streamalert_spark.session import local_rows_df
+
+    df = local_rows_df(
+        spark, rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+    import streamalert_spark.queries.analytics_sketch as mod
+    orig = mod._events
+    mod._events = lambda s, d: df
+    try:
+        return {r["user_id"]: r.asDict()
+                for r in interarrival_burstiness(spark, SF_DIR).collect()}
+    finally:
+        mod._events = orig
+
+
+def test_burstiness_constant_gap_is_periodic(spark):
+    rows = [(i, f"2024-01-01 00:{i:02d}:00", 7, "t", 1.0, None)
+            for i in range(5)]
+    got = _run_burstiness(spark, rows)
+    assert got[7]["cv2_fp"] == 0
+    assert got[7]["regime"] == "periodic"
+    assert got[7]["mean_gap_fp"] == 60 * 1_000_000
+
+
+def test_burstiness_spike_gap_is_bursty(spark):
+    # gaps 1,1,1,597: mean 150, heavily right-skewed -> CV^2 >> 2
+    ts = [0, 1, 2, 3, 600]
+    rows = [(i, f"2024-01-01 00:{t // 60:02d}:{t % 60:02d}",
+             8, "t", 1.0, None) for i, t in enumerate(ts)]
+    got = _run_burstiness(spark, rows)
+    n, sg = 4, 600
+    sg2 = 1 + 1 + 1 + 597 * 597
+    want = ((n * sg2 - sg * sg) * 1_000_000) // (sg * sg)
+    assert got[8]["cv2_fp"] == want
+    assert got[8]["regime"] == "bursty"
+
+
+def test_burstiness_needs_two_gaps(spark):
+    rows = [(0, "2024-01-01 00:00:00", 9, "t", 1.0, None),
+            (1, "2024-01-01 00:01:00", 9, "t", 1.0, None)]
+    assert _run_burstiness(spark, rows) == {}  # 1 gap -> excluded
+
+
+# ------------------------------------------------------------- Gini
+
+def _run_gini(spark, rows):
+    from streamalert_spark.queries.analytics_sketch import (
+        event_gini_diversity,
+    )
+    from streamalert_spark.session import local_rows_df
+
+    df = local_rows_df(
+        spark, rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string")
+    import streamalert_spark.queries.analytics_sketch as mod
+    orig = mod._events
+    mod._events = lambda s, d: df
+    try:
+        return {r["user_id"]: r.asDict()
+                for r in event_gini_diversity(spark, SF_DIR).collect()}
+    finally:
+        mod._events = orig
+
+
+def test_gini_single_type_is_zero_and_uniform_hits_bound(spark):
+    rows = ([(i, None, 1, "only", 1.0, None) for i in range(6)]
+            + [(10 + i, None, 2, f"t{i % 3}", 1.0, None) for i in range(6)])
+    got = _run_gini(spark, rows)
+    assert got[1]["gini_fp"] == 0
+    assert got[1]["n_types"] == 1
+    # uniform over 3 types: 1 - 3*(1/3)^2 = 2/3
+    assert got[2]["gini_fp"] == 1_000_000 - (3 * 4 * 1_000_000) // 36
+    assert got[2]["n_types"] == 3
