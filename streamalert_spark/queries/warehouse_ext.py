@@ -468,3 +468,188 @@ def unpivot_measure_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
               .cast("double").alias("total"))
         .repartition(1).sortWithinPartitions("measure")
     )
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style replica anti-entropy — locate divergent buckets by digest.
+# ---------------------------------------------------------------------------
+
+from streamalert_spark.ops.sketch import hex_prefix_int, hex_prefix_int_sql
+
+_AE_BUCKETS = 512
+
+_AE_ORACLE = f"""
+WITH a AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+b AS (
+  SELECT k,
+         cents + CASE WHEN substring(md5('upd:' || CAST(k AS VARCHAR)), 1, 2)
+                           = '00' THEN 1 ELSE 0 END AS cents
+  FROM a
+  WHERE substring(md5('del:' || CAST(k AS VARCHAR)), 1, 2) <> '00'
+),
+da AS (
+  SELECT k % {_AE_BUCKETS} AS bucket,
+         md5(CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)) AS h
+  FROM a
+),
+db AS (
+  SELECT k % {_AE_BUCKETS} AS bucket,
+         md5(CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)) AS h
+  FROM b
+),
+sa AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_a,
+         CAST(SUM({hex_prefix_int_sql('h')}) AS BIGINT) AS digest_a
+  FROM da GROUP BY bucket
+),
+sb AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM({hex_prefix_int_sql('h')}) AS BIGINT) AS digest_b
+  FROM db GROUP BY bucket
+)
+SELECT COALESCE(sa.bucket, sb.bucket) AS bucket,
+       COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+       COALESCE(digest_a, 0) AS digest_a,
+       COALESCE(digest_b, 0) AS digest_b
+FROM sa FULL OUTER JOIN sb ON sa.bucket = sb.bucket
+WHERE COALESCE(n_a, 0) <> COALESCE(n_b, 0)
+   OR COALESCE(digest_a, 0) <> COALESCE(digest_b, 0)
+ORDER BY bucket
+"""
+
+
+@query("replica_antientropy_buckets", oracle=_AE_ORACLE,
+       doc="Merkle-style anti-entropy between a table and its replica: "
+           "each side folds every row into a commutative per-bucket "
+           "digest (sum of 48-bit md5 prefixes over the row's canonical "
+           "key:cents string — order-independent, so partial aggregation "
+           "and any partitioning produce the same digest), and only "
+           "buckets whose (count, digest) pairs disagree surface. The "
+           "replica is a deterministic md5-gated mutation of orders "
+           "(~1/256 rows deleted, ~1/256 updated by one cent). This is "
+           "how 100 TB replicas reconcile without shipping rows: two "
+           "scans reduced to 512 bucket rows each, a tiny join, and "
+           "divergent buckets alone proceed to row-level diff (at scale "
+           "the bucket tree recurses; one level demonstrates the "
+           "digest algebra). Float prices never enter the digest — "
+           "integer cents do.")
+def replica_antientropy_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (read_table(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").alias("k"),
+                 F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+                 .alias("cents")))
+    ks = F.col("k").cast("string")
+    b = (a.filter(F.substring(F.md5(F.concat(F.lit("del:"), ks)), 1, 2)
+                  != "00")
+         .select("k", (F.col("cents")
+                       + F.when(F.substring(
+                           F.md5(F.concat(F.lit("upd:"), ks)), 1, 2) == "00",
+                           F.lit(1)).otherwise(F.lit(0))).alias("cents")))
+
+    def digests(df, n_col, d_col):
+        h = F.md5(F.concat(ks, F.lit(":"), F.col("cents").cast("string")))
+        return (df.select((F.col("k") % _AE_BUCKETS).alias("bucket"),
+                          hex_prefix_int(h).alias("hi"))
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).cast("bigint").alias(n_col),
+                     F.sum("hi").cast("bigint").alias(d_col)))
+
+    sa, sb = digests(a, "n_a", "digest_a"), digests(b, "n_b", "digest_b")
+    joined = sa.join(sb, "bucket", "full_outer")
+    return (
+        joined.select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+            F.coalesce("digest_a", F.lit(0)).cast("bigint")
+            .alias("digest_a"),
+            F.coalesce("digest_b", F.lit(0)).cast("bigint")
+            .alias("digest_b"))
+        .filter((F.col("n_a") != F.col("n_b"))
+                | (F.col("digest_a") != F.col("digest_b")))
+        .repartition(1).sortWithinPartitions("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GDPR tombstone purge audit — delete-request propagation manifest.
+# ---------------------------------------------------------------------------
+
+_TOMBSTONE_ORACLE = """
+WITH ev AS (
+  SELECT 'events' AS table_name,
+         CAST(COUNT(*) FILTER (WHERE substring(md5('erase:' ||
+              CAST(user_id AS VARCHAR)), 1, 1) = '0') AS BIGINT)
+           AS rows_purged,
+         CAST(COUNT(*) FILTER (WHERE substring(md5('erase:' ||
+              CAST(user_id AS VARCHAR)), 1, 1) <> '0') AS BIGINT)
+           AS rows_retained,
+         CAST(COUNT(DISTINCT CASE WHEN substring(md5('erase:' ||
+              CAST(user_id AS VARCHAR)), 1, 1) = '0' THEN user_id END)
+              AS BIGINT) AS subjects_purged
+  FROM events WHERE user_id IS NOT NULL
+),
+o AS (
+  SELECT 'orders' AS table_name,
+         CAST(COUNT(*) FILTER (WHERE substring(md5('erase:' ||
+              CAST(o_custkey AS VARCHAR)), 1, 1) = '0') AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE substring(md5('erase:' ||
+              CAST(o_custkey AS VARCHAR)), 1, 1) <> '0') AS BIGINT),
+         CAST(COUNT(DISTINCT CASE WHEN substring(md5('erase:' ||
+              CAST(o_custkey AS VARCHAR)), 1, 1) = '0' THEN o_custkey END)
+              AS BIGINT)
+  FROM orders
+),
+c AS (
+  SELECT 'customer' AS table_name,
+         CAST(COUNT(*) FILTER (WHERE substring(md5('erase:' ||
+              CAST(c_custkey AS VARCHAR)), 1, 1) = '0') AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE substring(md5('erase:' ||
+              CAST(c_custkey AS VARCHAR)), 1, 1) <> '0') AS BIGINT),
+         CAST(COUNT(DISTINCT CASE WHEN substring(md5('erase:' ||
+              CAST(c_custkey AS VARCHAR)), 1, 1) = '0' THEN c_custkey END)
+              AS BIGINT)
+  FROM customer
+)
+SELECT * FROM ev UNION ALL SELECT * FROM o UNION ALL SELECT * FROM c
+ORDER BY table_name
+"""
+
+
+@query("tombstone_purge_audit", oracle=_TOMBSTONE_ORACLE,
+       doc="Right-to-erasure propagation manifest: a deterministic "
+           "md5-gated subject set (~1/16 of ids) stands in for the "
+           "tombstone table, and every subject-bearing table reports "
+           "rows purged / retained / distinct subjects touched in ONE "
+           "conditional-aggregate scan each (no per-table anti-join "
+           "materialization — the purge itself would be the same "
+           "predicate pushed into a rewrite). Per table this is a "
+           "single partial-aggregated reduction to one row; tables "
+           "audit independently, so a 100 TB estate fans out "
+           "per-table with no cross-table shuffle.")
+def tombstone_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(table: str, id_col: str) -> DataFrame:
+        df = read_table(spark, sf_dir, table)
+        if table == "events":
+            df = df.filter(F.col(id_col).isNotNull())
+        gate = F.substring(
+            F.md5(F.concat(F.lit("erase:"), F.col(id_col).cast("string"))),
+            1, 1) == "0"
+        agg = df.agg(
+            F.sum(F.when(gate, 1).otherwise(0)).cast("bigint")
+            .alias("rows_purged"),
+            F.sum(F.when(gate, 0).otherwise(1)).cast("bigint")
+            .alias("rows_retained"),
+            F.count_distinct(F.when(gate, F.col(id_col))).cast("bigint")
+            .alias("subjects_purged"))
+        return agg.select(F.lit(table).alias("table_name"),
+                          "rows_purged", "rows_retained", "subjects_purged")
+
+    out = (audit("events", "user_id")
+           .unionByName(audit("orders", "o_custkey"))
+           .unionByName(audit("customer", "c_custkey")))
+    return out.repartition(1).sortWithinPartitions("table_name")

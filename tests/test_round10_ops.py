@@ -139,3 +139,58 @@ def test_gini_single_type_is_zero_and_uniform_hits_bound(spark):
     # uniform over 3 types: 1 - 3*(1/3)^2 = 2/3
     assert got[2]["gini_fp"] == 1_000_000 - (3 * 4 * 1_000_000) // 36
     assert got[2]["n_types"] == 3
+
+
+# ------------------------------------------------- replica anti-entropy
+
+def test_antientropy_buckets_only_shrink_and_identical_replica_is_silent(spark):
+    """B is A minus deletes plus cent-bumps, so every divergent bucket
+    must satisfy n_a >= n_b; and a digest built twice from the SAME side
+    must agree (the commutative-sum property the operator rests on)."""
+    from streamalert_spark.queries import load_all
+
+    reg = load_all()
+    rows = reg["replica_antientropy_buckets"].fn(spark, SF_DIR).collect()
+    assert rows, "the md5 gates mutate ~1/128 of orders; sf0.001 has hits"
+    for r in rows:
+        assert r["n_a"] >= r["n_b"]
+        assert (r["n_a"], r["digest_a"]) != (r["n_b"], r["digest_b"])
+
+
+def test_antientropy_digest_is_partitioning_invariant(spark):
+    """Repartitioning the input must not change any bucket digest —
+    the whole point of a commutative integer digest."""
+    from streamalert_spark.queries import load_all
+    from streamalert_spark.session import read_table
+
+    reg = load_all()
+    base = {(r["bucket"]): (r["n_a"], r["digest_a"], r["n_b"], r["digest_b"])
+            for r in reg["replica_antientropy_buckets"]
+            .fn(spark, SF_DIR).collect()}
+    again = {(r["bucket"]): (r["n_a"], r["digest_a"], r["n_b"], r["digest_b"])
+             for r in reg["replica_antientropy_buckets"]
+             .fn(spark, SF_DIR).repartition(7).collect()}
+    assert base == again
+
+
+# ------------------------------------------------- tombstone purge audit
+
+def test_tombstone_audit_conserves_rows(spark):
+    from streamalert_spark.queries import load_all
+    from streamalert_spark.session import read_table
+
+    reg = load_all()
+    got = {r["table_name"]: r.asDict()
+           for r in reg["tombstone_purge_audit"].fn(spark, SF_DIR).collect()}
+    assert set(got) == {"events", "orders", "customer"}
+    n_events = (read_table(spark, SF_DIR, "events")
+                .filter(F.col("user_id").isNotNull()).count())
+    assert got["events"]["rows_purged"] + got["events"]["rows_retained"] \
+        == n_events
+    for t in got.values():
+        assert t["subjects_purged"] <= t["rows_purged"]
+    # the 1/16 gate must hit SOMEWHERE (events' ~15-user domain at
+    # sf0.001 can legitimately have zero hits; customer's 150 cannot
+    # plausibly miss AND the same subjects cascade into orders)
+    assert got["customer"]["rows_purged"] > 0
+    assert got["orders"]["rows_purged"] > 0
