@@ -2714,3 +2714,101 @@ def event_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("gini_fp"))
         .repartition(1).sortWithinPartitions("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity — does the doc graph wire hubs to hubs?
+# ---------------------------------------------------------------------------
+
+_ASSORT_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+raw AS (
+  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT cnt FROM n) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 3 + 7) % (SELECT cnt FROM n) FROM documents
+),
+edges AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+sym AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b, a FROM edges),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+pairs AS (
+  SELECT da.d AS x, db.d AS y
+  FROM sym s JOIN deg da ON da.node = s.u JOIN deg db ON db.node = s.v
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(x * x) AS HUGEINT) AS sx2,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy
+  FROM pairs
+)
+SELECT CAST(m AS BIGINT) AS m_endpoints,
+       CAST(sx AS BIGINT) AS sum_deg,
+       CAST(sx2 AS BIGINT) AS sum_deg2,
+       CAST(sxy AS BIGINT) AS sum_degprod,
+       CAST(CASE WHEN m * sxy - sx * sx >= 0
+                 THEN ((m * sxy - sx * sx) * 1000000)
+                      // (m * sx2 - sx * sx)
+                 ELSE -(((sx * sx - m * sxy) * 1000000)
+                        // (m * sx2 - sx * sx)) END AS BIGINT)
+         AS assortativity_fp
+FROM sums
+"""
+
+
+@query("degree_assortativity", oracle=_ASSORT_ORACLE,
+       doc="Newman degree assortativity of the deterministic doc graph: "
+           "Pearson correlation of endpoint degrees over the "
+           "SYMMETRIZED edge list. Symmetrization makes the x and y "
+           "marginals identical, so r = (M*Sxy - Sx^2)/(M*Sx2 - Sx^2) "
+           "is a RATIO OF INTEGERS — the usual sqrt in Pearson's "
+           "denominator cancels and the whole statistic lands in exact "
+           "fixed point (negative r takes the truncate-toward-zero "
+           "branch explicitly, because Spark DIV truncates while "
+           "DuckDB // floors). Social graphs are assortative, "
+           "infrastructure graphs disassortative — a one-row "
+           "fingerprint for synthetic-graph sanity. Two degree joins "
+           "keyed by node + one scalar reduction; power sums ride "
+           "HUGEINT/DECIMAL(38,0).")
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n = docs.count()  # driver scalar: node-space size for the modulus
+    raw = docs.select(F.col("doc_id").alias("src"),
+                      ((F.col("doc_id") * 2 + 1) % n).alias("dst")) \
+        .unionByName(docs.select(F.col("doc_id").alias("src"),
+                                 ((F.col("doc_id") * 3 + 7) % n).alias("dst")))
+    edges = (
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+        .unionByName(edges.select(F.col("b").alias("u"),
+                                  F.col("a").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")) \
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    pairs = (sym
+             .join(deg.select(F.col("node").alias("u"),
+                              F.col("d").alias("x")), "u")
+             .join(deg.select(F.col("node").alias("v"),
+                              F.col("d").alias("y")), "v"))
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sx2"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"))
+    return sums.select(
+        F.col("m").cast("bigint").alias("m_endpoints"),
+        F.col("sx").cast("bigint").alias("sum_deg"),
+        F.col("sx2").cast("bigint").alias("sum_deg2"),
+        F.col("sxy").cast("bigint").alias("sum_degprod"),
+        F.expr("CASE WHEN m * sxy - sx * sx >= 0 "
+               "THEN ((m * sxy - sx * sx) * 1000000) "
+               "DIV (m * sx2 - sx * sx) "
+               "ELSE -(((sx * sx - m * sxy) * 1000000) "
+               "DIV (m * sx2 - sx * sx)) END")
+        .cast("bigint").alias("assortativity_fp"))

@@ -802,3 +802,88 @@ def score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint").alias("decile"))
         .repartition(1).sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID by corpus-learned trigram profiles — curation confusion audit.
+# ---------------------------------------------------------------------------
+
+_LANGID_PROFILE_K = 20
+
+_LANGID_ORACLE = f"""
+WITH tg AS (
+  SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS t
+  FROM documents,
+       UNNEST(range(1, greatest(length(text) - 1, 1))) AS s(i)
+),
+prof AS (
+  SELECT lang AS lang_p, t FROM (
+    SELECT lang, t, ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY COUNT(*) DESC, t) AS rn
+    FROM tg GROUP BY lang, t) WHERE rn <= {_LANGID_PROFILE_K}
+),
+votes AS (
+  SELECT tg.doc_id, prof.lang_p, CAST(COUNT(*) AS BIGINT) AS v
+  FROM tg JOIN prof ON tg.t = prof.t
+  GROUP BY tg.doc_id, prof.lang_p
+),
+pred AS (
+  SELECT doc_id, lang_p FROM (
+    SELECT doc_id, lang_p, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY v DESC, lang_p) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT d.lang, COALESCE(p.lang_p, 'unk') AS pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d LEFT JOIN pred p USING (doc_id)
+GROUP BY d.lang, COALESCE(p.lang_p, 'unk')
+ORDER BY lang, pred_lang
+"""
+
+
+@query("langid_trigram_confusion", oracle=_LANGID_ORACLE,
+       doc="Language-ID confusion matrix from corpus-learned character "
+           "trigram profiles (Cavnar-Trenkle n-gram classification, the "
+           "pre-neural langid standard): each language's top-20 "
+           "trigrams by count form its profile (ties broken "
+           "lexicographically), every doc votes by counting trigram "
+           "INSTANCES that hit each profile, argmax with min-language "
+           "ties predicts, and the (true, predicted) matrix sizes the "
+           "cross-lingual contamination risk before filtering by the "
+           "lang column alone. Scale: the trigram explode is one scan "
+           "(the shingle shape used across the dedup family), profiles "
+           "are |langs| x 20 rows riding a broadcast join, votes are "
+           "one (doc, lang) partial-aggregated shuffle, and the argmax "
+           "is a per-doc window — nothing quadratic, nothing global.")
+def langid_trigram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    tg = docs.select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "CASE WHEN length(text) >= 3 THEN "
+            "transform(sequence(1, length(text) - 2), "
+            "i -> substring(text, i, 3)) ELSE array() END")).alias("t"))
+    wl = W.partitionBy("lang").orderBy(F.col("c").desc(), "t")
+    prof = (tg.groupBy("lang", "t")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(wl))
+            .filter(F.col("rn") <= _LANGID_PROFILE_K)
+            .select(F.col("lang").alias("lang_p"), "t"))
+    votes = (tg.join(F.broadcast(prof), "t")
+             .groupBy("doc_id", "lang_p")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("v")))
+    wd = W.partitionBy("doc_id").orderBy(F.col("v").desc(), "lang_p")
+    pred = (votes.withColumn("rn", F.row_number().over(wd))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "lang_p"))
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id", "left")
+        .select("lang",
+                F.coalesce("lang_p", F.lit("unk")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .repartition(1).sortWithinPartitions("lang", "pred_lang")
+    )

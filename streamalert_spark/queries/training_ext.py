@@ -652,3 +652,82 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("oov_ppm"))
         .repartition(1).sortWithinPartitions("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth — corpus saturation audit.
+# ---------------------------------------------------------------------------
+
+_HEAPS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+),
+firsts AS (SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY tok),
+jv AS (
+  SELECT CASE WHEN fd // 32 = 0 THEN 0
+              ELSE CAST(length(bin(fd // 32)) AS BIGINT) END AS j,
+         CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM firsts GROUP BY 1
+),
+ji AS (
+  SELECT CASE WHEN doc_id // 32 = 0 THEN 0
+              ELSE CAST(length(bin(doc_id // 32)) AS BIGINT) END AS j,
+         CAST(COUNT(*) AS BIGINT) AS toks_in
+  FROM toks GROUP BY 1
+)
+SELECT CAST(32 << j AS BIGINT) AS checkpoint_docs,
+       CAST(SUM(COALESCE(jv.new_types, 0))
+            OVER (ORDER BY ji.j) AS BIGINT) AS vocab_cum,
+       CAST(SUM(ji.toks_in) OVER (ORDER BY ji.j) AS BIGINT) AS tokens_cum
+FROM ji LEFT JOIN jv USING (j)
+ORDER BY checkpoint_docs
+"""
+
+
+@query("heaps_vocab_growth", oracle=_HEAPS_ORACLE,
+       doc="Heaps'-law vocabulary growth curve: cumulative distinct "
+           "token types and token instances at geometrically spaced "
+           "document checkpoints (32, 64, 128, ... docs). Flat type "
+           "growth = the corpus stopped teaching a tokenizer anything "
+           "new; V(n) ~ K*n^beta on this log-spaced grid is a straight "
+           "line, which is also what makes the operator scale: each "
+           "token's FIRST occurrence maps to one checkpoint index via "
+           "pure integer floor-log2 (length of the binary string — no "
+           "float log2 crosses engines), so the cumulative spine is "
+           "<= 64 rows at ANY corpus size and the single-partition "
+           "cumulative window is bounded metadata, never data. One "
+           "token explode + two partial-aggregated shuffles.")
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    toks = (_docs(spark, sf_dir)
+            .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    jexpr = ("CASE WHEN {c} DIV 32 = 0 THEN CAST(0 AS BIGINT) "
+             "ELSE CAST(length(bin({c} DIV 32)) AS BIGINT) END")
+    firsts = (toks.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+              .select(F.expr(jexpr.format(c="fd")).alias("j"))
+              .groupBy("j")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("new_types")))
+    insts = (toks.select(F.expr(jexpr.format(c="doc_id")).alias("j"))
+             .groupBy("j")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("toks_in")))
+    # the spine is <= 64 rows (one per power-of-two checkpoint), so the
+    # single-partition cumulative window is bounded regardless of scale
+    w = (W.partitionBy(F.lit(0)).orderBy("j")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        insts.join(firsts, "j", "left")
+        .select("j",
+                F.coalesce("new_types", F.lit(0)).alias("new_types"),
+                "toks_in")
+        .select(F.expr("CAST(shiftleft(CAST(32 AS BIGINT), "
+                       "CAST(j AS INT)) AS BIGINT)")
+                .alias("checkpoint_docs"),
+                F.sum("new_types").over(w).cast("bigint")
+                .alias("vocab_cum"),
+                F.sum("toks_in").over(w).cast("bigint").alias("tokens_cum"))
+        .repartition(1).sortWithinPartitions("checkpoint_docs")
+    )

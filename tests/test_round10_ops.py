@@ -194,3 +194,52 @@ def test_tombstone_audit_conserves_rows(spark):
     # plausibly miss AND the same subjects cascade into orders)
     assert got["customer"]["rows_purged"] > 0
     assert got["orders"]["rows_purged"] > 0
+
+
+# -------------------------------------------------- Heaps vocab growth
+
+def test_heaps_curve_is_monotone_and_bounded(spark):
+    from streamalert_spark.queries import load_all
+
+    rows = (load_all()["heaps_vocab_growth"].fn(spark, SF_DIR)
+            .collect())
+    assert rows
+    prev_v = prev_t = 0
+    for i, r in enumerate(rows):
+        assert r["checkpoint_docs"] == 32 * (1 << i)  # geometric grid
+        assert r["vocab_cum"] >= prev_v
+        assert r["tokens_cum"] > prev_t
+        assert r["vocab_cum"] <= r["tokens_cum"]  # types <= instances
+        prev_v, prev_t = r["vocab_cum"], r["tokens_cum"]
+
+
+# ------------------------------------------------ language-ID confusion
+
+def test_langid_confusion_conserves_docs_per_lang(spark):
+    from streamalert_spark.queries import load_all
+    from streamalert_spark.session import read_table
+
+    rows = (load_all()["langid_trigram_confusion"].fn(spark, SF_DIR)
+            .collect())
+    got = {}
+    langs = set()
+    for r in rows:
+        got[r["lang"]] = got.get(r["lang"], 0) + r["n_docs"]
+        langs.add(r["lang"])
+        assert r["pred_lang"] in langs | {"unk", "de", "en", "es", "fr", "zh"}
+    want = {r["lang"]: r["n"] for r in
+            read_table(spark, SF_DIR, "documents")
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want  # every doc lands in exactly one matrix cell
+
+
+# ------------------------------------------------ degree assortativity
+
+def test_assortativity_is_a_valid_correlation(spark):
+    from streamalert_spark.queries import load_all
+
+    [r] = load_all()["degree_assortativity"].fn(spark, SF_DIR).collect()
+    assert -1_000_000 <= r["assortativity_fp"] <= 1_000_000
+    assert r["m_endpoints"] % 2 == 0  # symmetrized edge list
+    # Cauchy-Schwarz sanity on the raw sums
+    assert r["m_endpoints"] * r["sum_deg2"] >= r["sum_deg"] ** 2 // 1
