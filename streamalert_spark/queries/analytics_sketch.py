@@ -2812,3 +2812,138 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                "ELSE -(((sx * sx - m * sxy) * 1000000) "
                "DIV (m * sx2 - sx * sx)) END")
         .cast("bigint").alias("assortativity_fp"))
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend control chart — the trend-aware sibling of EWMA.
+# ---------------------------------------------------------------------------
+
+# NOTE on signed division: unlike the EWMA fold (non-negative by
+# construction, shiftright ok), Holt's trend term is SIGNED. Spark's DIV
+# and DuckDB's // BOTH truncate toward zero on negatives (verified), so
+# the fold uses them symmetrically and never a shift (>> floors).
+
+_HOLT_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h
+  FROM events
+),
+bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+spine AS (
+  SELECT t.event_type, CAST(s.h AS BIGINT) AS h,
+         row_number() OVER (PARTITION BY t.event_type
+                            ORDER BY s.h) AS rn
+  FROM (SELECT DISTINCT event_type FROM ev) t,
+       (SELECT UNNEST(range((SELECT lo FROM bounds),
+                            (SELECT hi FROM bounds) + 1)) AS h) s
+),
+cnts AS (
+  SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS x
+  FROM ev GROUP BY event_type, h
+),
+xs AS (
+  SELECT sp.event_type, sp.h, sp.rn, COALESCE(c.x, 0) AS x
+  FROM spine sp LEFT JOIN cnts c USING (event_type, h)
+),
+walk AS (
+  SELECT event_type, h, rn, x,
+         CAST(x * {_EWMA_SCALE} AS BIGINT) AS l_fp,
+         CAST(0 AS BIGINT) AS b_fp,
+         CAST(0 AS BIGINT) AS fc_fp,
+         FALSE AS alerted
+  FROM xs WHERE rn = 1
+  UNION ALL
+  SELECT xs.event_type, xs.h, xs.rn, xs.x,
+         (xs.x * {_EWMA_SCALE}) // 4 + (3 * (w.l_fp + w.b_fp)) // 4,
+         ((xs.x * {_EWMA_SCALE}) // 4 + (3 * (w.l_fp + w.b_fp)) // 4
+          - w.l_fp) // 4 + (3 * w.b_fp) // 4,
+         w.l_fp + w.b_fp,
+         xs.x >= 5 AND abs(xs.x * {_EWMA_SCALE} - (w.l_fp + w.b_fp))
+           > greatest(w.l_fp, 4 * {_EWMA_SCALE})
+  FROM xs JOIN walk w
+    ON xs.event_type = w.event_type AND xs.rn = w.rn + 1
+)
+SELECT event_type, h, x, fc_fp AS forecast_fp,
+       CAST(x * {_EWMA_SCALE} - fc_fp AS BIGINT) AS residual_fp
+FROM walk
+WHERE alerted
+ORDER BY event_type, h
+"""
+
+
+@query("holt_trend_residuals", oracle=_HOLT_ORACLE,
+       doc="Holt double-exponential smoothing (level + linear trend, "
+           "alpha=beta=1/4) over the zero-filled hourly spine per event "
+           "type, flagging hours whose count misses the one-step "
+           "forecast l+b by more than max(100% of level, 4 events) — "
+           "the trend-aware sibling of ewma_control_chart that does NOT "
+           "alert on steady growth the way a level-only chart does. "
+           "Every step is fixed-point integer arithmetic; the trend is "
+           "SIGNED, so the fold divides with Spark DIV / DuckDB // "
+           "(both truncate toward zero — a shiftright would floor and "
+           "diverge on negatives). Same scale shape as EWMA: one "
+           "(type, hour) partial-agg shuffle, then a native F.aggregate "
+           "fold over per-type hour arrays bounded by the time range, "
+           "never the row count; nothing leaves the JVM.")
+def holt_trend_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    S = _EWMA_SCALE
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', ts) DIV 1000000 DIV 3600").alias("h"))
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"))
+    per_type = (
+        hourly.groupBy("event_type")
+        .agg(F.map_from_entries(F.collect_list(F.struct("h", "x")))
+             .alias("m"))
+        .crossJoin(F.broadcast(bounds))
+    )
+
+    # the whole fold is ONE SQL expression so the signed truncating DIV
+    # is spelled identically to the oracle's // (shiftright would floor)
+    x_ = "coalesce(element_at(m, h), CAST(0 AS BIGINT))"
+    lp = f"({x_} * {S}) DIV 4 + (3 * (acc.l_fp + acc.b_fp)) DIV 4"
+    fold = f"""
+    aggregate(
+      sequence(lo, hi),
+      named_struct(
+        'seeded', false,
+        'l_fp', CAST(0 AS BIGINT),
+        'b_fp', CAST(0 AS BIGINT),
+        'hits', CAST(array() AS array<struct<h:bigint,x:bigint,
+                     forecast_fp:bigint,residual_fp:bigint>>)),
+      (acc, h) -> CASE WHEN NOT acc.seeded THEN named_struct(
+          'seeded', true,
+          'l_fp', CAST({x_} * {S} AS BIGINT),
+          'b_fp', CAST(0 AS BIGINT),
+          'hits', acc.hits)
+        ELSE named_struct(
+          'seeded', true,
+          'l_fp', CAST({lp} AS BIGINT),
+          'b_fp', CAST(({lp} - acc.l_fp) DIV 4 + (3 * acc.b_fp) DIV 4
+                       AS BIGINT),
+          'hits', CASE WHEN {x_} >= 5
+                        AND abs({x_} * {S} - (acc.l_fp + acc.b_fp))
+                            > greatest(acc.l_fp, CAST(4 * {S} AS BIGINT))
+                   THEN concat(acc.hits, array(named_struct(
+                        'h', CAST(h AS BIGINT),
+                        'x', CAST({x_} AS BIGINT),
+                        'forecast_fp', CAST(acc.l_fp + acc.b_fp AS BIGINT),
+                        'residual_fp', CAST({x_} * {S}
+                            - (acc.l_fp + acc.b_fp) AS BIGINT))))
+                   ELSE acc.hits END)
+        END
+    ).hits
+    """
+    folded = per_type.select("event_type", F.expr(fold).alias("hits"))
+    return (
+        folded.select("event_type", F.explode("hits").alias("e"))
+        .select("event_type", F.col("e.h").alias("h"),
+                F.col("e.x").alias("x"),
+                F.col("e.forecast_fp").alias("forecast_fp"),
+                F.col("e.residual_fp").alias("residual_fp"))
+        .repartition(1).sortWithinPartitions("event_type", "h")
+    )

@@ -243,3 +243,64 @@ def test_assortativity_is_a_valid_correlation(spark):
     assert r["m_endpoints"] % 2 == 0  # symmetrized edge list
     # Cauchy-Schwarz sanity on the raw sums
     assert r["m_endpoints"] * r["sum_deg2"] >= r["sum_deg"] ** 2 // 1
+
+
+# -------------------------------------------------- Holt trend residuals
+
+def _tdiv(a: int, d: int) -> int:
+    """Truncate-toward-zero division — Spark DIV == DuckDB // semantics."""
+    return abs(a) // d * (1 if a >= 0 else -1)
+
+
+def _holt_walk(counts_by_hour, lo, hi, scale=1_000_000):
+    alerts = []
+    l = b = None
+    for h in range(lo, hi + 1):
+        x = counts_by_hour.get(h, 0)
+        if l is None:
+            l, b = x * scale, 0
+            continue
+        fc = l + b
+        if x >= 5 and abs(x * scale - fc) > max(l, 4 * scale):
+            alerts.append((h, x, fc, x * scale - fc))
+        l_new = _tdiv(x * scale, 4) + _tdiv(3 * (l + b), 4)
+        b = _tdiv(l_new - l, 4) + _tdiv(3 * b, 4)
+        l = l_new
+    return alerts
+
+
+def test_holt_stream_matches_hand_walk_with_negative_trend(spark):
+    """Fixture with a spike then a crash so the trend term goes NEGATIVE
+    — the signed-division path where floor (shiftright) and truncate
+    (DIV, //) disagree; the hand walk uses truncate like both engines."""
+    from streamalert_spark.queries.analytics_sketch import (
+        holt_trend_residuals,
+    )
+    from streamalert_spark.session import local_rows_df
+
+    counts = {0: 5, 1: 10, 2: 20, 3: 40, 4: 80, 5: 160, 6: 320, 7: 640,
+              8: 5}
+    rows = [(h * 100 + i, f"2024-01-01 {h:02d}:00:00", 1, "t", 1.0, None)
+            for h, c in counts.items() for i in range(c)]
+    df = local_rows_df(
+        spark, rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+    import streamalert_spark.queries.analytics_sketch as mod
+    orig = mod._events
+    mod._events = lambda s, d: df
+    try:
+        got = sorted((r["h"], r["x"], r["forecast_fp"], r["residual_fp"])
+                     for r in holt_trend_residuals(spark, SF_DIR).collect())
+    finally:
+        mod._events = orig
+    # hours in the fixture are absolute epoch-hours of 2024-01-01 hh:00
+    import datetime as dt
+    base = int(dt.datetime(2024, 1, 1,
+                           tzinfo=dt.timezone.utc).timestamp()) // 3600
+    want = sorted(_holt_walk({base + h: c for h, c in counts.items()},
+                             base, base + 8))
+    assert got == want
+    assert any(res < 0 for _, _, _, res in want), \
+        "fixture must exercise a negative residual"
