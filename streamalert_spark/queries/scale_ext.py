@@ -821,3 +821,88 @@ def ann_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("top1_half"))
         .repartition(1).sortWithinPartitions("probe_id")
     )
+
+
+# ------------------------------------------------------- k-center coreset
+
+_KC_QUANT_DUCK = ("list_transform(embedding, "
+                  "x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) "
+                  "AS BIGINT))")
+
+# exact integer squared L2 between two quantized 64-dim lists
+_KC_DIST_DUCK = ("list_sum(list_transform(range(1, 65), "
+                 "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+
+
+def _kc_oracle() -> str:
+    dist = _KC_DIST_DUCK
+    parts = [f"WITH q AS (SELECT vec_id, {_KC_QUANT_DUCK} AS qv "
+             "FROM embeddings),",
+             "c0 AS (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 1),",
+             "d1 AS (SELECT q.vec_id, q.qv, "
+             f"CAST({dist.format(a='q.qv', b='c0.qv')} AS BIGINT) AS mind "
+             "FROM q, c0)"]
+    for j in range(1, 8):
+        parts.append(
+            f", c{j} AS (SELECT vec_id, qv, mind FROM d{j} "
+            f"ORDER BY mind DESC, vec_id LIMIT 1)")
+        if j < 7:
+            parts.append(
+                f", d{j + 1} AS (SELECT d.vec_id, d.qv, LEAST(d.mind, "
+                f"CAST({dist.format(a='d.qv', b=f'c{j}.qv')} AS BIGINT)) "
+                f"AS mind FROM d{j} d, c{j})")
+    sel = ["SELECT CAST(0 AS BIGINT) AS sel_idx, vec_id, "
+           "CAST(0 AS BIGINT) AS radius FROM c0"]
+    sel += [f"SELECT CAST({j} AS BIGINT), vec_id, mind FROM c{j}"
+            for j in range(1, 8)]
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel) \
+        + "\nORDER BY sel_idx"
+
+
+_KCENTER_ORACLE = _kc_oracle()
+
+
+@query("kcenter_coreset", oracle=_KCENTER_ORACLE,
+       doc="Greedy k-center coreset selection (Gonzalez 2-approximation) "
+           "over int-quantized embeddings: seed with the min vec_id, "
+           "then 7x pick the vector FARTHEST from the selected set "
+           "(max of running-min squared L2, ties to min vec_id) — the "
+           "standard diverse-sample / facility-location pick for "
+           "labeling budgets and eval-set construction. Distances are "
+           "exact bigint squared L2 on floor(x*1000+0.5) quantized "
+           "coordinates (the k-means fixed-point trick), so the greedy "
+           "trajectory is bit-identical across engines. Scale: each of "
+           "the 7 rounds is one JVM-side zip_with projection over the "
+           "corpus plus a TakeOrderedAndProject argmax; the selected "
+           "set lives on the driver as 8x64 ints (metadata), the "
+           "running-min column rides a localCheckpoint so lineage "
+           "stays flat — never a pairwise matrix.")
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.session import local_rows_df
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+               "* 1000 + 0.5) AS BIGINT))").alias("qv"))
+
+    def dist_to(center_vals):
+        arr = "CAST(array(" + ",".join(str(v) for v in center_vals) \
+            + ") AS array<bigint>)"
+        return F.expr(
+            f"aggregate(zip_with(qv, {arr}, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+
+    seed = q.orderBy("vec_id").limit(1).collect()[0]
+    selected = [(0, int(seed["vec_id"]), 0)]
+    cur = q.withColumn("mind", dist_to(seed["qv"])).localCheckpoint()
+    for j in range(1, 8):
+        far = (cur.orderBy(F.col("mind").desc(), "vec_id")
+               .limit(1).collect()[0])
+        selected.append((j, int(far["vec_id"]), int(far["mind"])))
+        if j < 7:
+            cur = (cur.withColumn(
+                "mind", F.least(F.col("mind"), dist_to(far["qv"])))
+                .localCheckpoint())
+    return local_rows_df(
+        spark, selected, "sel_idx bigint, vec_id bigint, radius bigint")

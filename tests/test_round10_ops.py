@@ -304,3 +304,37 @@ def test_holt_stream_matches_hand_walk_with_negative_trend(spark):
     assert got == want
     assert any(res < 0 for _, _, _, res in want), \
         "fixture must exercise a negative residual"
+
+
+# --------------------------------------------------- k-center coreset
+
+def test_kcenter_matches_bruteforce_greedy(spark):
+    """Re-run Gonzalez greedy in plain Python on the quantized vectors
+    and demand the identical selection trajectory and radii."""
+    from streamalert_spark.queries import load_all
+    from streamalert_spark.session import read_table
+
+    import math
+
+    emb = {r["vec_id"]: [int(math.floor(float(x) * 1000 + 0.5))
+                         for x in r["embedding"]]
+           for r in read_table(spark, SF_DIR, "embeddings").collect()}
+
+    def d2(a, b):
+        return sum((u - v) * (u - v) for u, v in zip(a, b))
+
+    seed = min(emb)
+    sel = [(0, seed, 0)]
+    mind = {v: d2(emb[v], emb[seed]) for v in emb}
+    for j in range(1, 8):
+        far = max(mind, key=lambda v: (mind[v], -v))
+        sel.append((j, far, mind[far]))
+        for v in emb:
+            mind[v] = min(mind[v], d2(emb[v], emb[far]))
+    got = [(r["sel_idx"], r["vec_id"], r["radius"])
+           for r in load_all()["kcenter_coreset"].fn(spark, SF_DIR)
+           .collect()]
+    assert got == sel
+    radii = [r for _, _, r in got[1:]]
+    assert radii == sorted(radii, reverse=True)  # greedy radii contract
+    assert len({v for _, v, _ in got}) == 8
