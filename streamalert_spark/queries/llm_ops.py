@@ -1613,3 +1613,100 @@ def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         curation.containment_decontamination(train, eval_df)
         .repartition(1).sortWithinPartitions("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier calibration — reliability diagram vs the Gopher rules.
+# ---------------------------------------------------------------------------
+
+_CALIBRATION_ORACLE = r"""
+WITH feats AS (
+  SELECT doc_id,
+         ROUND(CAST(len(list_filter(string_split(text, ' '),
+           w -> list_contains(['a','the','and','of','to','in','is','it'],
+                              w))) AS DOUBLE)
+           / len(string_split(text, ' ')), 6) AS s,
+         ROUND(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+           / greatest(length(text), 1), 6) AS p,
+         ROUND(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+           / len(string_split(text, ' ')), 6) AS a,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+           AS n_nospace,
+         CAST(len(list_filter(string_split(text, ' '),
+              w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(string_split(text, ' '),
+              w -> list_contains(['a','the','and','of','to','in','is','it'],
+                                 w))) AS BIGINT) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(floor(ROUND(
+             (-1.0 + s * 8.0 + p * -6.0 + a * 0.25)
+             / (1.0 + abs(-1.0 + s * 8.0 + p * -6.0 + a * 0.25)), 6)
+           * 1000000 + 0.5) AS BIGINT) AS score_ppm,
+         CASE WHEN n_words >= 50 AND n_words <= 100000
+                   AND CAST(n_nospace AS DOUBLE) / greatest(n_words, 1)
+                       >= 3.0
+                   AND CAST(n_nospace AS DOUBLE) / greatest(n_words, 1)
+                       <= 10.0
+                   AND CAST(n_alpha AS DOUBLE) / greatest(n_words, 1)
+                       >= 0.8
+                   AND n_stop >= 2
+              THEN 1 ELSE 0 END AS y
+  FROM feats
+),
+binned AS (
+  SELECT least(CAST(9 AS BIGINT), (score_ppm + 1000000) // 200000) AS bin,
+         score_ppm, y
+  FROM scored
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm,
+       CAST((SUM(y) * 1000000) // COUNT(*) AS BIGINT) AS gopher_pass_ppm
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@query("calibration_reliability_bins", oracle=_CALIBRATION_ORACLE,
+       doc="Reliability diagram for the fixed-weight quality classifier "
+           "against the Gopher rule verdict as ground truth: score in "
+           "(-1,1) maps to exact ppm, docs bucket into 10 equal-width "
+           "bins, and each bin reports its mean score next to its "
+           "Gopher pass rate — a monotone pass rate means the cheap "
+           "classifier can replace the rule stack at some threshold; a "
+           "flat one means it cannot (the standard pre-deployment check "
+           "before a learned quality filter gates a 100 TB corpus). "
+           "Both parents stay single projections; the doc_id-keyed "
+           "join and one 10-row partial aggregate are the only "
+           "shuffles. Signed bin means divide with Spark DIV / DuckDB "
+           "// (both truncate toward zero).")
+def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lq = text.logistic_quality(_docs(spark, sf_dir)) \
+        .select("doc_id", "quality_score")
+    gq = text.gopher_quality(_docs(spark, sf_dir)) \
+        .select("doc_id", "passes_gopher")
+    scored = lq.join(gq, "doc_id").select(
+        F.expr("CAST(floor(quality_score * 1000000 + 0.5) AS BIGINT)")
+        .alias("score_ppm"),
+        F.when(F.col("passes_gopher"), 1).otherwise(0).alias("y"))
+    binned = scored.select(
+        F.expr("least(CAST(9 AS BIGINT), (score_ppm + 1000000) DIV 200000)")
+        .alias("bin"),
+        "score_ppm", "y")
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.sum("score_ppm").alias("ssum"),
+             F.sum("y").alias("ysum"))
+        .select("bin", "n_docs",
+                F.expr("ssum DIV n_docs").cast("bigint")
+                .alias("mean_score_ppm"),
+                F.expr("(ysum * 1000000) DIV n_docs").cast("bigint")
+                .alias("gopher_pass_ppm"))
+        .repartition(1).sortWithinPartitions("bin")
+    )

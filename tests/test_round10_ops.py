@@ -338,3 +338,23 @@ def test_kcenter_matches_bruteforce_greedy(spark):
     radii = [r for _, _, r in got[1:]]
     assert radii == sorted(radii, reverse=True)  # greedy radii contract
     assert len({v for _, v, _ in got}) == 8
+
+
+# ------------------------------------------- calibration reliability bins
+
+def test_calibration_bins_conserve_docs_and_respect_bin_ranges(spark):
+    from streamalert_spark.queries import load_all
+    from streamalert_spark.session import read_table
+
+    rows = (load_all()["calibration_reliability_bins"].fn(spark, SF_DIR)
+            .collect())
+    n_docs = read_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        lo, hi = r["bin"] * 200_000 - 1_000_000, \
+            (r["bin"] + 1) * 200_000 - 1_000_000
+        if r["bin"] == 9:
+            hi = 1_000_000  # clamp bin absorbs the top edge
+        assert lo <= r["mean_score_ppm"] < hi
+        assert 0 <= r["gopher_pass_ppm"] <= 1_000_000
