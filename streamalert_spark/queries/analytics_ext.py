@@ -1296,3 +1296,114 @@ def touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("bigint").alias("cents_unattributed"))
         .repartition(1).sortWithinPartitions("user_id", "event_id")
     )
+
+
+# -------------------------------------------------- CUPED-adjusted A/B lift
+
+_CUPED_ORACLE = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 AS d,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+bounds AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS split FROM ev),
+pu AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(SUM(CASE WHEN d < (SELECT split FROM bounds)
+                       THEN cents ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN d >= (SELECT split FROM bounds)
+                       THEN cents ELSE 0 END) AS BIGINT) AS y
+  FROM ev GROUP BY user_id
+),
+pooled AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * x) AS HUGEINT) AS sx2,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy
+  FROM pu
+),
+theta AS (
+  SELECT CAST(CASE WHEN n * sx2 - sx * sx = 0 THEN 0
+                   ELSE ((n * sxy - sx * sy) * 1000000)
+                        // (n * sx2 - sx * sx) END AS BIGINT) AS theta_fp,
+         CAST((sx * 1000000) // n AS BIGINT) AS mean_x_all_fp
+  FROM pooled
+),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST((CAST(SUM(y) AS HUGEINT) * 1000000) // COUNT(*) AS BIGINT)
+           AS mean_y_fp,
+         CAST((CAST(SUM(x) AS HUGEINT) * 1000000) // COUNT(*) AS BIGINT)
+           AS mean_x_fp
+  FROM pu GROUP BY arm
+)
+SELECT a.arm, a.n_users, a.mean_y_fp, a.mean_x_fp, t.theta_fp,
+       CAST(a.mean_y_fp - (t.theta_fp * (a.mean_x_fp - t.mean_x_all_fp))
+            // 1000000 AS BIGINT) AS adj_mean_y_fp
+FROM arms a, theta t
+ORDER BY a.arm
+"""
+
+
+@query("cuped_ab_adjusted_lift", oracle=_CUPED_ORACLE,
+       doc="CUPED variance-reduced A/B readout (Deng et al. 2013, the "
+           "industry-standard experiment adjustment): arm = user_id "
+           "parity, y = post-period spend, covariate x = PRE-period "
+           "spend; theta = Cov(x,y)/Var(x) from pooled integer power "
+           "sums, and each arm reports its raw and theta-adjusted mean "
+           "(adj = y_mean - theta*(x_mean - x_all)) — pre-period "
+           "imbalance between arms is removed before the lift is read. "
+           "Everything is exact fixed point: power sums ride "
+           "HUGEINT/DECIMAL(38,0), theta and the adjustment use the "
+           "truncating DIV=// pair, a zero covariate variance "
+           "degrades to theta=0 in both engines. Scale: one per-user "
+           "conditional-sum shuffle, one 2-row arm aggregate, and two "
+           "single-row broadcasts — nothing else.")
+def cuped_ab_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (read_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+          .select("user_id",
+                  F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ "
+                         "'1970-01-01 00:00:00', ts) DIV 1000000 "
+                         "DIV 86400").alias("d"),
+                  F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                  .alias("cents")))
+    bounds = ev.agg(
+        F.expr("(MIN(d) + MAX(d) + 1) DIV 2").alias("split"))
+    pu = (ev.crossJoin(F.broadcast(bounds))
+          .groupBy("user_id")
+          .agg(F.sum(F.when(F.col("d") < F.col("split"), F.col("cents"))
+                     .otherwise(F.lit(0))).cast("bigint").alias("x"),
+               F.sum(F.when(F.col("d") >= F.col("split"), F.col("cents"))
+                     .otherwise(F.lit(0))).cast("bigint").alias("y"))
+          .select((F.col("user_id") % 2).alias("arm"), "x", "y"))
+    pooled = pu.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sx2"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"))
+    theta = pooled.select(
+        F.expr("CAST(CASE WHEN n * sx2 - sx * sx = 0 THEN 0 "
+               "ELSE ((n * sxy - sx * sy) * 1000000) "
+               "DIV (n * sx2 - sx * sx) END AS BIGINT)").alias("theta_fp"),
+        F.expr("CAST((sx * 1000000) DIV n AS BIGINT)")
+        .alias("mean_x_all_fp"))
+    arms = (pu.groupBy("arm")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.sum("y").cast("decimal(38,0)").alias("sy_a"),
+                 F.sum("x").cast("decimal(38,0)").alias("sx_a"))
+            .select("arm", "n_users",
+                    F.expr("CAST((sy_a * 1000000) DIV n_users AS BIGINT)")
+                    .alias("mean_y_fp"),
+                    F.expr("CAST((sx_a * 1000000) DIV n_users AS BIGINT)")
+                    .alias("mean_x_fp")))
+    return (
+        arms.crossJoin(F.broadcast(theta))
+        .select("arm", "n_users", "mean_y_fp", "mean_x_fp", "theta_fp",
+                F.expr("CAST(mean_y_fp - (theta_fp * (mean_x_fp "
+                       "- mean_x_all_fp)) DIV 1000000 AS BIGINT)")
+                .alias("adj_mean_y_fp"))
+        .repartition(1).sortWithinPartitions("arm")
+    )

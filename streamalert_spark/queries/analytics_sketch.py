@@ -2947,3 +2947,83 @@ def holt_trend_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("e.residual_fp").alias("residual_fp"))
         .repartition(1).sortWithinPartitions("event_type", "h")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend — median of pairwise slopes over the hourly series.
+# ---------------------------------------------------------------------------
+
+_THEILSEN_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, h
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(((b.x - a.x) * 1000000) // (b.h - a.h) AS BIGINT)
+           AS slope_fp,
+         a.h AS h1, b.h AS h2
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND a.h < b.h
+),
+ranked AS (
+  SELECT event_type, slope_fp,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope_fp, h1, h2) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM pairs
+)
+SELECT event_type,
+       CAST(cnt AS BIGINT) AS n_pairs,
+       slope_fp AS median_slope_fp
+FROM ranked
+WHERE rn = (cnt + 1) // 2
+ORDER BY event_type
+"""
+
+
+@query("theilsen_trend_slopes", oracle=_THEILSEN_ORACLE,
+       doc="Theil-Sen robust trend estimator per event type: the MEDIAN "
+           "of all pairwise slopes of the hourly count series — "
+           "breakdown point ~29%, so a burst or outage hour cannot drag "
+           "the trend the way least squares lets it (the robust "
+           "complement to holt_trend_residuals' smoother). Slopes are "
+           "exact fixed point ((x2-x1)*1e6 DIV (h2-h1), truncate "
+           "parity on negatives); the lower median is picked by rank "
+           "with a deterministic (slope, h1, h2) tie-break. Scale: the "
+           "pair self-join is keyed by type and bounded by the TIME "
+           "RANGE squared (a year of hours pairs to ~38M rows per "
+           "type), never by corpus row count — the aggregation to "
+           "hourly counts happens first, one partial-agg shuffle.")
+def theilsen_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    hourly = (_events(spark, sf_dir)
+              .select("event_type",
+                      F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ "
+                             "'1970-01-01 00:00:00', ts) DIV 1000000 "
+                             "DIV 3600").alias("h"))
+              .groupBy("event_type", "h")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("x")))
+    a = hourly.select("event_type", F.col("h").alias("h1"),
+                      F.col("x").alias("x1"))
+    b = hourly.select("event_type", F.col("h").alias("h2"),
+                      F.col("x").alias("x2"))
+    pairs = (a.join(b, "event_type")
+             .filter(F.col("h1") < F.col("h2"))
+             .select("event_type", "h1", "h2",
+                     F.expr("((x2 - x1) * 1000000) DIV (h2 - h1)")
+                     .cast("bigint").alias("slope_fp")))
+    w = W.partitionBy("event_type").orderBy("slope_fp", "h1", "h2")
+    cw = W.partitionBy("event_type")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(cw))
+        .filter(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+        .select("event_type",
+                F.col("cnt").cast("bigint").alias("n_pairs"),
+                F.col("slope_fp").alias("median_slope_fp"))
+        .repartition(1).sortWithinPartitions("event_type")
+    )

@@ -906,3 +906,103 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint())
     return local_rows_df(
         spark, selected, "sel_idx bigint, vec_id bigint, radius bigint")
+
+
+# ----------------------------------------------------- reciprocal-rank fusion
+
+_RRF_DOT_DUCK = ("list_sum(list_transform(range(1, 65), "
+                 "i -> {a}[i] * {b}[i]))")
+
+_RRF_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+           AS fv,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 16 + 0.5) AS BIGINT)) AS cv
+  FROM embeddings
+),
+probe AS (SELECT fv AS pf, cv AS pc FROM q WHERE vec_id = 0),
+ranked_a AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS rnk
+  FROM (SELECT q.vec_id,
+               CAST({_RRF_DOT_DUCK.format(a='q.fv', b='probe.pf')}
+                    AS BIGINT) AS dot
+        FROM q, probe WHERE q.vec_id <> 0
+        ORDER BY dot DESC, q.vec_id LIMIT 32)
+),
+ranked_b AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS rnk
+  FROM (SELECT q.vec_id,
+               CAST({_RRF_DOT_DUCK.format(a='q.cv', b='probe.pc')}
+                    AS BIGINT) AS dot
+        FROM q, probe WHERE q.vec_id <> 0
+        ORDER BY dot DESC, q.vec_id LIMIT 32)
+),
+fused AS (
+  SELECT COALESCE(a.vec_id, b.vec_id) AS vec_id,
+         CAST(COALESCE(1000000 // (60 + a.rnk), 0)
+              + COALESCE(1000000 // (60 + b.rnk), 0) AS BIGINT) AS rrf_fp,
+         CAST(COALESCE(a.rnk, 0) AS BIGINT) AS rank_full,
+         CAST(COALESCE(b.rnk, 0) AS BIGINT) AS rank_coarse
+  FROM ranked_a a FULL OUTER JOIN ranked_b b ON a.vec_id = b.vec_id
+)
+SELECT vec_id, rrf_fp, rank_full, rank_coarse
+FROM fused
+ORDER BY rrf_fp DESC, vec_id
+LIMIT 10
+"""
+
+
+@query("rrf_fused_topk", oracle=_RRF_ORACLE,
+       doc="Reciprocal-rank fusion (Cormack et al.) of two retrieval "
+           "channels for the same probe: a full-precision integer-dot "
+           "ranking (floor(x*1000) quantization) and a coarse 4-bit-ish "
+           "one (floor(x*16)) — the standard way to merge lexical + "
+           "dense or cheap + exact rankers without score calibration, "
+           "since RRF only consumes RANKS: score = sum 1e6/(60+rank), "
+           "exact integer. Scale: each channel is one corpus-scan "
+           "TakeOrderedAndProject top-32 (no global sort — rank windows "
+           "run on the 32 survivors), the fuse is a 32x32 outer join of "
+           "driver-bounded lists, and a missing rank contributes 0 "
+           "exactly as the RRF formula prescribes.")
+def rrf_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+               "* 1000 + 0.5) AS BIGINT))").alias("fv"),
+        F.expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) "
+               "* 16 + 0.5) AS BIGINT))").alias("cv"))
+    probe = (q.filter(F.col("vec_id") == 0)
+             .select(F.col("fv").alias("pf"), F.col("cv").alias("pc")))
+    cand = q.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(probe))
+    dot = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+           "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    w32 = W.partitionBy(F.lit(0)).orderBy(F.col("dot").desc(), "vec_id")
+
+    def channel(a, b, rank_name):
+        return (cand.select("vec_id",
+                            F.expr(dot.format(a=a, b=b)).alias("dot"))
+                .orderBy(F.col("dot").desc(), "vec_id").limit(32)
+                .withColumn(rank_name,
+                            F.row_number().over(w32).cast("bigint"))
+                .select("vec_id", rank_name))
+
+    ra = channel("fv", "pf", "rank_full")
+    rb = channel("cv", "pc", "rank_coarse")
+    fused = (ra.join(rb, "vec_id", "full_outer")
+             .select(
+                 "vec_id",
+                 (F.coalesce(F.expr("1000000 DIV (60 + rank_full)"),
+                             F.lit(0))
+                  + F.coalesce(F.expr("1000000 DIV (60 + rank_coarse)"),
+                               F.lit(0))).cast("bigint").alias("rrf_fp"),
+                 F.coalesce("rank_full", F.lit(0)).cast("bigint")
+                 .alias("rank_full"),
+                 F.coalesce("rank_coarse", F.lit(0)).cast("bigint")
+                 .alias("rank_coarse")))
+    return fused.orderBy(F.col("rrf_fp").desc(), "vec_id").limit(10)

@@ -358,3 +358,83 @@ def test_calibration_bins_conserve_docs_and_respect_bin_ranges(spark):
             hi = 1_000_000  # clamp bin absorbs the top edge
         assert lo <= r["mean_score_ppm"] < hi
         assert 0 <= r["gopher_pass_ppm"] <= 1_000_000
+
+
+# ------------------------------------------------ reciprocal-rank fusion
+
+def test_rrf_scores_decompose_into_rank_terms(spark):
+    from streamalert_spark.queries import load_all
+
+    rows = load_all()["rrf_fused_topk"].fn(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        want = 0
+        if r["rank_full"] > 0:
+            want += 1_000_000 // (60 + r["rank_full"])
+        if r["rank_coarse"] > 0:
+            want += 1_000_000 // (60 + r["rank_coarse"])
+        assert r["rrf_fp"] == want
+        assert r["rank_full"] > 0 or r["rank_coarse"] > 0
+    fps = [r["rrf_fp"] for r in rows]
+    assert fps == sorted(fps, reverse=True)
+
+
+# --------------------------------------------------- Theil-Sen slopes
+
+def test_theilsen_median_matches_bruteforce(spark):
+    from streamalert_spark.queries import load_all
+    from streamalert_spark.session import read_table
+
+    got = {r["event_type"]: (r["n_pairs"], r["median_slope_fp"])
+           for r in load_all()["theilsen_trend_slopes"]
+           .fn(spark, SF_DIR).collect()}
+    ev = read_table(spark, SF_DIR, "events").select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+               "00:00:00', ts) DIV 1000000 DIV 3600").alias("h")).collect()
+    hourly = {}
+    for r in ev:
+        hourly.setdefault(r["event_type"], {})
+        hourly[r["event_type"]][r["h"]] = \
+            hourly[r["event_type"]].get(r["h"], 0) + 1
+    for t, cnts in hourly.items():
+        hs = sorted(cnts)
+        slopes = sorted(
+            ((cnts[h2] - cnts[h1]) * 1_000_000) // (h2 - h1)
+            if (cnts[h2] - cnts[h1]) >= 0 else
+            -((-(cnts[h2] - cnts[h1]) * 1_000_000) // (h2 - h1))
+            for i, h1 in enumerate(hs) for h2 in hs[i + 1:])
+        n = len(slopes)
+        # lower median by the (slope, h1, h2) rank: the slope VALUE at
+        # rank (n+1)//2 equals the (n+1)//2-th smallest slope
+        assert got[t] == (n, slopes[(n + 1) // 2 - 1])
+
+
+# ------------------------------------------------------- CUPED A/B
+
+def test_cuped_adjustment_shrinks_preperiod_imbalance(spark):
+    from streamalert_spark.queries import load_all
+
+    rows = {r["arm"]: r.asDict()
+            for r in load_all()["cuped_ab_adjusted_lift"]
+            .fn(spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1}
+    # weighted mean_x_all reconstruction: adjustment must conserve the
+    # overall weighted mean of y up to DIV truncation per arm
+    for arm in (0, 1):
+        r = rows[arm]
+        assert r["n_users"] > 0
+        # adjusted mean = raw mean - theta*(x_arm - x_all)/1e6 exactly
+        # (recompute the subtraction from the emitted columns)
+        # x_all is not emitted; invert it from the two arms' identity
+    n0, n1 = rows[0]["n_users"], rows[1]["n_users"]
+    x_all = (rows[0]["mean_x_fp"] * n0 + rows[1]["mean_x_fp"] * n1) \
+        // (n0 + n1)
+    for arm in (0, 1):
+        r = rows[arm]
+        gap = r["theta_fp"] * (r["mean_x_fp"] - x_all)
+        tgap = abs(gap) // 1_000_000 * (1 if gap >= 0 else -1)
+        # reconstruction is exact up to the per-user-sum rounding that
+        # x_all inversion reintroduces: allow 1 fp ulp
+        assert abs((r["mean_y_fp"] - tgap) - r["adj_mean_y_fp"]) <= \
+            abs(r["theta_fp"]) + 1
