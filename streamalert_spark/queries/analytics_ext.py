@@ -1407,3 +1407,75 @@ def cuped_ab_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("adj_mean_y_fp"))
         .repartition(1).sortWithinPartitions("arm")
     )
+
+
+# ------------------------------------------------- time-weighted average
+
+_TWAP_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+stepped AS (
+  SELECT user_id, s, cents,
+         LEAD(s) OVER (PARTITION BY user_id ORDER BY s, event_id)
+           AS next_s
+  FROM seq
+),
+agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(next_s - s) AS HUGEINT) AS span_s,
+         CAST(SUM(cents * (next_s - s)) AS HUGEINT) AS area
+  FROM stepped WHERE next_s IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_obs,
+       CAST(span_s AS BIGINT) AS span_s,
+       CAST((area * 1000000) // span_s AS BIGINT) AS twap_fp
+FROM agg
+WHERE span_s > 0
+ORDER BY user_id
+"""
+
+
+@query("twap_locf_per_user", oracle=_TWAP_ORACLE,
+       doc="Time-weighted average value per user with last-observation-"
+           "carried-forward (the TWAP/step-integral every metering, "
+           "billing, and position-exposure pipeline needs): each "
+           "observation holds until the next one, so the average is "
+           "integral(value dt)/span — a row-count mean over-weights "
+           "bursts of cheap events, TWAP does not. Exact integers "
+           "end-to-end: cents x duration areas sum in "
+           "HUGEINT/DECIMAL(38,0) (a month-long hold at $1000 is "
+           "~2.6e11 cent-seconds per row). One per-user LEAD window "
+           "(hash-partitioned) + one partial-aggregated shuffle; "
+           "same-timestamp ties order by event_id deterministically "
+           "and contribute zero-duration steps.")
+def twap_locf_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = (read_table(spark, sf_dir, "events")
+           .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+           .select("user_id", "event_id",
+                   F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ "
+                          "'1970-01-01 00:00:00', ts) DIV 1000000")
+                   .alias("s"),
+                   F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                   .alias("cents")))
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    stepped = (seq.withColumn("next_s", F.lead("s").over(w))
+               .filter(F.col("next_s").isNotNull()))
+    agg = (stepped.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+                F.sum(F.col("next_s") - F.col("s"))
+                .cast("decimal(38,0)").alias("span_s"),
+                F.sum(F.col("cents") * (F.col("next_s") - F.col("s")))
+                .cast("decimal(38,0)").alias("area")))
+    return (
+        agg.filter(F.col("span_s") > 0)
+        .select("user_id", "n_obs",
+                F.col("span_s").cast("bigint").alias("span_s"),
+                F.expr("(area * 1000000) DIV span_s").cast("bigint")
+                .alias("twap_fp"))
+        .repartition(1).sortWithinPartitions("user_id")
+    )

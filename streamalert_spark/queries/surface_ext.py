@@ -161,3 +161,104 @@ def nested_csv_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("record.sub.flag").alias("flag"),
         F.col("record.sub.qty").alias("qty"),
     ).repartition(1).sortWithinPartitions("okey", "lnum")
+
+
+# ------------------------------------------------ longest-prefix-match enrich
+
+_LPM_ORACLE = """
+WITH rt AS (
+  SELECT CAST(10 * 16777216 + t * 65536 AS BIGINT) AS net,
+         CAST(16 AS BIGINT) AS len,
+         'pop-' || CAST(t AS VARCHAR) || '-16' AS next_hop
+  FROM range(0, 16) s(t)
+  UNION ALL
+  SELECT CAST(10 * 16777216 + t * 65536 + t * 256 AS BIGINT), 24,
+         'pop-' || CAST(t AS VARCHAR) || '-24'
+  FROM range(0, 16) s(t)
+  UNION ALL
+  SELECT CAST(10 * 16777216 AS BIGINT), 8, 'core'
+),
+ips AS (
+  SELECT c_custkey,
+         CAST(10 * 16777216 + (c_custkey % 32) * 65536
+              + (c_custkey % 20) * 256 + (c_custkey % 100) AS BIGINT)
+           AS ip_long
+  FROM customer
+),
+cand AS (
+  SELECT i.c_custkey, i.ip_long, l.len,
+         (i.ip_long // CAST(power(2, 32 - l.len) AS BIGINT))
+           * CAST(power(2, 32 - l.len) AS BIGINT) AS net
+  FROM ips i, (VALUES (CAST(8 AS BIGINT)), (16), (24)) l(len)
+),
+hits AS (
+  SELECT c.c_custkey, c.ip_long, c.len, rt.next_hop,
+         ROW_NUMBER() OVER (PARTITION BY c.c_custkey, c.ip_long
+                            ORDER BY c.len DESC) AS rn
+  FROM cand c JOIN rt ON rt.net = c.net AND rt.len = c.len
+)
+SELECT c_custkey, ip_long, CAST(len AS BIGINT) AS prefix_len, next_hop
+FROM hits WHERE rn = 1
+ORDER BY c_custkey
+"""
+
+
+@query("lpm_route_enrich", oracle=_LPM_ORACLE,
+       doc="Longest-prefix-match IP routing enrich — the classic "
+           "netflow/firewall attribution join SQL engines lack a native "
+           "operator for. Scale shape: instead of a range join against "
+           "the routing table (O(rows x prefixes) nested loop), every "
+           "IP expands to its CANDIDATE network per table prefix "
+           "LENGTH (here /8, /16, /24 — real tables have <= 25 distinct "
+           "lengths) and equi-joins the broadcast table on (net, len); "
+           "the winner is a per-key top-1 window on descending length. "
+           "Masking is pure integer divide-multiply, no bit ops with "
+           "engine-specific sign behavior. IPs that match only the /8 "
+           "default route resolve to 'core', proving fall-through.")
+def lpm_route_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = spark.range(0, 16).select(F.col("id").alias("t"))
+    rt16 = t.select(
+        (F.lit(10 * 16777216) + F.col("t") * 65536).cast("bigint")
+        .alias("net"),
+        F.lit(16).cast("bigint").alias("len"),
+        F.concat(F.lit("pop-"), F.col("t").cast("string"), F.lit("-16"))
+        .alias("next_hop"))
+    rt24 = t.select(
+        (F.lit(10 * 16777216) + F.col("t") * 65536 + F.col("t") * 256)
+        .cast("bigint").alias("net"),
+        F.lit(24).cast("bigint").alias("len"),
+        F.concat(F.lit("pop-"), F.col("t").cast("string"), F.lit("-24"))
+        .alias("next_hop"))
+    rt8 = spark.range(1).select(
+        F.lit(10 * 16777216).cast("bigint").alias("net"),
+        F.lit(8).cast("bigint").alias("len"),
+        F.lit("core").alias("next_hop"))
+    rt = rt16.unionByName(rt24).unionByName(rt8)
+
+    ips = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.lit(10 * 16777216) + (F.col("c_custkey") % 32) * 65536
+         + (F.col("c_custkey") % 20) * 256 + (F.col("c_custkey") % 100))
+        .cast("bigint").alias("ip_long"))
+    cand = (ips
+            .crossJoin(F.broadcast(
+                spark.range(1).select(F.expr(
+                    "CAST(array(8, 16, 24) AS array<bigint>)")
+                    .alias("lens"))))
+            .select("c_custkey", "ip_long",
+                    F.explode("lens").alias("len"))
+            .withColumn(
+                "net",
+                F.expr("(ip_long DIV CAST(pow(2, 32 - len) AS BIGINT)) "
+                       "* CAST(pow(2, 32 - len) AS BIGINT)")))
+    hits = cand.join(F.broadcast(rt), ["net", "len"])
+    w = W.partitionBy("c_custkey", "ip_long").orderBy(F.col("len").desc())
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "ip_long",
+                F.col("len").alias("prefix_len"), "next_hop")
+        .repartition(1).sortWithinPartitions("c_custkey")
+    )

@@ -438,3 +438,73 @@ def test_cuped_adjustment_shrinks_preperiod_imbalance(spark):
         # x_all inversion reintroduces: allow 1 fp ulp
         assert abs((r["mean_y_fp"] - tgap) - r["adj_mean_y_fp"]) <= \
             abs(r["theta_fp"]) + 1
+
+
+# ------------------------------------------------- LPM route enrich
+
+def test_lpm_picks_longest_and_falls_through(spark):
+    """Brute-force the 33-entry routing table in Python and demand the
+    identical winner for every customer; the fixture must exercise all
+    three prefix lengths."""
+    from streamalert_spark.queries import load_all
+    from streamalert_spark.session import read_table
+
+    table = {}
+    for t in range(16):
+        table[(16, 10 * 16777216 + t * 65536)] = (16, f"pop-{t}-16")
+        table[(24, 10 * 16777216 + t * 65536 + t * 256)] = (24, f"pop-{t}-24")
+    table[(8, 10 * 16777216)] = (8, "core")
+
+    got = {r["c_custkey"]: (r["prefix_len"], r["next_hop"])
+           for r in load_all()["lpm_route_enrich"].fn(spark, SF_DIR)
+           .collect()}
+    keys = [r["c_custkey"] for r in
+            read_table(spark, SF_DIR, "customer").collect()]
+    seen_lens = set()
+    for c in keys:
+        ip = (10 * 16777216 + (c % 32) * 65536 + (c % 20) * 256
+              + (c % 100))
+        best = None
+        for ln in (24, 16, 8):
+            net = ip // (2 ** (32 - ln)) * (2 ** (32 - ln))
+            if (ln, net) in table:
+                best = table[(ln, net)]
+                break
+        assert got[c] == best, (c, ip, got[c], best)
+        seen_lens.add(best[0])
+    assert seen_lens == {8, 16, 24}  # all three lengths must win somewhere
+
+
+# ------------------------------------------------- TWAP / LOCF
+
+def test_twap_matches_python_step_integral(spark):
+    from streamalert_spark.queries import load_all
+    from streamalert_spark.session import read_table
+
+    got = {r["user_id"]: (r["n_obs"], r["span_s"], r["twap_fp"])
+           for r in load_all()["twap_locf_per_user"].fn(spark, SF_DIR)
+           .collect()}
+    rows = (read_table(spark, SF_DIR, "events")
+            .filter(F.col("user_id").isNotNull()
+                    & F.col("value").isNotNull())
+            .select("user_id", "event_id",
+                    F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ "
+                           "'1970-01-01 00:00:00', ts) DIV 1000000")
+                    .alias("s"),
+                    F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                    .alias("cents"))
+            .collect())
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["s"], r["event_id"], r["cents"]))
+    want = {}
+    for u, obs in by_user.items():
+        obs.sort()
+        span = area = 0
+        for (s1, _, c), (s2, _, _) in zip(obs, obs[1:]):
+            span += s2 - s1
+            area += c * (s2 - s1)
+        if span > 0:
+            want[u] = (len(obs) - 1, span, (area * 1_000_000) // span)
+    assert got == want
