@@ -1432,3 +1432,91 @@ def stream_ewma_alerts_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return rows.repartition(1).sortWithinPartitions("event_type", "h")
+
+
+# --------------------------------------- streaming TWAP/LOCF steps, bounded
+
+_TWAP_STEPS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL AND user_id % 10 = 0
+),
+stepped AS (
+  SELECT user_id, event_id, s, cents,
+         LEAD(s) OVER (PARTITION BY user_id ORDER BY s, event_id)
+           AS next_s
+  FROM seq
+)
+SELECT user_id, event_id, s, next_s, cents,
+       CAST(cents * (next_s - s) AS BIGINT) AS area_inc
+FROM stepped WHERE next_s IS NOT NULL
+ORDER BY user_id, s, event_id
+"""
+
+
+@query("stream_twap_steps_bounded", oracle=_TWAP_STEPS_ORACLE,
+       doc="STREAMING LOCF metering: twap_locf_per_user's step integral "
+           "run as a per-user applyInPandasWithState operator across 3 "
+           "micro-batches — each arriving observation CLOSES the "
+           "previous one's step and emits its exact cent-second area; "
+           "the carried state is (last_s, last_eid, last_cents), three "
+           "bigints per live meter, so a step spanning a batch boundary "
+           "emits bit-identically to the batch LEAD window (the hash "
+           "pins exactly that cross-batch continuity). Demo runs on the "
+           "deterministic 1-in-10 user subset; batches split on second "
+           "boundaries so same-second ties stay within one batch, per "
+           "the operator's ordering contract. Oracle = the batch "
+           "stepped CTE on the same subset.")
+def stream_twap_steps_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from streamalert_spark.session import read_table
+    from streamalert_spark.streaming.bounded import run_bounded_to_rows
+    from streamalert_spark.streaming.decay import (
+        TWAP_OUT_SCHEMA, twap_steps_stream,
+    )
+
+    seq = (read_table(spark, sf_dir, "events")
+           .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull()
+                   & (F.col("user_id") % 10 == 0))
+           .select("user_id", "event_id",
+                   F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ "
+                          "'1970-01-01 00:00:00', ts) DIV 1000000")
+                   .alias("s"),
+                   F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+                   .alias("cents"))
+           .localCheckpoint())
+    lo, hi = seq.agg(F.min("s"), F.max("s")).first()
+    c1 = lo + (hi - lo) // 3
+    c2 = lo + 2 * (hi - lo) // 3
+    work = tempfile.mkdtemp(prefix="twap_stream_q_")
+    in_dir = os.path.join(work, "in")
+    try:
+        for i, cond in enumerate([
+            F.col("s") <= c1,
+            (F.col("s") > c1) & (F.col("s") <= c2),
+            F.col("s") > c2,
+        ]):
+            part = os.path.join(in_dir, f"b{i}")
+            seq.filter(cond).coalesce(1).write.parquet(part)
+            os.utime(part, (1_000_000 + 10 * i,) * 2)
+            for f in os.listdir(part):
+                os.utime(os.path.join(part, f), (1_000_000 + 10 * i,) * 2)
+        src = (
+            spark.readStream
+            .schema("user_id bigint, event_id bigint, s bigint, "
+                    "cents bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(in_dir, "*"))
+        )
+        out = twap_steps_stream(src)
+        rows = run_bounded_to_rows(spark, out, TWAP_OUT_SCHEMA)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return rows.repartition(1).sortWithinPartitions(
+        "user_id", "s", "event_id")

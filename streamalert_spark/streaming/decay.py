@@ -190,3 +190,84 @@ def ewma_alerts_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming TWAP steps — LOCF step-integral increments carried across
+# micro-batches. Batch twin: queries/analytics_ext.py twap_locf_per_user
+# (its `stepped` CTE is exactly this operator's emission).
+# ---------------------------------------------------------------------------
+
+TWAP_OUT_SCHEMA = ("user_id bigint, event_id bigint, s bigint, "
+                   "next_s bigint, cents bigint, area_inc bigint")
+TWAP_STATE_SCHEMA = "last_s bigint, last_eid bigint, last_cents bigint"
+
+
+def twap_steps_stream(
+    events: DataFrame,
+    idle_ttl_s: int | None = None,
+) -> DataFrame:
+    """Emit one CLOSED LOCF step per observation after the first: when a
+    new (s, event_id, cents) arrives for a user, the PREVIOUS observation's
+    step closes and its exact step integral ``last_cents * (s - last_s)``
+    cent-seconds is emitted. The open tail step is never emitted (a live
+    meter cannot bill an unfinished interval); the batch query closes it
+    the same way, so stream and batch emit the identical step multiset.
+
+    Ordering contract: per-key rows arrive in event-time order across
+    micro-batches and same-second rows stay within one batch; inside a
+    batch rows sort by (s, event_id), so duplicate-second observations
+    close zero-duration steps deterministically.
+
+    State: THREE bigints per user (last_s, last_eid, last_cents).
+    Optional processing-time TTL retires idle meters; without it the
+    operator is unbounded-by-design only in the sense of one tuple per
+    live entity — pass a TTL in production.
+    """
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
+            if idle_ttl_s is not None:
+                state.setTimeoutDuration(idle_ttl_s * 1000)
+            return
+        rows = (pd.concat(frames, ignore_index=True)
+                if len(frames) > 1 else frames[0])
+        rows = rows.sort_values(["s", "event_id"], kind="mergesort")
+        out_eid, out_s, out_ns, out_c, out_a = [], [], [], [], []
+        carry = tuple(state.get) if state.exists else None
+        for s, eid, cents in zip(rows["s"], rows["event_id"],
+                                 rows["cents"]):
+            s, eid, cents = int(s), int(eid), int(cents)
+            if carry is not None:
+                ls, leid, lc = carry
+                out_eid.append(leid)
+                out_s.append(ls)
+                out_ns.append(s)
+                out_c.append(lc)
+                out_a.append(lc * (s - ls))
+            carry = (s, eid, cents)
+        state.update(carry)
+        if idle_ttl_s is not None:
+            state.setTimeoutDuration(idle_ttl_s * 1000)
+        if out_s:
+            yield pd.DataFrame({
+                "user_id": key[0], "event_id": out_eid, "s": out_s,
+                "next_s": out_ns, "cents": out_c, "area_inc": out_a,
+            })
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if idle_ttl_s is not None else GroupStateTimeout.NoTimeout)
+    # eviction: unbounded-by-design when no TTL is passed — one 3-bigint
+    # tuple per live entity, the irreducible floor for LOCF; production
+    # passes idle_ttl_s and dormant meters evict.
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=TWAP_OUT_SCHEMA,
+        stateStructType=TWAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -508,3 +508,47 @@ def test_twap_matches_python_step_integral(spark):
         if span > 0:
             want[u] = (len(obs) - 1, span, (area * 1_000_000) // span)
     assert got == want
+
+
+# ------------------------------------------------ streaming TWAP steps
+
+def test_twap_stream_closes_steps_across_batches(spark, tmp_path):
+    """A user's step that OPENS in batch 0 and CLOSES in batch 1 must
+    emit the identical area the batch LEAD window computes; same-second
+    ties (deterministic zero-duration steps) ride along in batch 0."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamalert_spark.streaming.bounded import run_bounded_to_rows
+    from streamalert_spark.streaming.decay import (
+        TWAP_OUT_SCHEMA, twap_steps_stream,
+    )
+
+    # (event_id, s, cents): obs at s=10 (two ties), 20 | batch split | 50
+    b0 = [(1, 10, 100), (2, 10, 150), (3, 20, 200)]
+    b1 = [(4, 50, 300)]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, batch in enumerate([b0, b1]):
+        path = in_dir / f"b{i}.parquet"
+        pq.write_table(pa.table({
+            "user_id": [7] * len(batch),
+            "event_id": [e for e, _, _ in batch],
+            "s": [s for _, s, _ in batch],
+            "cents": [c for _, _, c in batch],
+        }), path)
+        os.utime(path, (1_000_000 + 10 * i,) * 2)
+    src = (spark.readStream
+           .schema("user_id bigint, event_id bigint, s bigint, cents bigint")
+           .option("maxFilesPerTrigger", "1").parquet(str(in_dir)))
+    got = sorted(
+        (r["event_id"], r["s"], r["next_s"], r["cents"], r["area_inc"])
+        for r in run_bounded_to_rows(
+            spark, twap_steps_stream(src), TWAP_OUT_SCHEMA).collect())
+    assert got == [
+        (1, 10, 10, 100, 0),        # same-second tie: zero-duration step
+        (2, 10, 20, 150, 1500),
+        (3, 20, 50, 200, 6000),     # closed ACROSS the batch boundary
+    ]
