@@ -1479,3 +1479,151 @@ def twap_locf_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("twap_fp"))
         .repartition(1).sortWithinPartitions("user_id")
     )
+
+
+# --------------------------------------------------- Kaplan-Meier survival
+
+_KM_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 AS d
+  FROM events WHERE user_id IS NOT NULL
+),
+hi AS (SELECT MAX(d) AS hi FROM ev),
+spans AS (
+  SELECT user_id, MIN(d) AS fd,
+         MIN(CASE WHEN event_type = 'purchase' THEN d END) AS pd
+  FROM ev GROUP BY user_id
+),
+pu AS (
+  -- event = first purchase; a deterministic md5 gate (~1/4 of users)
+  -- simulates tracking loss user_id%4 days after first activity:
+  -- gated users whose purchase would land after that day are CENSORED
+  SELECT user_id,
+         CASE WHEN substring(md5('cens:' || CAST(user_id AS VARCHAR)),
+                             1, 1) IN ('0','1','2','3')
+                   AND (pd IS NULL OR pd - fd > user_id % 4)
+              THEN user_id % 4
+              WHEN pd IS NOT NULL THEN pd - fd
+              ELSE (SELECT hi FROM hi) - fd END AS t,
+         CASE WHEN substring(md5('cens:' || CAST(user_id AS VARCHAR)),
+                             1, 1) IN ('0','1','2','3')
+                   AND (pd IS NULL OR pd - fd > user_id % 4)
+              THEN 0
+              WHEN pd IS NOT NULL THEN 1
+              ELSE 0 END AS churned
+  FROM spans
+),
+hist AS (
+  SELECT t, CAST(SUM(churned) AS BIGINT) AS d_t,
+         CAST(COUNT(*) AS BIGINT) AS c_t
+  FROM pu GROUP BY t
+),
+maxt AS (SELECT MAX(t) AS mt FROM hist),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM pu),
+walk AS (
+  SELECT CAST(0 AS BIGINT) AS t,
+         (SELECT total FROM n) AS at_risk,
+         COALESCE((SELECT d_t FROM hist WHERE t = 0), 0) AS deaths,
+         COALESCE((SELECT c_t FROM hist WHERE t = 0), 0) AS leavers,
+         (1000000 * ((SELECT total FROM n)
+                     - COALESCE((SELECT d_t FROM hist WHERE t = 0), 0)))
+           // (SELECT total FROM n) AS survival_fp
+  UNION ALL
+  SELECT w.t + 1,
+         w.at_risk - w.leavers,
+         COALESCE(h.d_t, 0),
+         COALESCE(h.c_t, 0),
+         CASE WHEN w.at_risk - w.leavers > 0
+              THEN (w.survival_fp * (w.at_risk - w.leavers
+                                     - COALESCE(h.d_t, 0)))
+                   // (w.at_risk - w.leavers)
+              ELSE w.survival_fp END
+  FROM walk w LEFT JOIN hist h ON h.t = w.t + 1
+  WHERE w.t < (SELECT mt FROM maxt)
+)
+SELECT t, at_risk, deaths, survival_fp
+FROM walk
+ORDER BY t
+"""
+
+
+@query("km_survival_curve", oracle=_KM_ORACLE,
+       doc="Kaplan-Meier time-to-conversion curve with RIGHT-CENSORING: "
+           "the event is a user's FIRST PURCHASE (t = days since first "
+           "activity); a deterministic md5 gate censors ~1/4 of users "
+           "user_id%4 days in (simulated tracking loss, independent of "
+           "the purchase process — the KM independence assumption), and "
+           "never-purchasers censor at window end. Censored users leave "
+           "the risk set without counting as conversions — the "
+           "correction naive conversion curves get wrong. S(t) multiplies "
+           "(at_risk - deaths)/at_risk per day in exact fixed point "
+           "(truncating DIV each step, so both engines walk the same "
+           "integers). Scale: one per-user span aggregate, a lifetime "
+           "histogram of <= day-range rows, and a single JVM fold over "
+           "that bounded spine — the corpus never enters the product.")
+def km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (read_table(spark, sf_dir, "events")
+          .filter(F.col("user_id").isNotNull())
+          .select("user_id", "event_type",
+                  F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ "
+                         "'1970-01-01 00:00:00', ts) DIV 1000000 "
+                         "DIV 86400").alias("d")))
+    hi = ev.agg(F.max("d").alias("hi"))
+    gate = (F.substring(F.md5(F.concat(F.lit("cens:"),
+                                       F.col("user_id").cast("string"))),
+                        1, 1).isin("0", "1", "2", "3")
+            & (F.col("pd").isNull()
+               | (F.col("pd") - F.col("fd") > F.col("user_id") % 4)))
+    pu = (ev.groupBy("user_id")
+          .agg(F.min("d").alias("fd"),
+               F.min(F.when(F.col("event_type") == "purchase",
+                            F.col("d"))).alias("pd"))
+          .crossJoin(F.broadcast(hi))
+          .select(
+              F.when(gate, F.col("user_id") % 4)
+              .when(F.col("pd").isNotNull(), F.col("pd") - F.col("fd"))
+              .otherwise(F.col("hi") - F.col("fd")).alias("t"),
+              F.when(gate, 0)
+              .when(F.col("pd").isNotNull(), 1)
+              .otherwise(0).alias("churned")))
+    hist = (pu.groupBy("t")
+            .agg(F.sum("churned").cast("bigint").alias("d_t"),
+                 F.count(F.lit(1)).cast("bigint").alias("c_t")))
+    one = (hist.agg(
+        F.map_from_entries(F.collect_list(
+            F.struct("t", F.struct("d_t", "c_t")))).alias("m"),
+        F.max("t").alias("mt"),
+        F.sum("c_t").cast("bigint").alias("total")))
+    d_ = "COALESCE(m[t].d_t, CAST(0 AS BIGINT))"
+    c_ = "COALESCE(m[t].c_t, CAST(0 AS BIGINT))"
+    fold = f"""
+    aggregate(
+      sequence(CAST(0 AS BIGINT), mt),
+      named_struct(
+        'at_risk', total, 's_fp', CAST(1000000 AS BIGINT),
+        'rows', CAST(array() AS array<struct<t:bigint,at_risk:bigint,
+                     deaths:bigint,survival_fp:bigint>>)),
+      (acc, t) -> named_struct(
+        'at_risk', acc.at_risk - {c_},
+        's_fp', CASE WHEN acc.at_risk > 0
+                     THEN (acc.s_fp * (acc.at_risk - {d_}))
+                          DIV acc.at_risk
+                     ELSE acc.s_fp END,
+        'rows', concat(acc.rows, array(named_struct(
+            't', CAST(t AS BIGINT),
+            'at_risk', acc.at_risk,
+            'deaths', {d_},
+            'survival_fp', CASE WHEN acc.at_risk > 0
+                THEN (acc.s_fp * (acc.at_risk - {d_})) DIV acc.at_risk
+                ELSE acc.s_fp END))))
+    ).rows
+    """
+    return (
+        one.select(F.explode(F.expr(fold)).alias("e"))
+        .select(F.col("e.t").alias("t"),
+                F.col("e.at_risk").alias("at_risk"),
+                F.col("e.deaths").alias("deaths"),
+                F.col("e.survival_fp").alias("survival_fp"))
+        .repartition(1).sortWithinPartitions("t")
+    )

@@ -552,3 +552,31 @@ def test_twap_stream_closes_steps_across_batches(spark, tmp_path):
         (2, 10, 20, 150, 1500),
         (3, 20, 50, 200, 6000),     # closed ACROSS the batch boundary
     ]
+
+
+# ------------------------------------------------ Kaplan-Meier survival
+
+def test_km_curve_is_monotone_and_conserves_risk_set(spark):
+    from streamalert_spark.queries import load_all
+
+    rows = load_all()["km_survival_curve"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert rows[0]["t"] == 0
+    prev_s = 1_000_000
+    for i, r in enumerate(rows):
+        assert 0 <= r["survival_fp"] <= prev_s  # KM never increases
+        assert r["deaths"] <= r["at_risk"]
+        if i > 0:
+            # risk set shrinks by exactly the previous step's leavers
+            # (deaths + censored); leavers aren't emitted, so only the
+            # inequality deaths <= leavers is checkable directly
+            assert r["at_risk"] <= rows[i - 1]["at_risk"] \
+                - rows[i - 1]["deaths"]
+        prev_s = r["survival_fp"]
+    assert any(r["deaths"] > 0 for r in rows), "fixture must convert"
+    # risk-set conservation: everyone who enters either dies or is
+    # censored (sf0.001's 15-user cohort can legitimately have zero
+    # censored members; the sf0.01 parity sweep shows real censoring)
+    total_leave = rows[0]["at_risk"] - rows[-1]["at_risk"] \
+        + rows[-1]["deaths"]
+    assert total_leave >= sum(r["deaths"] for r in rows)
