@@ -51,11 +51,11 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # names second, then everything else oldest-green-first. Clear this list
 # at the start of each round.
 _CHANGED_THIS_ROUND = [
-    "bootstrap_ci_means",          # r10: NULL-replica guard in both engines
-    "password_spray_windows",      # r10: src IS NOT NULL + string extract
-    "compression_ratio_signal",    # r10: engine-neutral oracle (ex-rows-only)
-    "alert_output_writer_ledger",  # r10: demo trimmed for bench hygiene
-    "stream_ewma_alerts_bounded",  # r10: demo trimmed for bench hygiene
+    # r11 keeps this list at exactly the two behavior-touching ADVICE
+    # fixes so the ledger's oldest-green-first order can drain the full
+    # 48-query r6 cohort (48 + 2 = the driver's 50 slots).
+    "replica_antientropy_buckets",  # r11: digest = exact wide sum mod 2^62
+    "cuped_ab_adjusted_lift",       # r11: adjustment widened to DEC38/HUGEINT
 ]
 
 

@@ -1339,7 +1339,10 @@ arms AS (
   FROM pu GROUP BY arm
 )
 SELECT a.arm, a.n_users, a.mean_y_fp, a.mean_x_fp, t.theta_fp,
-       CAST(a.mean_y_fp - (t.theta_fp * (a.mean_x_fp - t.mean_x_all_fp))
+       CAST(CAST(a.mean_y_fp AS HUGEINT)
+            - (CAST(t.theta_fp AS HUGEINT)
+               * (CAST(a.mean_x_fp AS HUGEINT)
+                  - CAST(t.mean_x_all_fp AS HUGEINT)))
             // 1000000 AS BIGINT) AS adj_mean_y_fp
 FROM arms a, theta t
 ORDER BY a.arm
@@ -1399,11 +1402,19 @@ def cuped_ab_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("mean_y_fp"),
                     F.expr("CAST((sx_a * 1000000) DIV n_users AS BIGINT)")
                     .alias("mean_x_fp")))
+    # The adjustment rides DECIMAL(38,0)/HUGEINT like the power sums: with
+    # month-scale per-user pre-period spend (mean_x_fp ~1e18 micro-cents)
+    # theta_fp * gap can exceed int64 — Spark would wrap silently while
+    # DuckDB errors, so both engines widen BEFORE the multiply and only the
+    # final /1e6 quotient (back in comfortable BIGINT range) narrows.
     return (
         arms.crossJoin(F.broadcast(theta))
         .select("arm", "n_users", "mean_y_fp", "mean_x_fp", "theta_fp",
-                F.expr("CAST(mean_y_fp - (theta_fp * (mean_x_fp "
-                       "- mean_x_all_fp)) DIV 1000000 AS BIGINT)")
+                F.expr("CAST(CAST(mean_y_fp AS DECIMAL(38,0)) "
+                       "- (CAST(theta_fp AS DECIMAL(38,0)) "
+                       "* (CAST(mean_x_fp AS DECIMAL(38,0)) "
+                       "- CAST(mean_x_all_fp AS DECIMAL(38,0)))) "
+                       "DIV 1000000 AS BIGINT)")
                 .alias("adj_mean_y_fp"))
         .repartition(1).sortWithinPartitions("arm")
     )

@@ -2766,9 +2766,13 @@ FROM sums
            "marginals identical, so r = (M*Sxy - Sx^2)/(M*Sx2 - Sx^2) "
            "is a RATIO OF INTEGERS — the usual sqrt in Pearson's "
            "denominator cancels and the whole statistic lands in exact "
-           "fixed point (negative r takes the truncate-toward-zero "
-           "branch explicitly, because Spark DIV truncates while "
-           "DuckDB // floors). Social graphs are assortative, "
+           "fixed point. Spark DIV and DuckDB // BOTH truncate toward "
+           "zero on negatives (measured: -7 DIV 2 = -7 // 2 = -3, same "
+           "semantics the Holt/CUPED/Theil-Sen signed quotients rely on "
+           "directly); the explicit negative branch here is "
+           "belt-and-suspenders that keeps every division operand "
+           "non-negative, not a semantics repair. Social graphs are "
+           "assortative, "
            "infrastructure graphs disassortative — a one-row "
            "fingerprint for synthetic-graph sanity. Two degree joins "
            "keyed by node + one scalar reduction; power sums ride "

@@ -79,6 +79,21 @@ def verify_order(
     inside every bucket. ``changed`` names unknown to the registry are
     ignored (a rename must update the declaration, and the pairing test
     in tests/test_ledger.py enforces that).
+
+    Precedence note: a name that is BOTH never-driver-green and declared
+    in ``changed`` sorts in bucket 0, not bucket 1 — never-green wins.
+    That is deliberate: "no external evidence yet" is strictly more
+    urgent than "evidence exists but predates this round's change", and
+    both buckets land inside the 50-slot sample anyway whenever the
+    declaration list is kept short.
+
+    Fallback note: with an EMPTY ledger (no readable CORRECTNESS_r*.json
+    under the scanned root — e.g. the package imported from installed
+    site-packages rather than the repo checkout) every name lands in
+    bucket 0 and the output degrades to pure registration order. That is
+    deterministic but NOT the documented staleness policy; callers that
+    need the policy must run from a checkout that carries the driver
+    records.
     """
     pos = {n: i for i, n in enumerate(names)}
     changed_set = {n for n in changed if n in pos}

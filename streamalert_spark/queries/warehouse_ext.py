@@ -477,6 +477,14 @@ def unpivot_measure_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 from streamalert_spark.ops.sketch import hex_prefix_int, hex_prefix_int_sql
 
 _AE_BUCKETS = 512
+# Bucket digest = SUM(48-bit md5 prefixes) mod 2^62, with the sum carried
+# EXACTLY (DuckDB HUGEINT / Spark DECIMAL(38,0)) before the reduction. A
+# plain BIGINT sum wraps silently in Spark but errors in DuckDB once a
+# bucket holds ~2^15 rows (~17M orders over 512 buckets) — an engine
+# divergence at exactly the scale anti-entropy exists for. The explicit
+# modulus keeps the digest algebra commutative and engine-identical at any
+# row count (and is the identity at bench SFs, so values are unchanged).
+_AE_DIGEST_MOD = 1 << 62
 
 _AE_ORACLE = f"""
 WITH a AS (
@@ -503,12 +511,14 @@ db AS (
 ),
 sa AS (
   SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_a,
-         CAST(SUM({hex_prefix_int_sql('h')}) AS BIGINT) AS digest_a
+         CAST(SUM({hex_prefix_int_sql('h')}) % {_AE_DIGEST_MOD} AS BIGINT)
+           AS digest_a
   FROM da GROUP BY bucket
 ),
 sb AS (
   SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b,
-         CAST(SUM({hex_prefix_int_sql('h')}) AS BIGINT) AS digest_b
+         CAST(SUM({hex_prefix_int_sql('h')}) % {_AE_DIGEST_MOD} AS BIGINT)
+           AS digest_b
   FROM db GROUP BY bucket
 )
 SELECT COALESCE(sa.bucket, sb.bucket) AS bucket,
@@ -556,7 +566,9 @@ def replica_antientropy_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                           hex_prefix_int(h).alias("hi"))
                 .groupBy("bucket")
                 .agg(F.count(F.lit(1)).cast("bigint").alias(n_col),
-                     F.sum("hi").cast("bigint").alias(d_col)))
+                     (F.sum(F.col("hi").cast("decimal(38,0)"))
+                      % F.lit(_AE_DIGEST_MOD)).cast("bigint")
+                     .alias(d_col)))
 
     sa, sb = digests(a, "n_a", "digest_a"), digests(b, "n_b", "digest_b")
     joined = sa.join(sb, "bucket", "full_outer")
