@@ -33,3 +33,10 @@ def duck():
         if os.path.exists(path):
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "sf01: rotating oracle-parity subset at sf0.1 "
+        "(opt-in via SPARK_GRAFT_SF01=1)")
