@@ -1,0 +1,162 @@
+"""Deterministic SF upsampler for scale-ratio measurement.
+
+The driver ships parquet at sf{0.001,0.01,0.1}; the 100x-design claims in
+SCALE.md need at least one measured decade above the bench SF. This tool
+builds an sf1-shaped directory from sf0.1 by stacking MULT key-shifted
+replicas, reproducing how TPC-H scale factors actually grow:
+
+- region/nation: fixed dimensions, copied once (they do not scale with SF);
+- customer/supplier/part/orders/lineitem/events/embeddings: replica i
+  shifts every entity key by i * cardinality(sf0.1), so keys stay dense and
+  contiguous (sf1 custkeys are exactly 0..10*|sf0.1|-1) and every foreign
+  key still joins to exactly one parent — fan-outs, join selectivities and
+  group sizes match a native sf1;
+- events keep their timestamps (a bigger deployment means more traffic in
+  the SAME window — time-spine-bounded operators must NOT scale with SF,
+  and keeping the window fixed is precisely what tests that);
+- documents: replica i > 0 rewrites every token with a replica suffix, so
+  each replica is an isomorphic copy of the corpus over a DISJOINT token
+  space — within-replica duplicate/shingle structure is preserved exactly
+  (candidate-pair counts scale linearly, the property dedup is designed
+  for) while cross-replica near-dup pairs, which a real 10x corpus would
+  not have, cannot appear;
+- embeddings: replica i rotates each vector by i positions — norms and
+  component distributions survive, replicas decorrelate.
+
+Output parquet is written with bounded row groups (~48 per table) so scans
+parallelize the way a real multi-file sf1 would, instead of inheriting the
+driver files' single-row-group shape.
+
+Usage: python tools/make_scale_data.py [--mult 10]
+       [--src /root/testdata/sf0.1] [--dst .scale/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+# (table, [key columns shifted by that table's own cardinality offset])
+# Offsets are the sf0.1 cardinality of the ENTITY the column names, so
+# foreign keys shift in lockstep with their parents.
+_ENTITY_CARD = {
+    "cust": 15_000,
+    "supp": 1_000,
+    "part": 20_000,
+    "order": 150_000,
+    "event": 100_000,
+    "user": 1_500,
+    "doc": 5_000,
+    "vec": 2_000,
+}
+
+_KEY_ENTITY = {
+    "c_custkey": "cust",
+    "s_suppkey": "supp",
+    "p_partkey": "part",
+    "o_orderkey": "order",
+    "o_custkey": "cust",
+    "l_orderkey": "order",
+    "l_partkey": "part",
+    "l_suppkey": "supp",
+    "event_id": "event",
+    "user_id": "user",
+    "doc_id": "doc",
+    "vec_id": "vec",
+}
+
+_FIXED_DIMS = ("region", "nation")
+_SCALED = ("customer", "supplier", "part", "orders", "lineitem",
+           "events", "documents", "embeddings")
+
+
+def _shift_keys(table: pa.Table, replica: int) -> pa.Table:
+    for name in table.column_names:
+        ent = _KEY_ENTITY.get(name)
+        if ent is None or replica == 0:
+            continue
+        col = table.column(name)
+        shifted = pc.add(col, pa.scalar(replica * _ENTITY_CARD[ent],
+                                        type=col.type))
+        table = table.set_column(table.schema.get_field_index(name),
+                                 name, shifted)
+    return table
+
+
+def _salt_documents(table: pa.Table, replica: int) -> pa.Table:
+    if replica == 0:
+        return table
+    suffix = f"~{replica}"
+    texts = table.column("text").to_pylist()
+    salted = [" ".join(tok + suffix for tok in (t or "").split())
+              for t in texts]
+    table = table.set_column(table.schema.get_field_index("text"),
+                             "text", pa.array(salted, type=pa.string()))
+    if "n_chars" in table.column_names:
+        idx = table.schema.get_field_index("n_chars")
+        n_type = table.column("n_chars").type
+        table = table.set_column(
+            idx, "n_chars",
+            pa.array([len(s) for s in salted], type=n_type))
+    return table
+
+
+def _rotate_embeddings(table: pa.Table, replica: int) -> pa.Table:
+    if replica == 0:
+        return table
+    idx = table.schema.get_field_index("embedding")
+    vec_type = table.column("embedding").type
+    vecs = table.column("embedding").to_pylist()
+    rot = []
+    for v in vecs:
+        if v:
+            k = replica % len(v)
+            rot.append(v[k:] + v[:k])
+        else:
+            rot.append(v)
+    return table.set_column(idx, "embedding", pa.array(rot, type=vec_type))
+
+
+def build(src: str, dst: str, mult: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for name in _FIXED_DIMS:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        pq.write_table(t, os.path.join(dst, f"{name}.parquet"))
+        print(f"{name}: {t.num_rows} rows (fixed dim)")
+    for name in _SCALED:
+        base = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        replicas = []
+        for i in range(mult):
+            t = _shift_keys(base, i)
+            if name == "documents":
+                t = _salt_documents(t, i)
+            elif name == "embeddings":
+                t = _rotate_embeddings(t, i)
+            replicas.append(t)
+        out = pa.concat_tables(replicas)
+        row_group = max(4096, out.num_rows // 48)
+        pq.write_table(out, os.path.join(dst, f"{name}.parquet"),
+                       row_group_size=row_group)
+        groups = pq.ParquetFile(
+            os.path.join(dst, f"{name}.parquet")).metadata.num_row_groups
+        print(f"{name}: {base.num_rows} -> {out.num_rows} rows, "
+              f"{groups} row groups")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scale", "sf1"))
+    args = ap.parse_args()
+    build(args.src, args.dst, args.mult)
+
+
+if __name__ == "__main__":
+    main()
