@@ -7,7 +7,8 @@ replicas, reproducing how TPC-H scale factors actually grow:
 
 - region/nation: fixed dimensions, copied once (they do not scale with SF);
 - customer/supplier/part/orders/lineitem/events/embeddings: replica i
-  shifts every entity key by i * cardinality(sf0.1), so keys stay dense and
+  shifts every entity key by i * (the entity's key-space size in the
+  SOURCE, max+1 — derived from the data), so keys stay dense and
   contiguous (sf1 custkeys are exactly 0..10*|sf0.1|-1) and every foreign
   key still joins to exactly one parent — fan-outs, join selectivities and
   group sizes match a native sf1;
@@ -40,18 +41,20 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-# (table, [key columns shifted by that table's own cardinality offset])
-# Offsets are the sf0.1 cardinality of the ENTITY the column names, so
-# foreign keys shift in lockstep with their parents.
-_ENTITY_CARD = {
-    "cust": 15_000,
-    "supp": 1_000,
-    "part": 20_000,
-    "order": 150_000,
-    "event": 100_000,
-    "user": 1_500,
-    "doc": 5_000,
-    "vec": 2_000,
+# Every replica shifts an entity's keys by i * (that entity's key-space
+# size IN THE SOURCE, max+1) — derived from the data, not hardcoded, so
+# the tool builds a dense contiguous key space from any source SF, and
+# foreign keys shift in lockstep with their parents because they share
+# the parent entity's offset.
+_ENTITY_HOME = {  # entity -> (table, key column) that defines its span
+    "cust": ("customer", "c_custkey"),
+    "supp": ("supplier", "s_suppkey"),
+    "part": ("part", "p_partkey"),
+    "order": ("orders", "o_orderkey"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
 }
 
 _KEY_ENTITY = {
@@ -74,13 +77,25 @@ _SCALED = ("customer", "supplier", "part", "orders", "lineitem",
            "events", "documents", "embeddings")
 
 
-def _shift_keys(table: pa.Table, replica: int) -> pa.Table:
+def _entity_spans(src: str) -> dict[str, int]:
+    """max(key)+1 per entity, read from the source tables — the replica
+    stride that keeps the output key space dense from 0 at any source SF."""
+    spans: dict[str, int] = {}
+    for ent, (table, col) in _ENTITY_HOME.items():
+        column = pq.read_table(os.path.join(src, f"{table}.parquet"),
+                               columns=[col]).column(0)
+        spans[ent] = pc.max(column).as_py() + 1
+    return spans
+
+
+def _shift_keys(table: pa.Table, replica: int,
+                spans: dict[str, int]) -> pa.Table:
     for name in table.column_names:
         ent = _KEY_ENTITY.get(name)
         if ent is None or replica == 0:
             continue
         col = table.column(name)
-        shifted = pc.add(col, pa.scalar(replica * _ENTITY_CARD[ent],
+        shifted = pc.add(col, pa.scalar(replica * spans[ent],
                                         type=col.type))
         table = table.set_column(table.schema.get_field_index(name),
                                  name, shifted)
@@ -123,6 +138,7 @@ def _rotate_embeddings(table: pa.Table, replica: int) -> pa.Table:
 
 def build(src: str, dst: str, mult: int) -> None:
     os.makedirs(dst, exist_ok=True)
+    spans = _entity_spans(src)
     for name in _FIXED_DIMS:
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
         pq.write_table(t, os.path.join(dst, f"{name}.parquet"))
@@ -131,7 +147,7 @@ def build(src: str, dst: str, mult: int) -> None:
         base = pq.read_table(os.path.join(src, f"{name}.parquet"))
         replicas = []
         for i in range(mult):
-            t = _shift_keys(base, i)
+            t = _shift_keys(base, i, spans)
             if name == "documents":
                 t = _salt_documents(t, i)
             elif name == "embeddings":
