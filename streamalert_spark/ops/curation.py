@@ -301,3 +301,52 @@ def containment_decontamination(
                    .otherwise(0)).cast("bigint").alias("n_contaminating"),
         )
     )
+
+
+def cross_source_gram_matrix(
+    docs: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Source-pair contamination matrix (distinct n-grams shared by each
+    pair of sources) in ONE corpus-scale shuffle — the staged round-12
+    replacement for the registered ``cross_source_ngram_matrix`` body,
+    whose distinct + gram self-join costs two corpus shuffles plus
+    sort-merge sorts.
+
+    Shape: explode n-grams, ``groupBy(gram).agg(array_sort(
+    collect_set(source)))`` (partial-aggregated; per-gram state is
+    bounded by |sources|, never by row count), then expand each gram's
+    sorted source set into its (a < b) pairs IN-ARRAY and count per pair.
+    The second shuffle carries at most |sources|² keys — constant, not
+    corpus-scale. Output is identical to the registered query (pinned by
+    tests/test_round11_ops.py); measured ~1.5× faster at sf1.
+    """
+    toks = F.split(F.col(text_col), " ")
+    idx = F.when(F.size(toks) >= n,
+                 F.sequence(F.lit(1), F.size(toks) - (n - 1))).otherwise(
+                     F.array().cast("array<int>"))
+    parts = [F.element_at("w", F.col("i") + j) for j in range(n)]
+    grams = (
+        docs.select(F.col(source_col).alias("source"), toks.alias("w"),
+                    F.explode(idx).alias("i"))
+        .select("source", F.concat_ws(" ", *parts).alias("gram"))
+    )
+    per_gram = (
+        grams.groupBy("gram")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    srcs = F.col("srcs")
+    pairs = F.flatten(F.transform(
+        srcs,
+        lambda x, i: F.transform(
+            F.slice(srcs, i + F.lit(2), F.size(srcs)),
+            lambda y: F.struct(x.alias("source_a"), y.alias("source_b")))))
+    return (
+        per_gram.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"),
+                 F.col("p.source_b").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+    )

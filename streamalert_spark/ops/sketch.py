@@ -566,3 +566,86 @@ def hll_rho_sql(trimmed: str) -> str:
 def hll_term_sql(m_j: str) -> str:
     """SQL: a register's exact-integer harmonic term 2^(49 - M_j)."""
     return f"(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - COALESCE({m_j}, 0)))"
+
+
+# ---------------------------------------------------------------------------
+# Space-saving heavy hitters — mergeable bounded-memory frequency summary.
+# ---------------------------------------------------------------------------
+
+def space_saving_summary(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """Mergeable space-saving heavy-hitter summary (Metwally et al.,
+    "Efficient computation of frequent and top-k elements"; merge rule
+    from Agarwal et al., "Mergeable Summaries"): each partition reduces
+    to at most k (key, count) rows plus one error row, regardless of
+    partition size, so driver/shuffle traffic is O(partitions * k) at any
+    corpus scale.
+
+    Per partition (one Arrow-batched ``mapInPandas`` pass): exact counts
+    over the partition, trimmed to the k largest with tie-break by key;
+    the (k+1)-th count is the partition's trim bound e_p (a trimmed
+    exact-count summary IS a space-saving summary with error e_p). The
+    merge is pure DataFrame algebra:
+
+    - ``est(key)``  = sum of the key's surviving partition counts
+      (never overcounts: est <= true);
+    - ``err(key)``  = sum of e_p over partitions that TRIMMED the key
+      (true <= est + err);
+    - any key with true frequency > sum(e_p) over all partitions is
+      guaranteed to survive in at least one partition.
+
+    The estimates depend on the physical partitioning (the bounds do
+    not), so this op is property-pinned rather than oracle-paired —
+    the deterministic-output alternative for exact heavy hitters is
+    ``cms_point_estimates`` / a plain count shuffle.
+
+    Returns (key, est, err_hi, est_hi = est + err_hi).
+    """
+    import pandas as pd
+
+    keyed = df.select(F.col(key_col).cast("string").alias("key"))
+
+    def summarize(batches):
+        counts: dict[str, int] = {}
+        n_null = 0
+        for pdf in batches:
+            for key, c in pdf["key"].value_counts(dropna=True).items():
+                counts[key] = counts.get(key, 0) + int(c)
+            n_null += int(pdf["key"].isna().sum())
+        if not counts and n_null == 0:
+            return
+        items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept = items[:k]
+        e_p = items[k][1] if len(items) > k else 0
+        yield pd.DataFrame({
+            "key": [key for key, _ in kept] + [None],
+            "cnt": [c for _, c in kept] + [0],
+            "e_p": [e_p] * (len(kept) + 1),
+        })
+
+    summary = keyed.mapInPandas(
+        summarize, schema="key string, cnt bigint, e_p bigint")
+    # One marker row per non-empty partition carries e_p; their sum is the
+    # global trim budget total_e (a 1-row aggregate, broadcast back).
+    total_e = (summary.filter(F.col("key").isNull())
+               .agg(F.sum("e_p").cast("bigint").alias("total_e")))
+    kept = (summary.filter(F.col("key").isNotNull())
+            .groupBy("key")
+            .agg(F.sum("cnt").cast("bigint").alias("est"),
+                 F.sum("e_p").cast("bigint").alias("covered_e")))
+    return (kept.crossJoin(F.broadcast(total_e))
+            .select("key", "est",
+                    (F.col("total_e") - F.col("covered_e")).cast("bigint")
+                    .alias("err_hi"),
+                    (F.col("est") + F.col("total_e") - F.col("covered_e"))
+                    .cast("bigint").alias("est_hi")))
+
+
+def space_saving_topk(df: DataFrame, key_col: str, k: int = 64,
+                      top: int = 10) -> DataFrame:
+    """Top candidates from the space-saving summary, ordered by guaranteed
+    count (est desc, key asc tie-break), upper bound attached. Every true
+    top-`top` key whose frequency exceeds the global trim budget is
+    present; `k >> top` shrinks the budget and with it the candidate
+    uncertainty."""
+    s = space_saving_summary(df, key_col, k=k)
+    return s.orderBy(F.col("est").desc(), F.col("key").asc()).limit(top)

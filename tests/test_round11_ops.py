@@ -73,3 +73,58 @@ def test_cuped_adjustment_exact_past_int64_product(spark, duck):
         f"AS BIGINT)").fetchone()[0] for y, t, x, xa in cases]
 
     assert got_spark == expected == got_duck
+
+
+def test_cross_source_gram_matrix_v2_matches_registered_query(spark):
+    """The staged one-shuffle rewrite (ops.curation.cross_source_gram_matrix,
+    queued for a round-12 _CHANGED_THIS_ROUND slot) must be output-identical
+    to the registered distinct + self-join query on real data before it may
+    replace it."""
+    from streamalert_spark.ops.curation import cross_source_gram_matrix
+    from streamalert_spark.queries.curation_ext import (
+        cross_source_ngram_matrix,
+    )
+    from streamalert_spark.session import read_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    old = {(r["source_a"], r["source_b"]): r["n_shared_grams"]
+           for r in cross_source_ngram_matrix(spark, sf_dir).collect()}
+    docs = read_table(spark, sf_dir, "documents")
+    new = {(r["source_a"], r["source_b"]): r["n_shared_grams"]
+           for r in cross_source_gram_matrix(docs, n=4).collect()}
+    assert old == new and len(old) > 0
+
+
+def test_space_saving_bounds_hold_under_any_partitioning(spark):
+    """Staged r12 op: the space-saving summary's estimates move with the
+    physical partitioning, but its guarantees must not — est <= true <=
+    est_hi for every emitted key, and every key whose true frequency
+    dwarfs the trim budget must surface with an exact count."""
+    from streamalert_spark.ops.sketch import (
+        space_saving_summary,
+        space_saving_topk,
+    )
+
+    heavy = [(f"hh{i}", 2000) for i in range(5)]
+    df = spark.range(10_000).selectExpr(
+        "concat('tail', id) AS key").union(
+        spark.range(5 * 2000).selectExpr(
+            "concat('hh', id % 5) AS key"))
+    exact = {r["key"]: r["c"] for r in
+             df.groupBy("key").agg(F.count("*").alias("c")).collect()}
+
+    for parts in (4, 32):
+        rows = space_saving_summary(
+            df.repartition(parts), "key", k=64).collect()
+        got = {r["key"]: r for r in rows}
+        for key, r in got.items():
+            assert r["est"] <= exact[key] <= r["est_hi"], (parts, key)
+        for key, true_c in heavy:
+            assert key in got, (parts, key)
+            # 2000 occurrences over <=32 partitions always rank in each
+            # partition's top-64 against singleton tails -> exact est.
+            assert got[key]["est"] == true_c
+            assert got[key]["err_hi"] <= parts
+
+    top = space_saving_topk(df.repartition(8), "key", k=64, top=5).collect()
+    assert sorted(r["key"] for r in top) == sorted(k for k, _ in heavy)

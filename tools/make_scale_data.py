@@ -136,7 +136,18 @@ def _rotate_embeddings(table: pa.Table, replica: int) -> pa.Table:
     return table.set_column(idx, "embedding", pa.array(rot, type=vec_type))
 
 
-def build(src: str, dst: str, mult: int) -> None:
+def build(src: str, dst: str, mult: int,
+          tables: list[str] | None = None) -> None:
+    """Build an sf*mult-shaped directory from src.
+
+    Replicas stream through a ParquetWriter as they are built, so peak
+    memory is one flush buffer (~1/48 of the output table), not the whole
+    output — the tool itself has to scale to --mult 1000 (sf100, 600M-row
+    lineitem) for the third measured decade in SCALE.md. `tables`
+    restricts which SCALED tables are built (fixed dims always copy);
+    the sf100 run skips documents/embeddings, whose per-replica Python
+    rewrite (token salting) is priced for the 10x/100x decades only.
+    """
     os.makedirs(dst, exist_ok=True)
     spans = _entity_spans(src)
     for name in _FIXED_DIMS:
@@ -144,23 +155,33 @@ def build(src: str, dst: str, mult: int) -> None:
         pq.write_table(t, os.path.join(dst, f"{name}.parquet"))
         print(f"{name}: {t.num_rows} rows (fixed dim)")
     for name in _SCALED:
+        if tables is not None and name not in tables:
+            continue
         base = pq.read_table(os.path.join(src, f"{name}.parquet"))
-        replicas = []
-        for i in range(mult):
-            t = _shift_keys(base, i, spans)
-            if name == "documents":
-                t = _salt_documents(t, i)
-            elif name == "embeddings":
-                t = _rotate_embeddings(t, i)
-            replicas.append(t)
-        out = pa.concat_tables(replicas)
-        row_group = max(4096, out.num_rows // 48)
-        pq.write_table(out, os.path.join(dst, f"{name}.parquet"),
-                       row_group_size=row_group)
-        groups = pq.ParquetFile(
-            os.path.join(dst, f"{name}.parquet")).metadata.num_row_groups
-        print(f"{name}: {base.num_rows} -> {out.num_rows} rows, "
-              f"{groups} row groups")
+        path = os.path.join(dst, f"{name}.parquet")
+        total = base.num_rows * mult
+        row_group = max(4096, total // 48)
+        buf: list[pa.Table] = []
+        buf_rows = 0
+        with pq.ParquetWriter(path, base.schema) as writer:
+            for i in range(mult):
+                t = _shift_keys(base, i, spans)
+                if name == "documents":
+                    t = _salt_documents(t, i)
+                elif name == "embeddings":
+                    t = _rotate_embeddings(t, i)
+                buf.append(t)
+                buf_rows += t.num_rows
+                if buf_rows >= row_group:
+                    writer.write_table(pa.concat_tables(buf),
+                                       row_group_size=row_group)
+                    buf, buf_rows = [], 0
+            if buf:
+                writer.write_table(pa.concat_tables(buf),
+                                   row_group_size=row_group)
+        groups = pq.ParquetFile(path).metadata.num_row_groups
+        print(f"{name}: {base.num_rows} -> {total} rows, "
+              f"{groups} row groups", flush=True)
 
 
 def main() -> None:
@@ -170,8 +191,12 @@ def main() -> None:
     ap.add_argument("--dst", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scale", "sf1"))
+    ap.add_argument("--tables", default="",
+                    help="comma list restricting which scaled tables to "
+                         "build (fixed dims always copy)")
     args = ap.parse_args()
-    build(args.src, args.dst, args.mult)
+    tables = [t for t in args.tables.split(",") if t] or None
+    build(args.src, args.dst, args.mult, tables=tables)
 
 
 if __name__ == "__main__":
