@@ -234,3 +234,72 @@ def robust_outlier_summary(
                    .otherwise(0)).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+def profile_sketched_scalable(df: DataFrame, spec: dict[str, str],
+                              k: int | None = None):
+    """Output-identical rewrite of ``profile_sketched`` whose parallelism
+    is not capped by the column count — the staged round-12 replacement
+    after the measured sf10→sf100 decade caught the original at 14.2×
+    (vs the ≤12 linear threshold) on a 600M-row lineitem.
+
+    The original ranks EVERY distinct hash of a column inside one
+    ``Window.partitionBy(column_name)`` — with ~17 columns that is 17
+    window partitions, so the biggest column (150M distinct orderkeys at
+    sf100) sorts and double-scans in ONE task, and the count-over-window
+    materializes nd onto every row. Here instead:
+
+    - exact_distinct is a plain partial-aggregated ``groupBy`` count
+      (17 output rows, fully parallel);
+    - the k-th min hash uses the standard two-phase distributed k-min:
+      rank within (column, input-partition) — parallelism = columns ×
+      partitions — keep each group's k smallest, then rank the tiny
+      survivor set (≤ columns × partitions × k rows) globally. The union
+      of per-partition k-minima always contains the global k minima, so
+      the selected row is identical under any physical partitioning.
+    """
+    from pyspark.sql import Window
+
+    from streamalert_spark.ops.sketch import KMV_K, hex_fraction
+
+    kk = KMV_K if k is None else k
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 _render(F.col(c), dt).alias("v"))
+        for c, dt in spec.items()
+    ])
+    stacked = df.select(F.explode(pairs).alias("p")).select("p.*")
+    counts = stacked.groupBy("column_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+         .cast("bigint").alias("null_count"),
+    )
+    hashed = (
+        stacked.filter(F.col("v").isNotNull()).distinct()
+        .select("column_name", F.md5(F.col("v")).alias("h"))
+    )
+    nd = hashed.groupBy("column_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"))
+    part_w = Window.partitionBy("column_name", "pid").orderBy("h")
+    survivors = (
+        hashed.withColumn("pid", F.spark_partition_id())
+        .withColumn("rn_p", F.row_number().over(part_w))
+        .filter(F.col("rn_p") <= kk)
+        .select("column_name", "h")
+    )
+    glob_w = Window.partitionBy("column_name").orderBy("h")
+    ranked = survivors.select(
+        "column_name", "h", F.row_number().over(glob_w).alias("rn"))
+    kth = (ranked.join(nd, "column_name")
+           .filter(F.col("rn") == F.least(F.lit(kk), F.col("nd"))))
+    est = F.when(
+        F.col("nd") < kk, F.col("nd").cast("double")
+    ).otherwise(F.round(F.lit(float(kk - 1)) / hex_fraction(F.col("h")), 4))
+    return (
+        counts.join(kth, "column_name", "left")
+        .select("column_name", "n_rows", "null_count",
+                F.col("h").alias("kth_min_hash"),
+                F.coalesce(est, F.lit(0.0)).alias("kmv_distinct"),
+                F.coalesce(F.col("nd"), F.lit(0))
+                 .cast("bigint").alias("exact_distinct"))
+    )
