@@ -81,13 +81,19 @@ def main() -> None:
             print(f"  pass{pass_i} {name} @ {os.path.basename(sf_dir)}: "
                   f"{dt:.2f}s", file=sys.stderr)
 
+    # Generic decade labels: the same tool measures sf0.1->sf1, sf1->sf10,
+    # and sf10->sf100 — the lo/hi directories are recorded alongside so the
+    # JSON is self-describing at any pair of SFs.
+    lo_label = os.path.basename(args.sf01_dir.rstrip("/"))
+    hi_label = os.path.basename(args.sf1_dir.rstrip("/"))
     rows = []
     for name in names:
-        t01 = round(mins.get((name, args.sf01_dir), -1.0), 3)
-        t1 = round(mins.get((name, args.sf1_dir), -1.0), 3)
-        ratio = round(t1 / t01, 2) if t01 > 0 and t1 > 0 else None
+        t_lo = round(mins.get((name, args.sf01_dir), -1.0), 3)
+        t_hi = round(mins.get((name, args.sf1_dir), -1.0), 3)
+        ratio = round(t_hi / t_lo, 2) if t_lo > 0 and t_hi > 0 else None
         rows.append({
-            "query": name, "t_sf01": t01, "t_sf1": t1, "ratio": ratio,
+            "query": name, f"t_{lo_label}": t_lo, f"t_{hi_label}": t_hi,
+            "ratio": ratio,
             "verdict": (None if ratio is None
                         else "linear-ok" if ratio <= 12 else "investigate"),
         })
@@ -95,7 +101,8 @@ def main() -> None:
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as fh:
         json.dump({"rows": rows, "passes": args.passes,
-                   "sf1_dir": args.sf1_dir}, fh, indent=1)
+                   "lo_dir": args.sf01_dir, "hi_dir": args.sf1_dir},
+                  fh, indent=1)
     print(json.dumps(rows, indent=1))
     spark.stop()
 
