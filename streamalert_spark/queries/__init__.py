@@ -51,11 +51,17 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # names second, then everything else oldest-green-first. Clear this list
 # at the start of each round.
 _CHANGED_THIS_ROUND = [
-    # r11 keeps this list at exactly the two behavior-touching ADVICE
-    # fixes so the ledger's oldest-green-first order can drain the full
-    # 48-query r6 cohort (48 + 2 = the driver's 50 slots).
+    # r11 planned to keep this list at exactly the two behavior-touching
+    # ADVICE fixes so the ledger's oldest-green-first order could drain
+    # the full 48-query r6 cohort (48 + 2 = the driver's 50 slots).
     "replica_antientropy_buckets",  # r11: digest = exact wide sum mod 2^62
     "cuped_ab_adjusted_lift",       # r11: adjustment widened to DEC38/HUGEINT
+    # Late-round addition, deliberately accepted at the cost of ONE r6
+    # name slipping to r12: the full-registry sf1 parity sweep caught
+    # (r * 1000000) overflowing int32 once a source holds >2148 docs —
+    # a crash under ANSI Spark at scale. Rank now BIGINT; values
+    # identical everywhere the old expression survived.
+    "score_quantile_normalize",     # r11: ppm rank arithmetic in BIGINT
 ]
 
 

@@ -789,9 +789,14 @@ def score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        F.col("n_chars").cast("bigint")
                                        .alias("n_chars"))
     w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    # row_number() is INT; the ppm scale-up must happen in BIGINT or
+    # (r * 1000000) overflows 32 bits once a source holds >2148 docs —
+    # ANSI Spark errors, DuckDB's BIGINT row_number sails on. Caught by
+    # the round-11 full-registry sf1 parity sweep (sf0.1 sat within 2.1×
+    # of the boundary); value-identical wherever the old expression ran.
     ranked = docs.select(
         "doc_id", "source", "n_chars",
-        (F.row_number().over(w) - 1).alias("r"),
+        (F.row_number().over(w) - 1).cast("bigint").alias("r"),
         F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"))
     pct = F.when(F.col("n") > 1,
                  F.expr("(r * 1000000) DIV (n - 1)")).otherwise(F.lit(0))

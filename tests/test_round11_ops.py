@@ -160,3 +160,35 @@ def test_profile_sketched_scalable_is_output_identical(spark):
     got_e = sorted(tuple(r) for r in profile_sketched_scalable(
         edge.repartition(8), spec).collect())
     assert got_e == want_e
+
+
+def test_score_quantile_rank_arithmetic_past_int32(spark, tmp_path, duck):
+    """The sf1 parity sweep caught (r * 1000000) overflowing int32 once a
+    source holds >2148 docs (ANSI Spark errors; DuckDB's BIGINT
+    row_number does not). Force the boundary with a 3000-doc source and
+    demand the fixed query both RUNS and hash-matches the oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamalert_spark.queries import load_all
+
+    n = 3000
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(["w"] * n),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["big"] * n),
+        "n_chars": pa.array([(i * 37) % 500 for i in range(n)],
+                            type=pa.int64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    rq = load_all()["score_quantile_normalize"]
+    got = sorted(tuple(r) for r in rq.fn(spark, str(tmp_path)).collect())
+    con = __import__("duckdb").connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = sorted(tuple(r) for r in con.execute(rq.oracle).fetchall())
+    assert len(got) == n and got == want
+    # the boundary itself: max ppm must be exactly 1e6 (r = n-1)
+    assert max(r[3] for r in got) == 1_000_000
