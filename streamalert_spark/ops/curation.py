@@ -310,18 +310,20 @@ def cross_source_gram_matrix(
     source_col: str = "source",
 ) -> DataFrame:
     """Source-pair contamination matrix (distinct n-grams shared by each
-    pair of sources) in ONE corpus-scale shuffle — the staged round-12
-    replacement for the registered ``cross_source_ngram_matrix`` body,
-    whose distinct + gram self-join costs two corpus shuffles plus
-    sort-merge sorts.
+    pair of sources) in ONE corpus-scale shuffle — the registered
+    ``cross_source_ngram_matrix`` body since round 12, replacing the r6
+    distinct + gram self-join (two corpus shuffles plus sort-merge
+    sorts). The registered oracle is ORDER BY'd: callers that need
+    oracle parity must sort (source_a, source_b) themselves — output
+    here is an unordered aggregate.
 
     Shape: explode n-grams, ``groupBy(gram).agg(array_sort(
     collect_set(source)))`` (partial-aggregated; per-gram state is
     bounded by |sources|, never by row count), then expand each gram's
     sorted source set into its (a < b) pairs IN-ARRAY and count per pair.
     The second shuffle carries at most |sources|² keys — constant, not
-    corpus-scale. Output is identical to the registered query (pinned by
-    tests/test_round11_ops.py); measured ~1.5× faster at sf1.
+    corpus-scale. Output-identity against the legacy self-join shape is
+    pinned by tests/test_round11_ops.py; measured ~1.5× faster at sf1.
     """
     toks = F.split(F.col(text_col), " ")
     idx = F.when(F.size(toks) >= n,

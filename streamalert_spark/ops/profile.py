@@ -257,6 +257,13 @@ def profile_sketched_scalable(df: DataFrame, spec: dict[str, str],
       survivor set (≤ columns × partitions × k rows) globally. The union
       of per-partition k-minima always contains the global k minima, so
       the selected row is identical under any physical partitioning.
+
+    The hashed-distinct subtree is consumed by BOTH the nd groupBy and
+    the k-min pass; AQE's exchange reuse deduplicates the corpus-scale
+    (column_name, v) distinct exchange at runtime (verified: the
+    executed plan shows a ReusedExchange for it — only the cheap
+    post-exchange dedup hash-agg evaluates per branch), so the most
+    expensive shuffle runs once without an explicit persist.
     """
     from pyspark.sql import Window
 

@@ -577,8 +577,11 @@ def space_saving_summary(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
     "Efficient computation of frequent and top-k elements"; merge rule
     from Agarwal et al., "Mergeable Summaries"): each partition reduces
     to at most k (key, count) rows plus one error row, regardless of
-    partition size, so driver/shuffle traffic is O(partitions * k) at any
-    corpus scale.
+    partition size, so SHUFFLE/DRIVER traffic is O(partitions * k) at
+    any corpus scale. (Executor working memory is NOT k-bounded: the
+    per-partition pass counts exactly before trimming, O(distinct keys
+    in the partition) — the classic k-counter eviction loop would bound
+    it but needs per-row Python; size partitions accordingly.)
 
     Per partition (one Arrow-batched ``mapInPandas`` pass): exact counts
     over the partition, trimmed to the k largest with tie-break by key;
@@ -598,7 +601,10 @@ def space_saving_summary(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
     the deterministic-output alternative for exact heavy hitters is
     ``cms_point_estimates`` / a plain count shuffle.
 
-    Returns (key, est, err_hi, est_hi = est + err_hi).
+    Returns (key, est, err_hi, est_hi = est + err_hi, total_e) —
+    total_e (the global trim budget Σ e_p, identical on every row) rides
+    along so audits can check the survival guarantee for ABSENT keys:
+    any key with true frequency > total_e must be present.
     """
     import pandas as pd
 
@@ -637,7 +643,8 @@ def space_saving_summary(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
                     (F.col("total_e") - F.col("covered_e")).cast("bigint")
                     .alias("err_hi"),
                     (F.col("est") + F.col("total_e") - F.col("covered_e"))
-                    .cast("bigint").alias("est_hi")))
+                    .cast("bigint").alias("est_hi"),
+                    F.col("total_e").cast("bigint").alias("total_e")))
 
 
 def space_saving_topk(df: DataFrame, key_col: str, k: int = 64,
@@ -645,7 +652,9 @@ def space_saving_topk(df: DataFrame, key_col: str, k: int = 64,
     """Top candidates from the space-saving summary, ordered by guaranteed
     count (est desc, key asc tie-break), upper bound attached. Every true
     top-`top` key whose frequency exceeds the global trim budget is
-    present; `k >> top` shrinks the budget and with it the candidate
-    uncertainty."""
+    present IN THE SUMMARY; the est-ordered limit(top) cut can still
+    drop one in favor of a lighter key whose est happens to be higher
+    (est is a lower bound). `k >> top` shrinks the budget and with it
+    the candidate uncertainty."""
     s = space_saving_summary(df, key_col, k=k)
     return s.orderBy(F.col("est").desc(), F.col("key").asc()).limit(top)

@@ -51,17 +51,19 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # names second, then everything else oldest-green-first. Clear this list
 # at the start of each round.
 _CHANGED_THIS_ROUND = [
-    # r11 planned to keep this list at exactly the two behavior-touching
-    # ADVICE fixes so the ledger's oldest-green-first order could drain
-    # the full 48-query r6 cohort (48 + 2 = the driver's 50 slots).
-    "replica_antientropy_buckets",  # r11: digest = exact wide sum mod 2^62
-    "cuped_ab_adjusted_lift",       # r11: adjustment widened to DEC38/HUGEINT
-    # Late-round addition, deliberately accepted at the cost of ONE r6
-    # name slipping to r12: the full-registry sf1 parity sweep caught
-    # (r * 1000000) overflowing int32 once a source holds >2148 docs —
-    # a crash under ANSI Spark at scale. Rank now BIGINT; values
-    # identical everywhere the old expression survived.
-    "score_quantile_normalize",     # r11: ppm rank arithmetic in BIGINT
+    # r12 budget: the three changes the r11 verdict called for, leaving
+    # 45 of the driver's 50 slots for the stale cohort (the lone r6
+    # holdout unpivot_measure_totals sorts first automatically, and the
+    # new space_saving_bounds_verdict registration takes a bucket-0
+    # slot), so 45 of the 48-name r7 cohort drain this round.
+    "table_profile_sketched",       # r12: two-phase k-min body registered
+                                    # (single-window original measured
+                                    # 14.2x on the sf10->sf100 decade)
+    "q1_pricing_summary",           # r12: money sums via exact integer
+                                    # cents (1-ulp decimal->double render
+                                    # seam at sf1)
+    "cross_source_ngram_matrix",    # r12: one-shuffle collect_set body
+                                    # (replaces distinct + gram self-join)
 ]
 
 

@@ -279,14 +279,20 @@ def _profile_sketched_oracle() -> str:
            "column count). Columns stack into (column, rendered value) "
            "pairs in one scan; the distinct shuffle is partial-agg "
            "deduped so it carries O(Σ per-column distincts) md5 rows. "
-           "Output pairs the estimate with the exact count so the "
-           "sketch's error is visible and hash-pinned.")
+           "The k-th min hash comes from the two-phase distributed k-min "
+           "(rank within (column, input-partition), keep k, re-rank the "
+           "tiny survivor set) — parallelism scales with columns × "
+           "partitions, not the column count; the single-window original "
+           "measured 14.2× on the sf10→sf100 decade because the widest "
+           "column sorted in ONE task. Output pairs the estimate with "
+           "the exact count so the sketch's error is visible and "
+           "hash-pinned.")
 def table_profile_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from streamalert_spark.ops.profile import profile_sketched
+    from streamalert_spark.ops.profile import profile_sketched_scalable
     from streamalert_spark.session import read_table
 
     li = read_table(spark, sf_dir, "lineitem")
-    return (profile_sketched(li, _LINEITEM_SPEC)
+    return (profile_sketched_scalable(li, _LINEITEM_SPEC)
             .repartition(1).sortWithinPartitions("column_name"))
 
 
@@ -357,6 +363,63 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cms_estimate",
         )
         .repartition(1).sortWithinPartitions("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Space-saving heavy hitters — bounds audit with a deterministic verdict.
+# ---------------------------------------------------------------------------
+
+_SPACE_SAVING_ORACLE = """
+WITH exact AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(true_cnt) AS BIGINT) AS n_events,
+       CAST(0 AS BIGINT) AS bound_violations,
+       CAST(0 AS BIGINT) AS missed_guaranteed
+FROM exact
+"""
+
+
+@query("space_saving_bounds_verdict", oracle=_SPACE_SAVING_ORACLE,
+       doc="Space-saving heavy-hitter summary (Metwally et al.; mergeable "
+           "trimmed-counts form from Agarwal et al.) audited against the "
+           "exact counts. The per-key ESTIMATES move with the physical "
+           "partitioning, so the hash-checked output is the summary's "
+           "partitioning-INDEPENDENT verdict: est <= true <= est_hi must "
+           "hold for every surfaced key (bound_violations = 0) and every "
+           "key whose true frequency exceeds the global trim budget "
+           "Σ e_p must surface (missed_guaranteed = 0) — plus n_keys / "
+           "n_events from the exact side so the hash covers real data, "
+           "not just invariant zeros. Scale: the summary shuffles "
+           "O(partitions × k) rows at any cardinality; the audit join "
+           "is exact-count-sized and exists only to verify the sketch.")
+def space_saving_bounds_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamalert_spark.ops.sketch import space_saving_summary
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    exact = (ev.groupBy(F.col("user_id").cast("string").alias("key"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt")))
+    summary = space_saving_summary(ev, "user_id", k=64)
+    audit = exact.join(summary, "key", "left")
+    budget = summary.agg(F.max("total_e").alias("trim_budget"))
+    return (
+        audit.crossJoin(F.broadcast(budget))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("true_cnt").cast("bigint").alias("n_events"),
+            F.sum(F.when(
+                F.col("est").isNotNull()
+                & ~((F.col("est") <= F.col("true_cnt"))
+                    & (F.col("true_cnt") <= F.col("est_hi"))), 1)
+                .otherwise(0)).cast("bigint").alias("bound_violations"),
+            F.sum(F.when(
+                F.col("est").isNull()
+                & (F.col("true_cnt") > F.col("trim_budget")), 1)
+                .otherwise(0)).cast("bigint").alias("missed_guaranteed"),
+        )
     )
 
 

@@ -669,34 +669,20 @@ ORDER BY source_a, source_b
 
 @query("cross_source_ngram_matrix", oracle=_CROSS_SOURCE_ORACLE,
        doc="Source-pair contamination matrix: distinct 4-grams shared by "
-           "each pair of sources. distinct(gram, source) first caps the "
-           "self-join fan-out at sources-squared per gram (bounded by "
-           "design, partial-aggregated); gram-key equi-join, no "
-           "broadcast of the corpus.")
+           "each pair of sources, in ONE corpus-scale shuffle: "
+           "groupBy(gram).collect_set(source) (partial-aggregated, "
+           "per-gram state bounded by |sources|), then each gram's "
+           "sorted source set expands to its (a < b) pairs IN-ARRAY and "
+           "the pair count shuffles at most |sources|² keys. Replaced "
+           "the r6 distinct + gram self-join body (two corpus shuffles "
+           "plus sort-merge sorts) in r12 — output-identity pinned, "
+           "~1.5× faster at sf1. NOTE: the oracle is ORDER BY'd, so the "
+           "wrapper's final 1-partition sort is part of the contract.")
 def cross_source_ngram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    idx = F.when(F.size(toks) >= 4,
-                 F.sequence(F.lit(1), F.size(toks) - 3)).otherwise(
-                     F.array().cast("array<int>"))
-    grams = (
-        docs.select(F.col("source"), toks.alias("w"),
-                    F.explode(idx).alias("i"))
-        .select("source",
-                F.concat_ws(" ", F.element_at("w", F.col("i")),
-                            F.element_at("w", F.col("i") + 1),
-                            F.element_at("w", F.col("i") + 2),
-                            F.element_at("w", F.col("i") + 3)).alias("gram"))
-        .distinct()
-    )
-    a = grams.alias("a")
-    b = grams.alias("b")
+    from streamalert_spark.ops.curation import cross_source_gram_matrix
+
     return (
-        a.join(b, (F.col("a.gram") == F.col("b.gram"))
-               & (F.col("a.source") < F.col("b.source")))
-        .groupBy(F.col("a.source").alias("source_a"),
-                 F.col("b.source").alias("source_b"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+        cross_source_gram_matrix(_docs(spark, sf_dir), n=4)
         .repartition(1).sortWithinPartitions("source_a", "source_b")
     )
 

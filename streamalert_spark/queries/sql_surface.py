@@ -42,10 +42,10 @@ _Q1_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) * 100 AS BIGINT) AS DOUBLE) / 100 AS sum_qty,
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) * 100 AS BIGINT) AS DOUBLE) / 100 AS sum_base_price,
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) * 100 AS BIGINT) AS DOUBLE) / 100 AS sum_disc_price,
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) * 100 AS BIGINT) AS DOUBLE) / 100 AS sum_charge,
   CAST(ROUND(AVG(CAST(l_quantity AS DECIMAL(18,2))), 6) AS DOUBLE) AS avg_qty,
   CAST(ROUND(AVG(CAST(l_extendedprice AS DECIMAL(18,2))), 6) AS DOUBLE) AS avg_price,
   CAST(ROUND(AVG(CAST(l_discount AS DECIMAL(18,2))), 6) AS DOUBLE) AS avg_disc,
@@ -58,18 +58,26 @@ ORDER BY l_returnflag, l_linestatus
 
 
 @query("q1_pricing_summary", oracle=_Q1_ORACLE,
-       doc="TPC-H Q1 pricing summary; the flagship batch aggregate.")
+       doc="TPC-H Q1 pricing summary; the flagship batch aggregate. Money "
+           "sums render as exact integer CENTS (round the exact DECIMAL "
+           "sum to 2 places — integral after *100 — cast through BIGINT) "
+           "then ONE int64→double conversion and ONE IEEE divide, both "
+           "correctly rounded in both engines. A direct decimal→double "
+           "cast of the scale-6 sum_charge diverged by 1 ulp at sf1: "
+           "Spark converts via BigDecimal (one rounding), DuckDB divides "
+           "the int128 payload in floating point (two roundings).")
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    cents = lambda col: (F.round(col, 2) * 100).cast("bigint").cast("double") / 100  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") <= F.to_date(F.lit("1998-09-02")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("sum_disc_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) * (F.lit(1) + dec("l_tax"))).cast("double").alias("sum_charge"),
+            cents(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            cents(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            cents(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("sum_disc_price"),
+            cents(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) * (F.lit(1) + dec("l_tax")))).alias("sum_charge"),
             F.round(F.avg(dec("l_quantity")), 6).cast("double").alias("avg_qty"),
             F.round(F.avg(dec("l_extendedprice")), 6).cast("double").alias("avg_price"),
             F.round(F.avg(dec("l_discount")), 6).cast("double").alias("avg_disc"),

@@ -75,24 +75,44 @@ def test_cuped_adjustment_exact_past_int64_product(spark, duck):
     assert got_spark == expected == got_duck
 
 
-def test_cross_source_gram_matrix_v2_matches_registered_query(spark):
-    """The staged one-shuffle rewrite (ops.curation.cross_source_gram_matrix,
-    queued for a round-12 _CHANGED_THIS_ROUND slot) must be output-identical
-    to the registered distinct + self-join query on real data before it may
-    replace it."""
-    from streamalert_spark.ops.curation import cross_source_gram_matrix
+def test_cross_source_gram_matrix_v2_matches_legacy_self_join(spark):
+    """The one-shuffle collect_set rewrite became the registered
+    cross_source_ngram_matrix body in r12; this pin keeps the legacy
+    distinct + gram self-join shape as an independent witness so the
+    rewrite stays output-identical on real data."""
     from streamalert_spark.queries.curation_ext import (
         cross_source_ngram_matrix,
     )
     from streamalert_spark.session import read_table
 
     sf_dir = "/root/testdata/sf0.001"
-    old = {(r["source_a"], r["source_b"]): r["n_shared_grams"]
-           for r in cross_source_ngram_matrix(spark, sf_dir).collect()}
-    docs = read_table(spark, sf_dir, "documents")
     new = {(r["source_a"], r["source_b"]): r["n_shared_grams"]
-           for r in cross_source_gram_matrix(docs, n=4).collect()}
-    assert old == new and len(old) > 0
+           for r in cross_source_ngram_matrix(spark, sf_dir).collect()}
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    idx = F.when(F.size(toks) >= 4,
+                 F.sequence(F.lit(1), F.size(toks) - 3)).otherwise(
+                     F.array().cast("array<int>"))
+    grams = (
+        docs.select(F.col("source"), toks.alias("w"),
+                    F.explode(idx).alias("i"))
+        .select("source",
+                F.concat_ws(" ", F.element_at("w", F.col("i")),
+                            F.element_at("w", F.col("i") + 1),
+                            F.element_at("w", F.col("i") + 2),
+                            F.element_at("w", F.col("i") + 3)).alias("gram"))
+        .distinct()
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    legacy = {(r["source_a"], r["source_b"]): r["n_shared_grams"] for r in (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"),
+                 F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+        .collect())}
+    assert legacy == new and len(new) > 0
 
 
 def test_space_saving_bounds_hold_under_any_partitioning(spark):
