@@ -290,6 +290,121 @@ def lsh_bucketed_pairs(
     )
 
 
+def hash_planes(num_planes: int, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes via Knuth
+    multiplicative hashing — each component's sign is the top bit of
+    (i·2654435761 + k·2246822519) mod 2³². Integer arithmetic only —
+    reproducible verbatim in an engine-portable SQL oracle, and with
+    more entropy than the period-7 pattern of
+    queries.analytics_ext._hyperplanes at large plane counts.
+
+    Measured caveat (round 12, SCALE.md): plane choice does NOT fix
+    signature-bucket skew on directionally-dense corpora. On the sf10
+    test embeddings per-bit balance is a perfect 0.500 under raw,
+    mean-centered, and median thresholds for BOTH generators, yet one
+    signature bucket holds ~23% of vectors — the bits are individually
+    balanced but jointly correlated because the DATA clusters. Sign
+    bits cannot split a genuine similarity cluster without dropping
+    true pairs; see banded_hyperplane_pairs' scope note."""
+    return [
+        [1.0 if ((i * 2654435761 + k * 2246822519) & 0xFFFFFFFF) >> 31
+         else -1.0 for i in range(dim)]
+        for k in range(num_planes)
+    ]
+
+
+def derive_rows_per_band(n: int, target_bucket: int = 1_000,
+                         floor: int = 4) -> int:
+    """The banded-LSH sizing rule: bits per band r = max(floor,
+    ceil(log2(n / target_bucket))), so the EXPECTED bucket size
+    n / 2^r stays ~target_bucket at any corpus scale. Derived from a
+    COUNT on both engines (the oracle computes the identical expression
+    in SQL), so Spark and DuckDB agree at every SF without baking an
+    SF-specific constant into the query."""
+    import math
+
+    if n <= target_bucket:
+        return floor
+    return max(floor, math.ceil(math.log2(n / target_bucket)))
+
+
+def banded_hyperplane_pairs(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    rows_per_band: int,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Banded random-hyperplane LSH near-dup pairs — the scale-path
+    embedding pair finder, staged in round 12 after the third measured
+    decade caught the fixed-bucket variants' quadratic term.
+
+    ``cell_bucketed_pairs`` (IVF-flat, n_cells FIXED) and the
+    single-band ``lsh_bucketed_pairs`` (2^planes buckets FIXED) both
+    verify O(n²/buckets) candidate pairs, and the cell variant's join
+    parallelism is additionally capped at the cell count: measured,
+    semantic_cell_neardup ran 10.5 s at sf1 (20k vectors) and did NOT
+    FINISH 30+ minutes at sf10 (200k vectors, 7-task join). Banding
+    fixes both axes the way the MinHash doc-dedup path does:
+
+    - bits per band ``rows_per_band`` (r) controls EXPECTED bucket size
+      n/2^r — grow r with log2(n) (``derive_rows_per_band``) so the
+      bucket COUNT tracks n and parallelism is thousands of
+      (band, signature) keys, never a fixed constant;
+    - ``bands`` (b) buys recall back: P(candidate) = 1-(1-s^r)^b for
+      bit-agreement rate s = 1 - angle/π — the near-dup regime
+      (cos ≥ 0.9, s ≥ 0.86) keeps recall high at useful r.
+
+    Shuffle is O(n·b) rows (the vector rides to its b band keys);
+    verification is exact cosine, so precision is exact by
+    construction; `distinct()` dedups pairs that collide in several
+    bands. Output is independent of physical partitioning.
+
+    SCOPE (measured, SCALE.md r12): expected-size math governs only as
+    far as the data cooperates — a corpus with a directionally-dense
+    cluster keeps that cluster in one signature bucket at ANY r (bits
+    that split it would drop true pairs), and a corpus whose TRUE pair
+    density is quadratic (the rotated-replica test embeddings measure
+    95k → 9.7M pairs across one decade at threshold 0.4) makes every
+    exact pair emitter super-linear on output alone. For such data the
+    100-TB contract is bounded-output search (ivf_topk,
+    batch_cosine_topk) or candidate + connected components, not
+    all-pairs emission; this op is the right shape where near-dup
+    density is sparse (natural corpora at cos ≥ 0.9).
+    """
+    nbits = bands * rows_per_band
+    if len(planes) < nbits:
+        raise ValueError(
+            f"banded_hyperplane_pairs: need {nbits} planes, got {len(planes)}")
+    bits = [
+        F.when(dot(F.col(vec_col),
+                   F.array(*[F.lit(float(x)) for x in planes[i]])) >= 0,
+               "1").otherwise("0")
+        for i in range(nbits)
+    ]
+    band_keys = F.array(*[
+        F.concat(F.lit(f"{b}:"),
+                 *bits[b * rows_per_band:(b + 1) * rows_per_band])
+        for b in range(bands)
+    ])
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), F.explode(band_keys).alias("bk"))
+    a = bucketed.select(F.col(id_col).alias("a"),
+                        F.col(vec_col).alias("va"), "bk")
+    b_ = bucketed.select(F.col(id_col).alias("b"),
+                         F.col(vec_col).alias("vb"), "bk")
+    score = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b_, "bk")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", score.alias("score"))
+        .filter(F.col("score") >= threshold)
+        .distinct()
+    )
+
+
 def kmeans_lloyd(
     df: DataFrame,
     k: int = 8,
@@ -365,6 +480,13 @@ def cell_bucketed_pairs(
     O(n^2) to O(n^2 / cells) with uniform cells; recall trades at cell
     boundaries exactly like IVF search. Centroids inline as literals
     (metadata-scale driver traffic); the corpus shuffles once on cell id.
+
+    SCALE SCOPE (measured, round 12): n_cells is FIXED, so within-cell
+    pair work is still quadratic in n and the join's parallelism is the
+    cell count — at 200k vectors the 8-cell variant did not finish 30+
+    minutes in a 7-task join. This op is the small-corpus / demo shape;
+    at scale use bounded-output search (ivf_topk, batch_cosine_topk) or
+    banded_hyperplane_pairs, whose bits-per-band grow with log2(n).
     """
     # TRUE lowest-id seeds (orderBy + limit), robust to sparse or
     # non-zero-based id spaces where `id < n_cells` could find none —

@@ -850,10 +850,17 @@ ORDER BY a, b
 
 
 @query("semantic_cell_neardup", oracle=_CELL_PAIRS_ORACLE,
-       doc="IVF-style semantic near-dup: coarse-cell assignment (max-"
-           "cosine seed centroid, lowest-id tie-break) then exact cosine "
-           "within cells only — O(n^2/cells) pairs, one cell-keyed "
-           "shuffle, centroids inlined as literals.")
+       doc="IVF-style semantic near-dup DEMO: coarse-cell assignment "
+           "(max-cosine seed centroid, lowest-id tie-break) then exact "
+           "cosine within cells only — one cell-keyed shuffle, centroids "
+           "inlined as literals. SCOPE: with the cell count FIXED at 8, "
+           "within-cell pairs grow n²/8 and join parallelism is the 8 "
+           "cell keys — measured unfinished (>30 min) at 200k vectors "
+           "(SCALE.md r12 third-decade section). The 100-TB near-dup "
+           "paths are the bounded-output ones (ivf_topk, "
+           "batch_cosine_topk, candidate+components dedup) and the "
+           "staged banded-LSH pair op (ops/similarity."
+           "banded_hyperplane_pairs).")
 def semantic_cell_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamalert_spark.session import read_table
 

@@ -22,7 +22,14 @@ replicas, reproducing how TPC-H scale factors actually grow:
   for) while cross-replica near-dup pairs, which a real 10x corpus would
   not have, cannot appear;
 - embeddings: replica i rotates each vector by i positions — norms and
-  component distributions survive, replicas decorrelate.
+  component distributions survive. CAVEAT (measured, round 12): rotation
+  does NOT decorrelate — cross-replica cosines clear 0.4 often enough
+  that true pair counts grow ~quadratically with mult (95k pairs at
+  mult 10 → 9.7M at mult 100), and beyond mult 64 the rotation index
+  wraps (i % dim), so replica i+64 duplicates replica i's vectors
+  EXACTLY (72k cosine-1.0 pairs measured at mult 100). Near-dup /
+  ANN pair benchmarks should stay at mult <= 64 or account for the
+  output-volume growth when reading decade ratios (SCALE.md r12).
 
 Output parquet is written with bounded row groups (~48 per table) so scans
 parallelize the way a real multi-file sf1 would, instead of inheriting the
