@@ -80,8 +80,14 @@ def learn_bpe(
     across partitionings — a plain max would be partition-order-dependent).
     """
     vocab = word_vocab(df, text_col).persist()
-    vocab.count()  # materialize before the loop
     merges: list[tuple[str, int]] = []
+    # deferred-unpersist ring: a parent vocab may only be dropped once a
+    # job has MATERIALIZED its child (the next iteration's argmax, or the
+    # eager checkpoint) — this replaces the old per-iteration count()
+    # materialize, which cost one extra vocab pass per merge (guide §1.2:
+    # don't compute things you throw away; the argmax pass populates the
+    # child's cache for free)
+    pending_unpersist: DataFrame | None = None
     for it in range(n_merges):
         best = (
             _pair_counts(vocab)
@@ -89,6 +95,11 @@ def learn_bpe(
             .limit(1)
             .collect()
         )
+        # the argmax job just materialized `vocab`'s cache — its parent
+        # (if any) is no longer needed by any future recompute
+        if pending_unpersist is not None:
+            pending_unpersist.unpersist()
+            pending_unpersist = None
         if not best or best[0]["pair_count"] < 2:
             break
         pair, count = best[0]["pair"], int(best[0]["pair_count"])
@@ -103,10 +114,12 @@ def learn_bpe(
         vocab = vocab.withColumn(
             "syms", F.regexp_replace("syms", pattern, merged))
         if (it + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint(eager=True)
+            vocab = vocab.localCheckpoint(eager=True)  # materializes now
+            old.unpersist()
         else:
             vocab = vocab.persist()
-        vocab.count()
-        old.unpersist()
+            pending_unpersist = old
+    if pending_unpersist is not None:
+        pending_unpersist.unpersist()
     vocab.unpersist()
     return merges

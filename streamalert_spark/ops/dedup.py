@@ -174,8 +174,16 @@ def jaccard_prefix_pairs(
     classic prefix-filter lemma: J(a,b) >= t forces |a∩b| >= ceil(t|a|)
     and >= ceil(t|b|), so each prefix contains a common element, and the
     globally-smallest such element lies in BOTH prefixes. Verification
-    re-runs the exact Jaccard over the candidate-doc subset only
-    (broadcast size-gated like lsh_verified_pairs).
+    runs the exact Jaccard over the candidate-doc subset only (broadcast
+    size-gated like lsh_verified_pairs), REUSING the cached shingle-hash
+    rows — the per-doc (sh, sz) kernel output is doc-local, so the
+    subset's rows are exactly a semi-join filter of the corpus rows and
+    the expensive Python md5 kernel never runs a second time (guide §4:
+    one boundary crossing; the pre-r12 body re-ran the kernel over the
+    candidate docs, which at a near-dup-heavy SF is the whole corpus).
+    The prefix relation is likewise cached: both sides of the candidate
+    self-join and the verify branch read one materialization instead of
+    re-running the df-frequency join + rank window per consumer.
 
     LSH (lsh_verified_pairs) remains the probabilistic scale path; this
     is the EXACT scale path — no recall loss, candidate volume governed
@@ -185,12 +193,12 @@ def jaccard_prefix_pairs(
     dfreq = hashed.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy("df", "sh")
     plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    prefix = (
+    prefix = _swap_cache("jacprefix_prefix", (
         hashed.join(dfreq, "sh")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= plen)
         .select(id_col, "sh")
-    )
+    ))
     pa = prefix.select(F.col(id_col).alias("a"), "sh")
     pb = prefix.select(F.col(id_col).alias("b"), "sh")
     cands = (
@@ -200,8 +208,26 @@ def jaccard_prefix_pairs(
     cands = _swap_cache("jacprefix_cands", cands)
     hint = F.broadcast if cands.count() <= BROADCAST_PAIR_LIMIT else (lambda d: d)
     cand_ids = cands.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
-    subset = df.join(hint(cand_ids), id_col, "left_semi")
-    verified = ngram_jaccard_pairs(subset, text_col, id_col, n, threshold)
+    # verify straight from the cached kernel rows (identical values: the
+    # kernel is doc-local, so filtering rows == running it on the subset)
+    sub = hashed.join(hint(cand_ids), id_col, "left_semi")
+    a = sub.select(F.col(id_col).alias("a"), "sh", F.col("sz").alias("sz_a"))
+    b = sub.select(F.col(id_col).alias("b"), "sh", F.col("sz").alias("sz_b"))
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    verified = (
+        inter.select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
     return verified.join(hint(cands), ["a", "b"], "left_semi")
 
 

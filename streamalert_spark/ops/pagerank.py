@@ -37,18 +37,27 @@ def integer_pagerank(
     """(node, mass) after ``iters`` integer-PageRank steps over a
     directed edge list. Nodes = union of srcs and dsts; sinks (no
     out-edges) keep only the teleport term."""
-    nodes = (
+    from streamalert_spark.ops.dedup import _swap_cache
+
+    nodes = _swap_cache("pr_nodes", (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
         .distinct()
-    )
+    ))
+    # degrees are loop-INVARIANT: fold them onto the edge list once and
+    # cache, so an iters-deep lineage does not recompute the edge
+    # build + degree aggregate per iteration (each iteration's plan
+    # embeds every prior one — without the cache the source scan and
+    # degree shuffle run O(iters) times in the final single-job DAG).
+    # _swap_cache bounds the footprint to one copy per process across
+    # repeated invocations.
     degrees = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = _swap_cache("pr_edges_deg", edges.join(degrees, src_col))
     base = (START_MASS * (damping_den - damping_num)) // damping_den
     masses = nodes.withColumn("mass", F.lit(START_MASS).cast("bigint"))
     for _ in range(iters):
         contribs = (
-            edges.join(masses, edges[src_col] == masses["node"])
-            .join(degrees, src_col)
+            edges_deg.join(masses, edges_deg[src_col] == masses["node"])
             .select(
                 F.col(dst_col).alias("node"),
                 # bigint DIV bigint — exact beyond 2^53, where a

@@ -546,14 +546,19 @@ def kmeans_lloyd_fixed(
 
     Init centroids are the k lowest-id vectors; argmin ties break to the
     lowest cluster index. Returns (id, cluster) assignments."""
-    vecs = df.select(
+    from streamalert_spark.ops.dedup import _swap_cache
+
+    # the quantized vector table feeds every iteration's assign AND the
+    # per-iteration centroid aggregate (plus the seed collect): cache it
+    # once so the source scan + transform run once, not 2*iters+2 times
+    vecs = _swap_cache("km_vecs", df.select(
         F.col(id_col),
         F.transform(
             F.col(vec_col),
             lambda x: F.floor(x.cast("double") * KMEANS_FIXED_SCALE
                               + F.lit(0.5)).cast("bigint"),
         ).alias("v"),
-    )
+    ))
     seed_rows = vecs.orderBy(id_col).limit(k).collect()
     centroids = [list(r["v"]) for r in seed_rows]
 

@@ -1539,7 +1539,12 @@ def dedup_cascade_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     keep = (docs.select(F.md5("text").alias("f"), "doc_id")
             .groupBy("f").agg(F.min("doc_id").alias("doc_id")))
-    s1 = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+    # s1 feeds four consumers (LSH pairs, the component base, and both
+    # stage-count aggregates) — cache it so the md5 groupBy + semi-join
+    # materializes once instead of once per consumer subtree
+    s1 = dedup._swap_cache(
+        "cascade_s1",
+        docs.join(keep.select("doc_id"), "doc_id", "left_semi"))
     pairs = dedup.lsh_verified_pairs(s1, threshold=0.5)
     comp = dedup.connected_components(pairs)
     base = (

@@ -70,17 +70,31 @@ def get_spark(
     return spark
 
 
-def _local_row_groups(path: str) -> int | None:
-    """Row-group count of a LOCAL parquet file (None when not inspectable
-    — e.g. an object-store path on a real cluster)."""
+def _local_row_groups(path: str) -> tuple[int, int] | None:
+    """(row-group count, row count) of a LOCAL parquet file from its
+    footer (None when not inspectable — e.g. an object-store path on a
+    real cluster)."""
     if not os.path.isfile(path):
         return None
     try:
         import pyarrow.parquet as pq
 
-        return pq.ParquetFile(path).num_row_groups
+        meta = pq.ParquetFile(path).metadata
+        return meta.num_row_groups, meta.num_rows
     except Exception:  # noqa: BLE001 — inspection is best-effort
         return None
+
+
+# Tables whose downstream operators do heavyweight PER-ROW work (text
+# shingling/hash kernels over documents, 64-dim vector arithmetic over
+# embeddings): full fan-out pays for itself at any row count. Tabular
+# fact tables earn the rebalance by row volume instead (see read_table);
+# dimension-scale tables skip it — a 32-task round-robin exchange of a
+# 25-row nation table is pure scheduling overhead on every query that
+# touches it, and those frames broadcast anyway.
+_FANOUT_ALWAYS = frozenset({"documents", "embeddings"})
+_REBALANCE_MIN_ROWS = int(os.environ.get("SPARK_GRAFT_REBALANCE_MIN_ROWS",
+                                         "50000"))
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
@@ -110,9 +124,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     else:
         df = spark.read.parquet(path)
     cores = spark.sparkContext.defaultParallelism
-    groups = _local_row_groups(path)
-    if groups is not None and groups < cores:
-        df = df.repartition(cores)
+    meta = _local_row_groups(path)
+    if meta is not None:
+        groups, rows = meta
+        if groups < cores and (name in _FANOUT_ALWAYS
+                               or rows >= _REBALANCE_MIN_ROWS):
+            df = df.repartition(cores)
     return df
 
 
