@@ -130,6 +130,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         if groups < cores and (name in _FANOUT_ALWAYS
                                or rows >= _REBALANCE_MIN_ROWS):
             df = df.repartition(cores)
+        elif rows < _REBALANCE_MIN_ROWS:
+            # dimension-scale table: files.minPartitionNum still splits
+            # the scan into ~cores byte ranges, but parquet can only
+            # produce rows at row-group granularity, so all but
+            # `groups` of those tasks are EMPTY — pure scheduling
+            # overhead (~30-110 ms per action, measured). Merge the
+            # splits back to the real row-group parallelism; coalesce
+            # is a narrow op, no shuffle.
+            df = df.coalesce(max(groups, 1))
     return df
 
 

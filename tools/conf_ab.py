@@ -64,8 +64,21 @@ def main() -> None:
         names += [n for n in _top_names(args.top) if n not in names]
     conf = dict(kv.split("=", 1) for kv in args.conf.split(","))
 
-    base = run_set(names, None, args.passes, args.sf_dir)
-    cand = run_set(names, conf, args.passes, args.sf_dir)
+    # ALTERNATE sessions per config (base, cand, base, cand) and take the
+    # min per query per config across its sessions: a minutes-long host
+    # contention window poisons one session, not one whole config column
+    # (the round-12 null test measured 71s vs 29s for IDENTICAL configs
+    # under the sequential two-session design).
+    base: dict[str, float] = {}
+    cand: dict[str, float] = {}
+    for _ in range(2):
+        for acc, extra in ((base, None), (cand, conf)):
+            got = run_set(names, extra, args.passes, args.sf_dir)
+            for n, v in got.items():
+                if v > 0:
+                    acc[n] = min(acc.get(n, v), v)
+                else:
+                    acc.setdefault(n, v)
     rows = [(cand[n] - base[n], base[n], cand[n], n)
             for n in names if base[n] > 0 and cand[n] > 0]
     rows.sort()
