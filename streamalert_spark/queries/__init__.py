@@ -50,20 +50,11 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 # driver records and sorts never-driver-green names first, these changed
 # names second, then everything else oldest-green-first. Clear this list
 # at the start of each round.
-_CHANGED_THIS_ROUND = [
-    # r12 budget: the three changes the r11 verdict called for, leaving
-    # 45 of the driver's 50 slots for the stale cohort (the lone r6
-    # holdout unpivot_measure_totals sorts first automatically, and the
-    # new space_saving_bounds_verdict registration takes a bucket-0
-    # slot), so 45 of the 48-name r7 cohort drain this round.
-    "table_profile_sketched",       # r12: two-phase k-min body registered
-                                    # (single-window original measured
-                                    # 14.2x on the sf10->sf100 decade)
-    "q1_pricing_summary",           # r12: money sums via exact integer
-                                    # cents (1-ulp decimal->double render
-                                    # seam at sf1)
-    "cross_source_ngram_matrix",    # r12: one-shuffle collect_set body
-                                    # (replaces distinct + gram self-join)
+_CHANGED_THIS_ROUND: list[str] = [
+    # r13 is the second optimization round: no result changes are
+    # allowed, but queries whose BODIES were restructured for speed
+    # (value-identical, oracle-proven) list here so the driver's
+    # correctness sampler re-verifies them preferentially.
 ]
 
 

@@ -127,20 +127,28 @@ def test_strict_keyset_single_json_parse(spark):
 
 
 def test_query_surface_has_no_global_sort(spark):
-    """One sweep across the WHOLE registry at sf0.001 (iterative queries
-    execute their small driver loops while building — acceptable at this
-    scale) asserting three anti-patterns never appear in any plan:
+    """Sweep across the registry at sf0.001 (iterative queries execute
+    their small driver loops while building — acceptable at this scale)
+    asserting three anti-patterns never appear in any plan:
     - RangePartitioning: a global Sort double-executes the plan to sample
       partition boundaries; ordering belongs in one-partition local sorts;
     - BatchEvalPython: a row-at-a-time Python UDF in the hot path (only
       Arrow-batched forms are allowed: ArrowEvalPython, MapInPandas,
       FlatMapGroupsInPandas);
     - CartesianProduct: a shuffled nested-loop join (broadcast NLJ over
-      1-row scalar frames is fine and planned differently)."""
+      1-row scalar frames is fine and planned differently).
+
+    The default run sweeps a rotating ~1/6 cohort (driver-window budget:
+    building all 242 plans costs ~3.5 min); SPARK_GRAFT_HEAVY=1 sweeps
+    the whole registry in the builder's per-round rotation."""
+    from tests.conftest import rotating_cohort
+
     from streamalert_spark.queries import load_all
 
+    registry = load_all()
     offenders = {"range_sort": [], "row_udf": [], "cartesian": []}
-    for name, rq in load_all().items():
+    for name in rotating_cohort(sorted(registry), 6):
+        rq = registry[name]
         plan = _plan(rq.fn(spark, SF_DIR))
         low = plan.lower()
         if "rangepartitioning" in low:

@@ -14,6 +14,8 @@ from datetime import datetime, timedelta
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from tests.conftest import heavy
+
 # -- strategies --------------------------------------------------------------
 
 _scalar = st.one_of(st.none(), st.booleans(), st.integers(-5, 5), st.text(max_size=4))
@@ -166,6 +168,7 @@ def test_sanitized_table_name_bounded_and_stable(name):
 
 # ------------------------------------------------------- fuzzy blocking
 
+@heavy
 @given(st.lists(st.text(alphabet="abcd ", min_size=1, max_size=14),
                 min_size=2, max_size=12, unique=True))
 @settings(max_examples=30, deadline=None)

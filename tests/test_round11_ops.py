@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 from streamalert_spark.queries.warehouse_ext import _AE_DIGEST_MOD
 from streamalert_spark.session import local_rows_df
 
+from tests.conftest import heavy
+
 
 def test_antientropy_digest_exact_past_int64_wrap(spark, duck):
     """A bucket whose 48-bit-prefix sum exceeds int64 (the ADVICE scenario:
@@ -115,6 +117,7 @@ def test_cross_source_gram_matrix_v2_matches_legacy_self_join(spark):
     assert legacy == new and len(new) > 0
 
 
+@heavy
 def test_space_saving_bounds_hold_under_any_partitioning(spark):
     """Staged r12 op: the space-saving summary's estimates move with the
     physical partitioning, but its guarantees must not — est <= true <=
@@ -150,6 +153,7 @@ def test_space_saving_bounds_hold_under_any_partitioning(spark):
     assert sorted(r["key"] for r in top) == sorted(k for k, _ in heavy)
 
 
+@heavy
 def test_profile_sketched_scalable_is_output_identical(spark):
     """Staged r12 op: the two-phase k-min rewrite (parallelism = columns
     x partitions, found after the sf10->sf100 decade measured the

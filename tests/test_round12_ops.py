@@ -19,6 +19,8 @@ from streamalert_spark.ops.similarity import (
 from streamalert_spark.queries.analytics_ext import _hyperplanes
 from streamalert_spark.session import read_table
 
+from tests.conftest import heavy
+
 _BANDS = 4
 _ROWS = 4
 _THRESHOLD = 0.30
@@ -69,6 +71,7 @@ def test_banded_pairs_match_python_witness(spark, fixture_rows):
     assert got == want
 
 
+@heavy
 def test_banded_pairs_partition_invariant(spark, fixture_rows):
     planes = _hyperplanes(num_planes=_BANDS * _ROWS)
     emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")

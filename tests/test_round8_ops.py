@@ -8,6 +8,8 @@ import random
 
 from pyspark.sql import functions as F
 
+from tests.conftest import heavy
+
 
 # ------------------------------------------------ interval overlap join
 
@@ -231,6 +233,7 @@ def test_span_dedup_matches_python_reference_random_corpora(spark):
 
 # --------------------------- kernel vs SQL-twin equivalence pins
 
+@heavy
 def test_minhash_kernel_equals_sql_formulation(spark):
     """The Arrow minhash kernel and the pure-expression SQL formulation
     (the engine-portable reference) must produce bit-identical

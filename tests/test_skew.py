@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tests.conftest import heavy
+
 
 def test_salted_join_matches_plain_join(spark):
     left = spark.range(2000).select(
@@ -55,6 +57,7 @@ def test_salted_two_stage_agg_matches_plain(spark):
     assert got == want
 
 
+@heavy
 def test_kmeans_lloyd_matches_numpy_reference(spark):
     import numpy as np
 
@@ -250,6 +253,7 @@ def test_jaccard_prefix_filter_excludes_hot_shingle(spark):
     assert top["count"] <= 12, top
 
 
+@heavy
 def test_kmeans_lloyd_fixed_matches_integer_reference(spark):
     """The fixed-point variant must match an exact integer NumPy replay
     bit-for-bit (no boundary caveat — there is no float accumulation)."""
