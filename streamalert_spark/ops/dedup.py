@@ -182,8 +182,8 @@ def jaccard_prefix_pairs(
     one boundary crossing; the pre-r12 body re-ran the kernel over the
     candidate docs, which at a near-dup-heavy SF is the whole corpus).
     The prefix relation is likewise cached: both sides of the candidate
-    self-join and the verify branch read one materialization instead of
-    re-running the df-frequency join + rank window per consumer.
+    self-join read one materialization instead of re-running the
+    df-frequency join + rank window per side.
 
     LSH (lsh_verified_pairs) remains the probabilistic scale path; this
     is the EXACT scale path — no recall loss, candidate volume governed

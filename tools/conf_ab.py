@@ -52,7 +52,9 @@ def run_set(names, extra_conf, passes, sf_dir):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--conf", required=True)
+    ap.add_argument("--conf", required=True, action="append",
+                    help="key=value; repeat the flag for multiple confs "
+                         "(values may contain commas, e.g. JVM flag lists)")
     ap.add_argument("--names", default="")
     ap.add_argument("--top", type=int, default=0)
     ap.add_argument("--passes", type=int, default=2)
@@ -62,7 +64,7 @@ def main() -> None:
     names = [n for n in args.names.split(",") if n]
     if args.top:
         names += [n for n in _top_names(args.top) if n not in names]
-    conf = dict(kv.split("=", 1) for kv in args.conf.split(","))
+    conf = dict(kv.split("=", 1) for kv in args.conf)
 
     # ALTERNATE sessions per config (base, cand, base, cand) and take the
     # min per query per config across its sessions: a minutes-long host

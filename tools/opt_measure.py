@@ -7,7 +7,7 @@ For each selected registry query this tool records, at the bench SF:
 - wall seconds for a noop-sink run (`write.format("noop")`), which
   materializes EVERY column (guide §1.4) — the honest compute cost when
   count() would let the optimizer prune the query, and
-- `.explain("formatted")` written to plans/r12/<name>_<tag>.txt so plan
+- `.explain("formatted")` written to plans/<round>/<name>_<tag>.txt so plan
   claims in OPTIMIZATION_r12.md are checkable without running Spark.
 
 Usage: python tools/opt_measure.py --names a,b,c [--tag before|after]
@@ -59,16 +59,16 @@ def main() -> None:
 
     spark = get_spark(app_name="streamalert_spark_opt_measure")
     registry = load_all()
-    plans_dir = os.path.join(REPO, "plans", "r12")
+    plans_dir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_TAG", "r13"))
     os.makedirs(plans_dir, exist_ok=True)
 
     count_s: dict[str, float] = {}
     noop_s: dict[str, float] = {}
     for pass_i in range(args.passes):
         for name in names:
-            rq = registry[name]
             spark.sparkContext.setJobDescription(f"opt[{args.tag}] {name}")
             try:
+                rq = registry[name]
                 t0 = time.perf_counter()
                 rq.fn(spark, args.sf_dir).count()
                 dt = time.perf_counter() - t0
