@@ -34,10 +34,26 @@ QUERIES: dict[str, RegisteredQuery] = {}
 
 
 def query(name: str, oracle: str | None = None, doc: str = ""):
-    """Decorator registering a named query with its DuckDB oracle."""
+    """Decorator registering a named query with its DuckDB oracle.
+
+    The registered callable releases every op-scoped cached frame
+    (ops/dedup.release_op_caches) BEFORE building its DataFrame: caches
+    exist for within-query subtree reuse only, and dropping them at the
+    next query's entry bounds cross-query executor-memory occupancy to
+    zero (guide §5) without costing the current query anything — its own
+    caches are created after the release. The decorated function itself
+    is returned unwrapped so intra-module calls keep raw semantics."""
 
     def deco(fn):
-        QUERIES[name] = RegisteredQuery(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from streamalert_spark.ops.dedup import release_op_caches
+
+            release_op_caches()
+            return fn(spark, sf_dir)
+
+        run.__name__ = fn.__name__
+        run.__doc__ = fn.__doc__
+        QUERIES[name] = RegisteredQuery(name=name, fn=run, oracle=oracle, doc=doc or (fn.__doc__ or ""))
         return fn
 
     return deco
