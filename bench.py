@@ -88,8 +88,27 @@ def main() -> None:
     # real regression without re-running (r9 verdict: diagnosing one +2s
     # phantom required diffing the working tree against HEAD)
     attempts: dict[str, list[float]] = {}
+
+    # Window-health canary (r12 verdict item 6): a FIXED null query timed
+    # around each pass. Its min is this host's floor for a trivial
+    # 32-task job; a canary sample far above the min marks that pass's
+    # numbers as contended — the driver can discount them mechanically
+    # instead of by archaeology. Purely additive to the output contract.
+    canary_runs: list[float] = []
+
+    def canary() -> None:
+        spark.sparkContext.setJobDescription("bench canary")
+        t0 = time.perf_counter()
+        spark.range(8_000_000, numPartitions=32).selectExpr(
+            "sum(id) AS s").collect()
+        canary_runs.append(round(time.perf_counter() - t0, 3))
+        spark.sparkContext.setJobDescription(None)
+
+    pass_wall: list[float] = []
     pass2_covered = 0
     for pass_i in range(2):
+        canary()
+        pass_started = time.monotonic()
         # Pass 2 re-times in DESCENDING pass-1 time order: when the budget
         # truncates it, the casualties are the sub-second tail (where cold
         # inflation is pennies), never the headline queries — r8's five
@@ -114,6 +133,8 @@ def main() -> None:
             timings[name] = min(timings.get(name, dt), dt)
             attempts.setdefault(name, []).append(round(dt, 3))
             pass2_covered += pass_i
+        pass_wall.append(round(time.monotonic() - pass_started, 3))
+    canary()
     for name in sorted(timings, key=lambda n: -timings[n]):
         if timings[name] > 1.5 and not over_budget():
             try:
@@ -139,6 +160,14 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "n_queries": len(timings),
         "pass2_covered": pass2_covered,
+        # additive window-health fields (r12 verdict item 6): per-pass
+        # wall totals + the null-canary samples bracketing the passes —
+        # a contended window shows up as canary samples >> canary min
+        # and an inflated pass wall, separating host noise from real
+        # per-query regressions without judge archaeology
+        "pass_wall_s": pass_wall,
+        "canary_s": {"min": (min(canary_runs) if canary_runs else None),
+                     "runs": canary_runs},
     }
     # full map -> file beside this script (always recoverable); the file
     # copy additionally carries every attempt per query ({min, runs,
