@@ -71,6 +71,14 @@ _CHANGED_THIS_ROUND: list[str] = [
     # allowed, but queries whose BODIES were restructured for speed
     # (value-identical, oracle-proven) list here so the driver's
     # correctness sampler re-verifies them preferentially.
+    "cross_doc_dup_rate",          # window form (one explode pass)
+    "dsir_importance_weights",     # tf-cache re-aggregation
+    "lsh_quality_audit",           # cands/truth cached
+    "dedup_components",            # cc input pair set cached once
+    "dedup_keep_best",             # (same cc change)
+    "dedup_cascade_stages",        # (same cc change)
+    "entity_resolution_groups",    # (same cc change)
+    "table_profile_sketched",      # counts via no-explode aggregate
 ]
 
 
