@@ -80,6 +80,13 @@ def learn_bpe(
     across partitionings — a plain max would be partition-order-dependent).
     """
     vocab = word_vocab(df, text_col).persist()
+    # NOTE (r13, measured): do NOT size-coalesce the loop frame. A
+    # vocab-row-count-adaptive coalesce(1) of the tiny bench vocab was
+    # built and A/B'd at 32 AND 8 cores: flat-to-worse both times — the
+    # two extra materialization jobs cost more than the ~2x32 near-empty
+    # task launches per merge they remove (task launch ≈ 1-2 ms; an AQE
+    # job round ≈ 150+ ms). Per-iteration cost here is plan/codegen/
+    # schedule, not tasks or shuffled bytes.
     merges: list[tuple[str, int]] = []
     # deferred-unpersist ring: a parent vocab may only be dropped once a
     # job has MATERIALIZED its child (the next iteration's argmax, or the
